@@ -1,0 +1,54 @@
+"""Word-count scalar semantics, bit-for-bit with the reference.
+
+The reference's flagship (and only shipped) query is word count
+(mje/src/wc_maple.cpp, wc_juice.cpp). Exact tokenizer semantics
+(wc_maple.cpp:28-44):
+
+- a line is scanned char by char; each separator char in
+  `` \\t\\r\\v\\f`` ends the current token and counts it — INCLUDING
+  empty tokens produced by consecutive/leading separators;
+- at end of line the trailing token is counted only if non-empty;
+- tokens are sanitized to ``[0-9a-zA-Z]`` (case preserved,
+  wc_maple.cpp:9-21); a token that sanitizes to "" still counts.
+
+Equivalently: ``split(line, sep_char)`` then drop the LAST element if
+it is the empty string. That formulation is what both the Spark
+expressions here and the DuckDB oracle SQL implement.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# Single-char alternatives (no '+': consecutive separators yield empty
+# tokens, which the reference counts).
+SEPARATOR_REGEX = "[ \\t\\r\\x0B\\f]"
+SANITIZE_REGEX = "[^0-9a-zA-Z]"
+
+
+def split_lines(text: Column | str) -> Column:
+    """Document text → array of lines (getline semantics: no trailing
+    empty line)."""
+    col = F.col(text) if isinstance(text, str) else text
+    lines = F.split(col, "\n", -1)
+    n = F.size(lines)
+    return F.when(
+        (n > 0) & (F.element_at(lines, -1) == ""), F.slice(lines, F.lit(1), n - 1)
+    ).otherwise(lines)
+
+
+def tokenize_line(line: Column | str) -> Column:
+    """One line → array of raw (unsanitized) tokens, reference semantics."""
+    col = F.col(line) if isinstance(line, str) else line
+    toks = F.split(col, SEPARATOR_REGEX, -1)
+    n = F.size(toks)
+    return F.when(
+        (n > 0) & (F.element_at(toks, -1) == ""), F.slice(toks, F.lit(1), n - 1)
+    ).otherwise(toks)
+
+
+def sanitize_token(token: Column | str) -> Column:
+    """Strip every char outside [0-9a-zA-Z], case preserved."""
+    col = F.col(token) if isinstance(token, str) else token
+    return F.regexp_replace(col, SANITIZE_REGEX, "")

@@ -1,0 +1,91 @@
+"""SparkSession factory tuned for the engine.
+
+The reference exposed per-node parallelism knobs (10/50 files,
+50/4 appends per node — maple_client.cpp:30-31, juice_client.cpp:29-30);
+in Spark those map to executor task slots and shuffle partitions, which
+we set here together with the scale-oriented defaults (AQE, broadcast
+threshold, partition sizing) that matter at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe (and important) to set at runtime on an
+# externally-created session, e.g. the verify driver's.
+RUNTIME_CONF: dict[str, str] = {
+    # Runtime adaptivity: re-plan shuffles, coalesce small partitions,
+    # split skewed ones. This is the 100 TB insurance policy.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # The driver's `events` parquet uses TIMESTAMP(NANOS), which the
+    # vectorized reader rejects; read the raw int64 nanos instead
+    # (sources.tables derives proper timestamp columns from it).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Dimension tables (region/nation/part/supplier at any realistic
+    # SF per-partition) should broadcast; 64 MB covers them while
+    # never broadcasting a fact table.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Arrow for every pandas-UDF boundary.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def _default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus and cpus.isdigit():
+        return int(cpus)
+    return os.cpu_count() or 8
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an existing session."""
+    for key, value in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # Immutable in this session (e.g. static conf) — keep going;
+            # every conf in RUNTIME_CONF is individually optional.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "distributed-system-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Create (or get) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a
+    real cluster leave it unset and submit via spark-submit, where the
+    cluster manager supplies the master URL.
+    """
+    par = _default_parallelism()
+    master = master or os.environ.get("SPARK_MASTER") or f"local[{par}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Shuffle width: at local scale match cores; on a cluster this
+        # should be ~2-3x total cores (or left to AQE coalescing from
+        # a higher initial value).
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or max(par, 32)),
+        )
+        # 256 MB split targets: big enough to amortize task overhead on
+        # 100 TB scans, small enough to fit comfortably in executor memory.
+        .config("spark.sql.files.maxPartitionBytes", str(256 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+    )
+    for key, value in RUNTIME_CONF.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return tune_session(spark)
