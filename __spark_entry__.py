@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship word count (the reference's only
+shipped workload, mje/src/wc_maple.cpp + wc_juice.cpp) at sf0.001.
+``queries()`` / ``oracle_sql()`` expose the full registry from
+``distributed_system_spark.queries`` — one entry per implemented
+operator from SURVEY.md §2, each oracle being equivalent ANSI SQL
+runnable by DuckDB on the same parquet tables.
 """
 
 from __future__ import annotations
@@ -13,26 +14,28 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from distributed_system_spark.queries import oracle_sqls, spark_queries
+from distributed_system_spark.queries.wordcount_q import wordcount
+from distributed_system_spark.session import tune_session
+
+SF_SMOKE_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return wordcount(tune_session(spark), SF_SMOKE_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    qs = spark_queries()
+    return {
+        name: (lambda spark, sf_dir, _fn=fn: _fn(tune_session(spark), sf_dir))
+        for name, fn in qs.items()
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL oracle per queries() key (omitted for
+    non-SQL-expressible ops → driver records a rows-only check)."""
+    return oracle_sqls()

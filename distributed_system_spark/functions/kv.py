@@ -15,9 +15,15 @@ from pyspark.sql import Column
 
 
 def kv_encode(key: Column | str, value: Column | str) -> Column:
-    """(key, value) → the wire line ``"<key> <value>"``."""
-    return F.concat_ws(" ", F.col(key) if isinstance(key, str) else key,
-                       F.col(value) if isinstance(value, str) else value)
+    """(key, value) → the wire line ``"<key> <value>"``.
+
+    Uses ``concat`` (not ``concat_ws``) so a NULL key or value yields a
+    NULL line — bad records stay explicit, mirroring kv_decode's NULLs
+    for protocol errors.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    v = F.col(value) if isinstance(value, str) else value
+    return F.concat(k, F.lit(" "), v)
 
 
 def kv_decode(line: Column | str) -> Column:

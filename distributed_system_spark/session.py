@@ -65,10 +65,8 @@ def get_spark(
     cluster manager supplies the master URL.
     """
     par = _default_parallelism()
-    master = master or os.environ.get("SPARK_MASTER") or f"local[{par}]"
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master)
         # Shuffle width: at local scale match cores; on a cluster this
         # should be ~2-3x total cores (or left to AQE coalescing from
         # a higher initial value).
@@ -84,6 +82,14 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
     )
+    # Only set a master when one is explicitly requested (arg or env);
+    # otherwise defer to spark-submit / defaults so a cluster submission
+    # is never silently forced back to local mode.
+    master = master or os.environ.get("SPARK_MASTER")
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_SUBMIT_DEPLOY_MODE"):
+        builder = builder.master(f"local[{par}]")
     for key, value in RUNTIME_CONF.items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
