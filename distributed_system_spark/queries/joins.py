@@ -1,0 +1,291 @@
+"""Join surface (SURVEY.md §2.C row C3): broadcast / sort-merge /
+shuffle-hash, semi / anti / outer, non-equi range join, as-of join.
+
+Scale notes (the part the reference never had to solve — its only
+"join" was the per-key file merge of mj_worker.cpp:354-365):
+
+- Dimension joins (region/nation/part/supplier) are explicitly
+  ``broadcast()`` so a 100 TB fact scan never shuffles for a MB-sized
+  dimension.
+- Fact-fact joins (lineitem ⋈ orders) use sort-merge on the join key;
+  AQE (enabled in session.py) handles skew-splitting at runtime.
+- The as-of join avoids the quadratic "join all earlier rows"
+  formulation entirely: it unions both sides and takes a running
+  ``last(ignorenulls)`` window — one shuffle by user, linear work,
+  the standard scalable as-of pattern.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from distributed_system_spark.queries import register
+from distributed_system_spark.queries._util import dsum, sql_dsum
+from distributed_system_spark.sources.tables import load_table
+
+
+@register(
+    "join_broadcast",
+    oracle=f"""
+SELECT r_name, count(*) AS n_orders, {sql_dsum('o_totalprice')} AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+    tags=("C3",),
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(
+            F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_sortmerge",
+    oracle=f"""
+SELECT o_orderstatus,
+       count(*) AS n_lines,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY o_orderstatus
+""",
+    tags=("C3",),
+)
+def join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join: hint merge so the planner keeps SMJ even when
+    one side would fit the broadcast threshold at tiny SF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.hint("merge")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_lines"), dsum(rev).alias("revenue"))
+    )
+
+
+@register(
+    "join_shuffle_hash",
+    oracle=f"""
+SELECT p_type, count(*) AS n_lines, {sql_dsum('l_extendedprice')} AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+GROUP BY p_type
+""",
+    tags=("C3",),
+)
+def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").hint("shuffle_hash")
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+SELECT p_partkey, p_name
+FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_partkey = p_partkey AND l_quantity >= 45)
+""",
+    tags=("C3",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return part.join(
+        li, F.col("p_partkey") == F.col("l_partkey"), "left_semi"
+    ).select("p_partkey", "p_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+    tags=("C3",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_left_outer",
+    oracle=f"""
+SELECT c_custkey,
+       count(o_orderkey) AS n_orders,
+       coalesce({sql_dsum('o_totalprice')}, 0.0) AS spend
+FROM customer
+LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey
+""",
+    tags=("C3",),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left"
+        )
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("spend"),
+        )
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+WITH s AS (SELECT s_nationkey AS nk, count(*) AS n_supp
+           FROM supplier GROUP BY 1),
+     c AS (SELECT c_nationkey AS nk, count(*) AS n_cust
+           FROM customer GROUP BY 1)
+SELECT coalesce(s.nk, c.nk) AS nationkey,
+       coalesce(n_supp, 0) AS n_supp,
+       coalesce(n_cust, 0) AS n_cust
+FROM s FULL OUTER JOIN c ON s.nk = c.nk
+""",
+    tags=("C3",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    return supp.join(cust, "nk", "full_outer").select(
+        F.col("nk").alias("nationkey"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+    )
+
+
+@register(
+    "join_range_band",
+    oracle=f"""
+WITH bands(band, lo, hi) AS (
+  VALUES ('q1', 0.0, 13.0), ('q2', 13.0, 26.0),
+         ('q3', 26.0, 38.0), ('q4', 38.0, 51.0)
+)
+SELECT band, count(*) AS n_lines, {sql_dsum('l_extendedprice')} AS revenue
+FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+GROUP BY band
+""",
+    tags=("C3", "range-join"),
+)
+def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) join against a tiny broadcast band table —
+    plans as BroadcastNestedLoopJoin, the right physical choice when
+    the build side is rows-scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [("q1", 0.0, 13.0), ("q2", 13.0, 26.0), ("q3", 26.0, 38.0), ("q4", 38.0, 51.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        li.join(
+            F.broadcast(bands),
+            (F.col("l_quantity") >= F.col("lo"))
+            & (F.col("l_quantity") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       max(epoch_us(c.ts)) AS last_click_us
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY 1, 2, 3
+""",
+    tags=("C3", "asof-join"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent
+    click at-or-before it.
+
+    Scalable union+window formulation: tag both sides, sort within
+    user by (time, tag) so a click at the same microsecond precedes
+    the purchase, then take a running last(ignorenulls).  One shuffle,
+    linear work — never the quadratic inequality join the oracle uses.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # Integer division — going through double would lose precision on
+    # ~1.7e18 nanosecond values (> 2^53).
+    ts_us = F.expr("ts_ns div 1000")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        ts_us.alias("ts_us"),
+        ts_us.alias("click_us"),
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        ts_us.alias("ts_us"),
+        F.lit(None).cast("long").alias("click_us"),
+        F.lit(1).alias("tag"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(purchases).withColumn(
+        "last_click_us", F.last("click_us", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("tag") == 1).select(
+        "event_id", "user_id", "ts_us", "last_click_us"
+    )

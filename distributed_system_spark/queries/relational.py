@@ -1,0 +1,456 @@
+"""Relational core: projection/filter, aggregation family, set ops,
+subqueries, conditional logic (SURVEY.md §2.C rows C2, C4, C7).
+
+The reference has no relational operators of its own — everything
+here is the driver-mandated extension surface (SURVEY.md §2.C),
+expressed declaratively so Catalyst gets pushdown/pruning/partial
+aggregation for free (the reference's map-side combine, wc_maple.cpp:24-43,
+is exactly Spark's partial hash aggregate).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from distributed_system_spark.queries import register
+from distributed_system_spark.queries._util import (
+    davg,
+    dround,
+    dsum,
+    sql_davg,
+    sql_dround,
+    sql_dsum,
+)
+from distributed_system_spark.sources.tables import load_table
+
+
+# --- C2: projection + filter (conjunctive + range + LIKE) -----------------
+
+@register(
+    "proj_filter",
+    oracle=f"""
+SELECT l_orderkey, l_linenumber, l_quantity,
+       {sql_dround('l_extendedprice * (1 - l_discount)')} AS net_price
+FROM lineitem
+WHERE l_quantity > 30
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_returnflag = 'R'
+""",
+    tags=("C2",),
+)
+def proj_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 30)
+        & F.col("l_discount").between(0.02, 0.06)
+        & (F.col("l_returnflag") == "R")
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        dround(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "net_price"
+        ),
+    )
+
+
+@register(
+    "filter_like",
+    oracle="""
+SELECT p_partkey, p_name, p_brand
+FROM part
+WHERE p_name LIKE '%gear%' AND p_type NOT LIKE 'ECO%' AND p_size >= 10
+""",
+    tags=("C2",),
+)
+def filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(
+        F.col("p_name").like("%gear%")
+        & ~F.col("p_type").like("ECO%")
+        & (F.col("p_size") >= 10)
+    ).select("p_partkey", "p_name", "p_brand")
+
+
+# --- C4: aggregation family ----------------------------------------------
+
+@register(
+    "q1_pricing",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       {sql_dsum('l_extendedprice')} AS sum_base,
+       CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l_discount AS DECIMAL(4,2))), 2)
+            AS DOUBLE) AS sum_disc,
+       CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l_discount AS DECIMAL(4,2))
+                      * CAST(1 + l_tax AS DECIMAL(4,2))), 2)
+            AS DOUBLE) AS sum_charge,
+       {sql_davg('l_quantity')} AS avg_qty,
+       {sql_davg('l_extendedprice')} AS avg_price,
+       {sql_davg('l_discount', scale=6)} AS avg_disc,
+       count(*) AS cnt
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    tags=("C4", "B3", "B5"),
+)
+def q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical partial+final hash aggregate.
+
+    The measures are exact 2-decimal values stored as doubles, so the
+    products are computed in decimal arithmetic (cast each factor
+    first): a double product cast to decimal rounds differently in
+    Spark (shortest-repr) vs DuckDB (binary value) at half-way points.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    epd = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc1 = (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+    tax1 = (F.lit(1) + F.col("l_tax")).cast("decimal(4,2)")
+    return (
+        li.filter(
+            F.col("l_shipdate")
+            <= F.lit("2000-12-01 00:00:00").cast("timestamp")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base"),
+            F.round(F.sum(epd * disc1), 2).cast("double").alias("sum_disc"),
+            F.round(F.sum(epd * disc1 * tax1), 2)
+            .cast("double")
+            .alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount", scale=6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_stats",
+    oracle=f"""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price,
+       {sql_dsum('o_totalprice')} AS sum_price,
+       {sql_davg('o_totalprice')} AS avg_price,
+       count(DISTINCT o_custkey) AS n_cust
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("C4",),
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        dsum("o_totalprice").alias("sum_price"),
+        davg("o_totalprice").alias("avg_price"),
+        F.countDistinct("o_custkey").alias("n_cust"),
+    )
+
+
+@register(
+    "count_distinct",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_suppkey) AS n_supp,
+       count(DISTINCT l_partkey) AS n_part,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("C4",),
+)
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "rollup_agg",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS cnt,
+       {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    tags=("C4",),
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@register(
+    "cube_agg",
+    oracle=f"""
+SELECT event_type, date_trunc('day', ts) AS day,
+       count(*) AS cnt,
+       {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY CUBE (event_type, date_trunc('day', ts))
+""",
+    tags=("C4", "C9-batch"),
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.date_trunc("day", F.col("ts")))
+        .cube("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value").alias("sum_value"))
+        .select("event_type", "day", "cnt", "sum_value")
+    )
+
+
+@register(
+    "grouping_sets",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS cnt,
+       {sql_dsum('o_totalprice')} AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+""",
+    tags=("C4",),
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS cnt,
+               {sql_dsum('o_totalprice')} AS sum_price
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        """
+    )
+
+
+# --- C7: set operations ---------------------------------------------------
+
+def _custkeys_year(spark: SparkSession, sf_dir: str, year: int) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(F.year("o_orderdate") == year).select("o_custkey")
+
+
+@register(
+    "set_intersect",
+    oracle="""
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+""",
+    tags=("C7",),
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _custkeys_year(spark, sf_dir, 1995).intersect(
+        _custkeys_year(spark, sf_dir, 1998)
+    )
+
+
+@register(
+    "set_except",
+    oracle="""
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+""",
+    tags=("C7",),
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _custkeys_year(spark, sf_dir, 1995).subtract(
+        _custkeys_year(spark, sf_dir, 1998)
+    )
+
+
+@register(
+    "set_union",
+    oracle="""
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+UNION
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+""",
+    tags=("C7",),
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _custkeys_year(spark, sf_dir, 1995)
+        .union(_custkeys_year(spark, sf_dir, 1998))
+        .distinct()
+    )
+
+
+@register(
+    "union_by_name",
+    oracle="""
+SELECT c_custkey AS entity_key, c_name AS entity_name, 'customer' AS kind
+FROM customer
+UNION ALL
+SELECT s_suppkey AS entity_key, s_name AS entity_name, 'supplier' AS kind
+FROM supplier
+""",
+    tags=("C7",),
+)
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_name").alias("entity_name"),
+        F.lit("customer").alias("kind"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"),
+        F.col("s_suppkey").alias("entity_key"),
+        F.col("s_name").alias("entity_name"),
+    )
+    return cust.unionByName(supp)
+
+
+@register(
+    "distinct_pairs",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    tags=("C7",),
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+    )
+
+
+# --- subqueries / conditional logic --------------------------------------
+
+@register(
+    "scalar_subquery",
+    oracle=f"""
+WITH t AS (SELECT {sql_davg('o_totalprice', out=6)} AS avg_price FROM orders)
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders, t
+WHERE o_totalprice > 1.9 * t.avg_price
+""",
+    tags=("C2", "subquery"),
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    avg_df = orders.agg(davg("o_totalprice", out=6).alias("avg_price"))
+    return (
+        orders.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > 1.9 * F.col("avg_price"))
+        .select(
+            "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+        )
+    )
+
+
+@register(
+    "case_when_tiers",
+    oracle=f"""
+SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 200000 THEN 'medium'
+            ELSE 'large' END AS tier,
+       count(*) AS cnt,
+       {sql_dsum('o_totalprice')} AS sum_price
+FROM orders
+GROUP BY 1
+""",
+    tags=("C2", "C4"),
+)
+def case_when_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    tier = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+    )
+    return (
+        orders.withColumn("tier", tier)
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("sum_price")
+        )
+    )
+
+
+@register(
+    "pivot_status",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("C4", "pivot"),
+)
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+@register(
+    "try_cast_tokens",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_concat(str_split(text, ' '),
+                            [CAST(n_chars AS VARCHAR), '12.5',
+                             '99999999999999999999', '-7'])) AS tok
+  FROM documents
+)
+SELECT doc_id, tok,
+       CASE WHEN regexp_matches(tok, '^[+-]?[0-9]+$')
+            THEN TRY_CAST(tok AS BIGINT) END AS num
+FROM toks
+""",
+    tags=("B6",),
+)
+def try_cast_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 — error-tolerant cast (wc_juice.cpp:28-37's try/catch stoi).
+
+    Integer-parse semantics are pinned with an explicit regex on both
+    engines: Spark's lenient string→bigint cast truncates '12.5' to 12
+    while DuckDB's TRY_CAST yields NULL, so neither default matches the
+    other. Overflow ('9...9' > int64) is NULL on both via try_cast.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.concat(
+        F.split("text", " ", -1),
+        F.array(
+            F.col("n_chars").cast("string"),
+            F.lit("12.5"),
+            F.lit("99999999999999999999"),
+            F.lit("-7"),
+        ),
+    )
+    return docs.select("doc_id", F.explode(toks).alias("tok")).withColumn(
+        "num",
+        F.when(
+            F.col("tok").rlike("^[+-]?[0-9]+$"),
+            F.expr("try_cast(tok AS BIGINT)"),
+        ),
+    )

@@ -1,0 +1,233 @@
+"""Window-function surface (SURVEY.md §2.C row C5) + sort/limit/top-k
+(row C6).
+
+Every window orders by a compound key ending in a unique column so
+rank/lag results are deterministic across engines; float measures are
+reduced with the exact-decimal trick from ``_util`` before windowed
+sums so Spark's partition order can't perturb the values.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from distributed_system_spark.queries import register
+from distributed_system_spark.queries._util import dsum, sql_dsum
+from distributed_system_spark.sources.tables import load_table
+
+
+@register(
+    "window_rank",
+    oracle="""
+SELECT * FROM (
+  SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS acctbal,
+         row_number()  OVER w AS rn,
+         rank()        OVER w AS rnk,
+         dense_rank()  OVER w AS drnk
+  FROM customer
+  WINDOW w AS (PARTITION BY c_nationkey
+               ORDER BY c_acctbal DESC, c_custkey)
+) WHERE rn <= 5
+""",
+    tags=("C5",),
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        cust.select(
+            "c_nationkey",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+SELECT event_id, user_id,
+       epoch_us(ts) AS ts_us,
+       round(value, 4) AS value,
+       round(lag(value)  OVER w, 4) AS prev_value,
+       round(lead(value) OVER w, 4) AS next_value,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+""",
+    tags=("C5",),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.round("value", 4).alias("value"),
+        F.round(F.lag("value").over(w), 4).alias("prev_value"),
+        F.round(F.lead("value").over(w), 4).alias("next_value"),
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us"),
+    )
+
+
+@register(
+    "window_running",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       count(*) OVER w AS order_seq,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE), 2)
+         AS running_spend
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    tags=("C5",),
+)
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("order_seq"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast(
+                "double"
+            ),
+            2,
+        ).alias("running_spend"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+SELECT o_orderkey, o_custkey, day_n,
+       count(*) OVER w AS n_last30,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE), 2)
+         AS spend_last30
+FROM (SELECT *, date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+               AS day_n
+      FROM orders)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY day_n
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+""",
+    tags=("C5", "range-frame"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a day-number ordering: per order, the same
+    customer's trailing-30-day order count and spend."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "day_n", F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_n")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "day_n",
+        F.count(F.lit(1)).over(w).alias("n_last30"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast(
+                "double"
+            ),
+            2,
+        ).alias("spend_last30"),
+    )
+
+
+@register(
+    "window_ntile",
+    oracle="""
+SELECT c_custkey,
+       ntile(10)       OVER w AS decile,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist()    OVER w, 6) AS cd
+FROM customer
+WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+""",
+    tags=("C5",),
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle=f"""
+WITH rev AS (
+  SELECT p_brand, p_partkey, {sql_dsum('l_extendedprice')} AS revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, p_partkey
+)
+SELECT p_brand, p_partkey, revenue
+FROM (SELECT *, row_number() OVER (PARTITION BY p_brand
+                                   ORDER BY revenue DESC, p_partkey) AS rn
+      FROM rev)
+WHERE rn <= 3
+""",
+    tags=("C6",),
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by revenue per brand — window over a pre-aggregated
+    (already rounded, hence engine-stable) measure."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(dsum("l_extendedprice").alias("revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("revenue").desc(), F.col("p_partkey")
+    )
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "revenue")
+    )
+
+
+@register(
+    "orderby_limit",
+    oracle="""
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""",
+    tags=("C6", "B9"),
+)
+def orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans this as TakeOrderedAndProject — a
+    per-partition top-k plus a driver merge, never a full sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
