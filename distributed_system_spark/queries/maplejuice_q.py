@@ -1,0 +1,110 @@
+"""MapleJuice operator queries: word count through the maple→juice
+fidelity layer, and the exe-fidelity line pipe.
+
+``mj_wordcount`` must equal the direct DataFrame ``wordcount`` —
+the same invariant the reference's golden-output E2E asserts
+(tests/maplejuice.cpp:249-255) — so both share one oracle.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from collections.abc import Iterable, Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from distributed_system_spark.functions.wordcount import split_lines
+from distributed_system_spark.operators.maplejuice import (
+    juice,
+    maple,
+    partition_by_hash,
+    pipe_lines,
+)
+from distributed_system_spark.queries import register
+from distributed_system_spark.queries.wordcount_q import WORDCOUNT_ORACLE
+from distributed_system_spark.sources.tables import load_table
+
+# Python-side mirrors of wc_maple.cpp:9-44 (see functions/wordcount.py
+# for the Column-expression versions and the semantics rationale).
+_SEP_RE = re.compile("[ \t\r\x0b\f]")
+_SAN_RE = re.compile("[^0-9a-zA-Z]")
+
+
+def _tokenize(line: str) -> list[str]:
+    toks = _SEP_RE.split(line)
+    if toks and toks[-1] == "":
+        toks.pop()
+    return toks
+
+
+def wc_maple_fn(lines: Iterable[str]) -> Iterator[tuple[str, str]]:
+    """Per-batch word count with map-side combine + sorted emission
+    (B3/B4, wc_maple.cpp:24-49)."""
+    counts: Counter[str] = Counter()
+    for line in lines:
+        for tok in _tokenize(line):
+            counts[_SAN_RE.sub("", tok)] += 1
+    for word in sorted(counts):
+        yield word, str(counts[word])
+
+
+def wc_juice_fn(key: str, values: list[str]) -> Iterator[tuple[str, str]]:
+    """Sum integer partials, skipping unparseable tokens (B5/B6,
+    wc_juice.cpp:20-39's try/catch stoi)."""
+    total = 0
+    for v in values:
+        try:
+            total += int(v)
+        except ValueError:
+            pass
+    yield key, str(total)
+
+
+def doc_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(F.explode(split_lines("text")).alias("line"))
+
+
+@register("mj_wordcount", oracle=WORDCOUNT_ORACLE, tags=("A3", "A6", "A8"))
+def mj_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count through maple → hash partition → juice; must equal
+    the direct-DataFrame ``wordcount`` bit for bit."""
+    kv = maple(doc_lines(spark, sf_dir), wc_maple_fn)
+    reduced = juice(partition_by_hash(kv, 32, "key"), wc_juice_fn)
+    return reduced.select(
+        F.col("key").alias("word"), F.col("value").cast("bigint").alias("cnt")
+    ).orderBy("word")
+
+
+@register(
+    "pipe_tokens",
+    oracle="""
+WITH lines0 AS (
+  SELECT str_split(text, chr(10)) AS ls FROM documents
+), lines AS (
+  SELECT unnest(CASE WHEN len(ls) > 0 AND ls[len(ls)] = ''
+                THEN list_slice(ls, 1, len(ls) - 1) ELSE ls END) AS line
+  FROM lines0
+), toks AS (
+  SELECT unnest(str_split(line, ' ')) AS tok FROM lines
+)
+SELECT tok, count(*) AS cnt
+FROM toks
+GROUP BY tok
+ORDER BY tok
+""",
+    tags=("A21",),
+)
+def pipe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exe-fidelity path: stream document lines through ``tr ' ' '\\n'``
+    (one token per output line, exactly what an external tokenizer exe
+    would emit through run_command, mj_worker.cpp:452-491), then count.
+    """
+    toks = pipe_lines(doc_lines(spark, sf_dir), "tr ' ' '\\n'")
+    return (
+        toks.groupBy(F.col("line").alias("tok"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("tok")
+    )
