@@ -1,0 +1,207 @@
+"""Deduplication operators for LLM-training-data pipelines: exact,
+n-gram Jaccard, MinHash+LSH, and SimHash.
+
+The reference has no dedup (its only workload is word count); these
+are the driver-mandated LLM-pipeline extensions (SURVEY.md §2.C),
+designed Spark-first:
+
+- Everything is Column expressions / relational joins — no Python in
+  the hot path, the whole pipeline stays in whole-stage codegen.
+- All hashing is md5 over UTF-8 strings, which is bit-identical in
+  every engine — so even the MinHash/LSH pipeline is fully
+  oracle-checkable against DuckDB (an engine-native hash would not
+  be).
+- **Never all-pairs.** Candidate pairs come only from LSH band
+  buckets (minhash) or shared-token inverted-index joins (exact
+  Jaccard); at 100 TB add prefix filtering (sort tokens by global
+  frequency, index only each doc's rarest-k) to bound the inverted
+  index — noted per function.
+
+Scale shape of MinHash-LSH at 100 TB: (doc × token) explode is a
+flatMap (no shuffle); signatures are one groupBy per (doc, seed) —
+partial aggregation applies since min() is algebraic; band buckets
+shuffle by (band, sig) which is uniformly distributed by construction
+(md5), so no skew; the verify join touches only candidate pairs,
+which LSH keeps near-linear in the number of true duplicates.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def _text_col(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def doc_tokens(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, tok) rows, one per DISTINCT token per doc (set semantics,
+    the usual Jaccard basis). flatMap-shaped: no shuffle."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(_text_col(text_col), " ", -1))).alias(
+            "tok"
+        ),
+    )
+
+
+def minhash_signatures(
+    toks: DataFrame, num_hashes: int = 8
+) -> DataFrame:
+    """(id, seed, mh) minhash signatures over md5(seed ':' tok).
+
+    md5 is engine-portable, so the exact signature is reproducible in
+    any SQL engine — the property that makes LSH oracle-checkable.
+    One groupBy; min() combines map-side.
+    """
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    return (
+        toks.select("id", "tok", seeds)
+        .select(
+            "id",
+            "seed",
+            F.md5(
+                F.concat(F.col("seed").cast("string"), F.lit(":"), "tok").cast(
+                    "binary"
+                )
+            ).alias("h"),
+        )
+        .groupBy("id", "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+
+
+def lsh_band_signatures(sigs: DataFrame, rows_per_band: int = 2) -> DataFrame:
+    """(id, band, sig): hash each band's minhash run to one signature.
+
+    With b bands of r rows, the candidate probability for similarity s
+    is 1-(1-s^r)^b — the standard S-curve (b=4, r=2 → 98% at s=0.8).
+    """
+    band = (F.col("seed") / rows_per_band).cast("int").alias("band")
+    ordered = F.transform(
+        F.sort_array(F.collect_list(F.struct("seed", "mh"))), lambda s: s["mh"]
+    )
+    return (
+        sigs.select("id", band, "mh", "seed")
+        .groupBy("id", "band")
+        .agg(F.md5(F.concat_ws(",", ordered).cast("binary")).alias("sig"))
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """(id_a, id_b) pairs sharing at least one band bucket.
+
+    Self-join on (band, sig): touches only colliding docs, never
+    all-pairs. Bucket sizes are balanced because sig is md5.
+    """
+    a = bands.select(
+        F.col("band").alias("b"), F.col("sig").alias("s"), F.col("id").alias("id_a")
+    )
+    b = bands.select(
+        F.col("band").alias("b"), F.col("sig").alias("s"), F.col("id").alias("id_b")
+    )
+    return (
+        a.join(b, ["b", "s"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, toks: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact token-set Jaccard for candidate pairs; keep >= threshold.
+
+    Joins each pair to both token sets; |A∩B| from the shared-token
+    join, |A∪B| = |A|+|B|-|A∩B| from per-doc counts. Only candidate
+    pairs are touched.
+    """
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    ta = toks.select(F.col("id").alias("id_a"), "tok")
+    tb = toks.select(F.col("id").alias("id_b"), "tok")
+    inter = (
+        pairs.join(ta, "id_a")
+        .join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jac.cast("double"), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    toks: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact (non-approximate) Jaccard-similar pairs via inverted-index
+    join: pairs sharing >= 1 token, then exact Jaccard filter.
+
+    Any pair with J > 0 shares a token, so this is exhaustive. At
+    100 TB, bound the index with prefix filtering: a pair with
+    J >= t must share a token among each doc's ⌈(1-t)·n⌉+1 globally
+    rarest tokens, so only those need indexing.
+    """
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = toks.select(F.col("id").alias("id_a"), "tok")
+    b = toks.select(F.col("id").alias("id_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a", "id_b", F.round(jac.cast("double"), 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash16(toks: DataFrame) -> DataFrame:
+    """(id, simhash) 16-bit SimHash from the doc's token set.
+
+    Bit i of md5(tok) is taken from hex digit i (>= '8' → 1); the
+    fingerprint sets bit i when a strict majority of tokens set it.
+    Near-dup docs differ in few bits (compare via Hamming distance or
+    band the fingerprint for bucketing). All md5/portable.
+    """
+    pos = F.explode(F.sequence(F.lit(1), F.lit(16))).alias("i")
+    digit = F.substring(
+        F.md5(F.col("tok").cast("binary")), F.col("i"), 1
+    )
+    bit = digit.isin("8", "9", "a", "b", "c", "d", "e", "f").cast("int")
+    per_bit = (
+        toks.select("id", "tok", pos)
+        .select("id", "i", bit.alias("bit"))
+        .groupBy("id", "i")
+        .agg(F.sum("bit").alias("ones"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "id",
+            "i",
+            (F.col("ones") * 2 > F.col("n")).cast("int").alias("maj"),
+        )
+    )
+    weight = F.pow(F.lit(2.0), (16 - F.col("i")).cast("double")).cast("long")
+    return per_bit.groupBy("id").agg(
+        F.sum(F.col("maj") * weight).alias("simhash")
+    )

@@ -1,0 +1,158 @@
+"""Dedup queries over `documents` (LLM-pipeline surface): exact,
+n-gram Jaccard, MinHash+LSH, SimHash.
+
+Every query — including the LSH pipeline — has a full DuckDB oracle,
+because all hashing is md5 over strings (engine-portable); see
+operators/dedup.py for the scale analysis of each operator.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from distributed_system_spark.operators.dedup import (
+    doc_tokens,
+    jaccard_verify,
+    lsh_band_signatures,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash16,
+)
+from distributed_system_spark.queries import register
+from distributed_system_spark.sources.tables import load_table
+
+_TOKS_SQL = """
+toks AS (
+  SELECT doc_id AS id, unnest(list_distinct(str_split(text, ' '))) AS tok
+  FROM documents
+)"""
+
+_VERIFY_SQL = """
+sizes AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN toks a ON a.id = c.id_a
+  JOIN toks b ON b.id = c.id_b AND b.tok = a.tok
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       round(CAST(i.inter AS DOUBLE) / (na.n + nb.n - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sizes na ON na.id = i.id_a
+JOIN sizes nb ON nb.id = i.id_b
+WHERE round(CAST(i.inter AS DOUBLE) / (na.n + nb.n - i.inter), 6) >= {thr}
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, keep lowest doc_id.
+
+    At 100 TB: group on the md5 (16 bytes) rather than the full text so
+    shuffle rows stay small; partial agg combines map-side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(F.col("text").cast("binary")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+        )
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_TOKS_SQL},
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+),
+{_VERIFY_SQL.format(thr=0.8)}
+""",
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive token-set Jaccard >= 0.8 pairs via inverted-index
+    join (never a cross join; see prefix-filtering note in operators)."""
+    toks = doc_tokens(load_table(spark, sf_dir, "documents"))
+    return ngram_jaccard_pairs(toks, 0.8)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {_TOKS_SQL},
+mh AS (
+  SELECT id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || tok)) AS mh
+  FROM toks CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) s
+  GROUP BY id, seed
+),
+bands AS (
+  SELECT id, CAST(seed // 2 AS INT) AS band,
+         md5(string_agg(mh, ',' ORDER BY seed)) AS sig
+  FROM mh GROUP BY id, CAST(seed // 2 AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+),
+{_VERIFY_SQL.format(thr=0.8)}
+""",
+    tags=("dedup", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (8 hashes) + LSH (4 bands x 2 rows) candidates, then
+    exact-Jaccard verification at 0.8 — candidate pairs only, the
+    scalable fuzzy-dedup shape. Fully oracle-checked: md5-based
+    minhashes are bit-identical across engines."""
+    toks = doc_tokens(load_table(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(toks, num_hashes=8)
+    bands = lsh_band_signatures(sigs, rows_per_band=2)
+    cand = lsh_candidate_pairs(bands)
+    return jaccard_verify(cand, toks, 0.8)
+
+
+@register(
+    "dedup_simhash",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id AS id, unnest(list_distinct(str_split(text, ' '))) AS tok
+  FROM documents
+),
+bits AS (
+  SELECT id, i,
+         CASE WHEN substr(md5(tok), CAST(i AS INT), 1)
+                   IN ('8','9','a','b','c','d','e','f')
+              THEN 1 ELSE 0 END AS bit
+  FROM toks CROSS JOIN (SELECT unnest(range(1, 17)) AS i) p
+),
+maj AS (
+  SELECT id, i, CASE WHEN sum(bit) * 2 > count(*) THEN 1 ELSE 0 END AS maj
+  FROM bits GROUP BY id, i
+)
+SELECT id, CAST(sum(maj * (CAST(1 AS BIGINT) << CAST(16 - i AS INT))) AS BIGINT)
+         AS simhash
+FROM maj GROUP BY id
+""",
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document (majority bit of token
+    md5s) — near-dups differ in few bits; bucketing the fingerprint
+    gives an O(n) candidate generator at scale."""
+    toks = doc_tokens(load_table(spark, sf_dir, "documents"))
+    return simhash16(toks)
