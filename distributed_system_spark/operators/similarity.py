@@ -1,0 +1,178 @@
+"""Embedding similarity search: brute-force cosine top-k (baseline)
+and random-hyperplane LSH bucketing (the scale path).
+
+Spark-first design notes:
+
+- Vectors are ``array<float>`` columns; all arithmetic happens in
+  Column expressions (``zip_with`` + ``aggregate`` fold — JVM-side,
+  no Python in the loop). Elements are cast to double once so both
+  engines sum the same IEEE doubles in the same (sequential) order.
+- Brute force is the *correctness baseline*: broadcast the (small)
+  query set against a single pass over the corpus — one scan, no
+  shuffle, then a per-query top-k window. Right answer, O(|Q|·|C|)
+  work: fine for |Q| small, unusable for all-pairs at 100 TB.
+- The LSH path buckets vectors by the sign pattern of ``p`` random
+  hyperplane projections; candidates come only from the query's own
+  bucket, making the search O(|C|/2^p) per query. Hyperplane weights
+  derive from md5 (engine-portable, deterministic), so even this
+  approximate path is oracle-checkable in DuckDB.
+- Ordering always uses the ROUNDED cosine plus a vec_id tiebreak so
+  rank boundaries can't flip on 1-ulp float noise between engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+HEX = "0123456789abcdef"
+
+
+def vec_double(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product — same order as a SQL engine's
+    list_sum, so results are bit-identical across engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame, corpus: DataFrame, k: int, round_to: int = 6
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    ``queries``/``corpus``: (id, vec) with vec already double. The
+    query side is broadcast: one corpus scan computes every cosine,
+    then a window keeps k per query. No corpus shuffle besides the
+    final (tiny) top-k exchange.
+    """
+    q = queries.select(
+        F.col("id").alias("q_id"), F.col("vec").alias("q_vec")
+    )
+    c = corpus.select(
+        F.col("id").alias("n_id"), F.col("vec").alias("n_vec")
+    )
+    sim = F.round(cosine(F.col("q_vec"), F.col("n_vec")), round_to)
+    scored = F.broadcast(q).crossJoin(c).select(
+        "q_id", "n_id", sim.alias("cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "n_id", "cos", "rnk")
+    )
+
+
+def hyperplane_weight(plane: Column, dim: Column) -> Column:
+    """Deterministic pseudo-random weight in [-7.5, 7.5] from
+    md5(plane ':' dim) — portable to any engine with md5."""
+    digit = F.substring(
+        F.md5(
+            F.concat(
+                plane.cast("string"), F.lit(":"), dim.cast("string")
+            ).cast("binary")
+        ),
+        1,
+        1,
+    )
+    return F.instr(F.lit(HEX), digit) - F.lit(8.5)
+
+
+def hyperplane_buckets(vecs: DataFrame, num_planes: int = 8) -> DataFrame:
+    """(id, bucket): sign pattern of ``num_planes`` random projections.
+
+    Explode-shaped (rows = |V| x planes x dims) feeding one partial
+    aggregation — scales linearly, no shuffle of the vectors
+    themselves. Sign flips from float addition order are possible
+    only when a projection lands within float-noise of zero
+    (|proj| < 1e-12 across O(dim) terms — negligible).
+    """
+    p = F.explode(F.sequence(F.lit(0), F.lit(num_planes - 1))).alias("p")
+    i = F.explode(F.sequence(F.lit(1), F.lit(64))).alias("i")
+    projected = (
+        vecs.select("id", "vec", p)
+        .select("id", "p", "vec", i)
+        .select(
+            "id",
+            "p",
+            (
+                hyperplane_weight(F.col("p"), F.col("i"))
+                * F.element_at("vec", F.col("i"))
+            ).alias("term"),
+        )
+        .groupBy("id", "p")
+        .agg(F.sum("term").alias("proj"))
+    )
+    weight = F.pow(F.lit(2.0), F.col("p").cast("double")).cast("long")
+    return projected.groupBy("id").agg(
+        F.sum((F.col("proj") > 0).cast("long") * weight).alias("bucket")
+    )
+
+
+def lsh_bucket_topk(
+    queries: DataFrame, corpus: DataFrame, k: int, num_planes: int = 8
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket.
+
+    Per-query work drops from |C| to |C|/2^planes; recall is traded
+    via ``num_planes`` (fewer planes → bigger buckets → higher
+    recall). Multi-probe (flipping low-margin bits) is the standard
+    recall booster at fixed cost — not needed at test scale.
+    """
+    all_vecs = queries.unionByName(corpus)
+    buckets = hyperplane_buckets(all_vecs, num_planes)
+    q = queries.join(buckets, "id").select(
+        F.col("id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("bucket").alias("b"),
+    )
+    c = corpus.join(buckets, "id").select(
+        F.col("id").alias("n_id"),
+        F.col("vec").alias("n_vec"),
+        F.col("bucket").alias("b"),
+    )
+    sim = F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6)
+    scored = q.join(c, "b").select("q_id", "n_id", sim.alias("cos"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "n_id", "cos", "rnk")
+    )
+
+
+def cosine_neardup_pairs(
+    vecs: DataFrame, threshold: float
+) -> DataFrame:
+    """All pairs with cosine >= threshold.
+
+    Exhaustive self-join — correct baseline at test scale. At 100 TB
+    this must be LSH-bucketed first (``hyperplane_buckets`` then join
+    within buckets); kept exhaustive here because the oracle needs
+    exact recall.
+    """
+    a = vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
+    b = vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,132 @@
+"""Similarity-search queries over `embeddings` (LLM-pipeline surface):
+brute-force cosine top-k, LSH-bucketed approximate top-k, and
+cosine near-dup pairs. See operators/similarity.py for scale notes.
+
+Oracle SQL mirrors the arithmetic exactly: doubles summed
+sequentially (DuckDB list_transform/list_sum vs Spark zip_with/
+aggregate fold), ordering on the rounded cosine with id tiebreaks.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from distributed_system_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_neardup_pairs,
+    lsh_bucket_topk,
+    vec_double,
+)
+from distributed_system_spark.queries import register
+from distributed_system_spark.sources.tables import load_table
+
+_COS_SQL = """
+round(list_sum(list_transform(range(1, 65), i -> q.vec[i] * c.vec[i]))
+      / (sqrt(list_sum(list_transform(range(1, 65), i -> q.vec[i] * q.vec[i])))
+       * sqrt(list_sum(list_transform(range(1, 65), i -> c.vec[i] * c.vec[i])))),
+      6)
+"""
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        F.col("vec_id").alias("id"), vec_double("embedding").alias("vec")
+    )
+
+
+@register(
+    "ann_topk_cosine",
+    oracle=f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec
+           FROM embeddings),
+scored AS (
+  SELECT q.id AS q_id, c.id AS n_id, {_COS_SQL} AS cos
+  FROM e q JOIN e c ON q.id < 10 AND c.id >= 10
+)
+SELECT q_id, n_id, cos, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos DESC, n_id) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+""",
+    tags=("similarity", "ann"),
+)
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for query vectors (vec_id < 10)
+    over the rest of the corpus — the brute-force ANN baseline."""
+    vecs = _vecs(spark, sf_dir)
+    return brute_force_topk(
+        vecs.filter(F.col("id") < 10), vecs.filter(F.col("id") >= 10), k=5
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec
+           FROM embeddings),
+proj AS (
+  SELECT id, p,
+         sum((strpos('0123456789abcdef',
+                     substr(md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
+                            1, 1)) - 8.5) * vec[CAST(i AS INT)]) AS pr
+  FROM e
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS p) ps
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ds
+  GROUP BY id, p
+),
+buckets AS (
+  SELECT id, CAST(sum(CASE WHEN pr > 0 THEN CAST(pow(2.0, p) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY id
+),
+scored AS (
+  SELECT q.id AS q_id, c.id AS n_id, {_COS_SQL} AS cos
+  FROM (SELECT e.id, e.vec, b.bucket FROM e JOIN buckets b ON b.id = e.id
+        WHERE e.id < 10) q
+  JOIN (SELECT e.id, e.vec, b.bucket FROM e JOIN buckets b ON b.id = e.id
+        WHERE e.id >= 10) c
+    ON q.bucket = c.bucket
+)
+SELECT q_id, n_id, cos, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos DESC, n_id) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+""",
+    tags=("similarity", "ann", "lsh"),
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 neighbors searching only the query's
+    hyperplane-LSH bucket — the 100 TB path (per-query work is
+    |corpus| / 2^planes). md5-derived hyperplanes keep it
+    oracle-checkable."""
+    vecs = _vecs(spark, sf_dir)
+    return lsh_bucket_topk(
+        vecs.filter(F.col("id") < 10),
+        vecs.filter(F.col("id") >= 10),
+        k=3,
+        num_planes=8,
+    )
+
+
+@register(
+    "embedding_neardup",
+    oracle=f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec
+           FROM embeddings),
+scored AS (
+  SELECT q.id AS id_a, c.id AS id_b, {_COS_SQL} AS cos
+  FROM e q JOIN e c ON q.id < c.id
+)
+SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.4
+""",
+    tags=("similarity", "dedup"),
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (>= 0.4 on this synthetic
+    corpus; real dedup uses ~0.95). Exhaustive here for exact-recall
+    oracle checking; the LSH-bucketed form is the scale path."""
+    return cosine_neardup_pairs(_vecs(spark, sf_dir), 0.4)
