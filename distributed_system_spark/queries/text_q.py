@@ -1,0 +1,318 @@
+"""Text-analysis queries over `documents` (LLM-pipeline surface):
+language ID, quality scoring, token counting, TF-IDF, n-grams,
+document fingerprinting.
+
+All deterministic Column-expression pipelines (no UDFs) with exact
+SQL oracles; ratios are exact small-integer divisions rounded at 6,
+which both engines compute identically in double.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from distributed_system_spark.queries import register
+from distributed_system_spark.sources.tables import load_table
+
+# Tiny fixed stopword lists per language — the classic n-gram/stopword
+# heuristic shape (real lists would be longer; the operator is the same).
+_LANG_WORDS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "et", "les", "un"),
+}
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, str_split(text, ' ') AS toks FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+         len(list_filter(toks, x -> list_contains({list(_LANG_WORDS['en'])}, x))) AS score_en,
+         len(list_filter(toks, x -> list_contains({list(_LANG_WORDS['de'])}, x))) AS score_de,
+         len(list_filter(toks, x -> list_contains({list(_LANG_WORDS['es'])}, x))) AS score_es,
+         len(list_filter(toks, x -> list_contains({list(_LANG_WORDS['fr'])}, x))) AS score_fr
+  FROM t
+)
+SELECT doc_id, score_en, score_de, score_es, score_fr,
+       CASE WHEN score_en >= score_de AND score_en >= score_es
+                 AND score_en >= score_fr THEN 'en'
+            WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+            WHEN score_es >= score_fr THEN 'es'
+            ELSE 'fr' END AS pred_lang,
+       CASE WHEN score_en >= score_de AND score_en >= score_es
+                 AND score_en >= score_fr THEN 'en'
+            WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+            WHEN score_es >= score_fr THEN 'es'
+            ELSE 'fr' END = lang AS hit
+FROM scored
+""",
+    tags=("text", "langid"),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-count language ID with a fixed priority tiebreak
+    (en > de > es > fr) — the deterministic n-gram-heuristic shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ", -1)
+    def score(words: tuple[str, ...]):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    scores = {
+        lang: score(words).alias(f"score_{lang}")
+        for lang, words in _LANG_WORDS.items()
+    }
+    scored = docs.select("doc_id", "lang", *scores.values())
+    e, d, s, fr = (F.col(f"score_{x}") for x in ("en", "de", "es", "fr"))
+    pred = (
+        F.when((e >= d) & (e >= s) & (e >= fr), "en")
+        .when((d >= s) & (d >= fr), "de")
+        .when(s >= fr, "es")
+        .otherwise("fr")
+    )
+    return scored.select(
+        "doc_id",
+        "score_en",
+        "score_de",
+        "score_es",
+        "score_fr",
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("hit"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, n_chars, str_split(text, ' ') AS toks,
+         length(text) AS len_chars,
+         length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_punct
+  FROM documents
+), m AS (
+  SELECT doc_id, n_chars, len_chars, n_punct,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_unique,
+         len(list_filter(toks, x -> list_contains(
+             ['the','a','of','and','to','is','in'], x))) AS n_stop
+  FROM t
+)
+SELECT doc_id, n_tokens, n_unique,
+       round(CAST(len_chars - n_tokens + 1 AS DOUBLE) / n_tokens, 6)
+         AS avg_word_len,
+       round(CAST(n_unique AS DOUBLE) / n_tokens, 6) AS uniq_ratio,
+       round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+       round(CAST(n_punct AS DOUBLE) / len_chars, 6) AS punct_ratio,
+       (n_tokens BETWEEN 5 AND 1000)
+         AND CAST(n_unique AS DOUBLE) / n_tokens > 0.1
+         AND CAST(n_punct AS DOUBLE) / len_chars < 0.2 AS keep
+FROM m
+""",
+    tags=("text", "quality"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (length / punctuation / stopword /
+    uniqueness ratios) with a boolean keep decision — the standard
+    pretraining-corpus filter shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ", -1)
+    stop = ("the", "a", "of", "and", "to", "is", "in")
+    m = docs.select(
+        "doc_id",
+        F.length("text").alias("len_chars"),
+        F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).alias(
+            "n_punct"
+        ),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.size(F.filter(toks, lambda x: x.isin(*stop))).alias("n_stop"),
+    )
+    awl = (F.col("len_chars") - F.col("n_tokens") + 1).cast("double") / F.col(
+        "n_tokens"
+    )
+    uniq = F.col("n_unique").cast("double") / F.col("n_tokens")
+    stopr = F.col("n_stop").cast("double") / F.col("n_tokens")
+    punct = F.col("n_punct").cast("double") / F.col("len_chars")
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "n_unique",
+        F.round(awl, 6).alias("avg_word_len"),
+        F.round(uniq, 6).alias("uniq_ratio"),
+        F.round(stopr, 6).alias("stop_ratio"),
+        F.round(punct, 6).alias("punct_ratio"),
+        (
+            F.col("n_tokens").between(5, 1000)
+            & (uniq > 0.1)
+            & (punct < 0.2)
+        ).alias("keep"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle="""
+SELECT doc_id,
+       len(str_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]'))
+         AS bpe_ish_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS byte_estimate
+FROM documents
+""",
+    tags=("text", "tokenize"),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, a BPE-ish regex
+    (letter runs / single digits / punctuation), and the chars/4
+    budget estimate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ", -1)).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                "text", F.lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"), 0
+            )
+        ).alias("bpe_ish_tokens"),
+        F.ceil(F.length("text") / 4.0).alias("byte_estimate"),
+    )
+
+
+@register(
+    "text_tfidf_top3",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+""",
+    tags=("text", "tfidf"),
+)
+def text_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with top-3 terms per document. The document-frequency
+    side is a tiny aggregate (|vocab| rows) joined broadcast; the
+    term-frequency side is one groupBy — two shuffles total."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )
+
+
+@register(
+    "text_bigrams",
+    oracle="""
+WITH t AS (
+  SELECT str_split(text, ' ') AS toks FROM documents
+), grams AS (
+  SELECT unnest([array_to_string(toks[i:i+1], ' ')
+                 for i in range(1, len(toks))]) AS bigram
+  FROM t
+)
+SELECT bigram, count(*) AS cnt
+FROM grams GROUP BY bigram
+ORDER BY cnt DESC, bigram LIMIT 20
+""",
+    tags=("text", "ngram"),
+)
+def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 word bigrams (n-gram extraction as a transform
+    over token positions — flatMap-shaped, no UDF)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ", -1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    return (
+        docs.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "bigram")
+        .limit(20)
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+), shingles AS (
+  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                 for i in range(1, len(toks) - 1)])) AS sh
+  FROM t
+), hashed AS (
+  SELECT doc_id, md5(sh) AS h FROM shingles
+), selected AS (
+  SELECT doc_id, h FROM hashed WHERE substr(h, 1, 1) = '0'
+)
+SELECT doc_id,
+       count(*) AS n_sel,
+       md5(string_agg(h, ',' ORDER BY h)) AS fingerprint
+FROM selected GROUP BY doc_id
+""",
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOD-p sampled shingle fingerprint (winnowing-style): hash word
+    3-grams, keep the 1/16 whose md5 starts with '0', fingerprint =
+    md5 of the sorted kept hashes. Docs sharing long spans share
+    fingerprint hashes — join on them for plagiarism/containment."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ", -1)
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )
+    )
+    hashed = docs.select(
+        "doc_id", F.explode(shingles).alias("sh")
+    ).select("doc_id", F.md5(F.col("sh").cast("binary")).alias("h"))
+    selected = hashed.filter(F.substring("h", 1, 1) == "0")
+    return selected.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sel"),
+        F.md5(
+            F.concat_ws(",", F.sort_array(F.collect_list("h"))).cast("binary")
+        ).alias("fingerprint"),
+    )
