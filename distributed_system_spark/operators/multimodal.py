@@ -1,0 +1,101 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, with
+Arrow-batched decode / feature-extraction plumbing.
+
+Design (LLM-pipeline surface, SURVEY.md §2.C): media lives in the
+DataFrame as a ``binary`` column next to a typed metadata struct
+(mime, n_bytes, checksum). Decode / resize / frame-sample run as
+``mapInPandas`` stages — Arrow moves the bytes to Python in batches,
+never row-at-a-time. The actual image/audio codecs are NOT in this
+container, so ``decode_image``/``decode_audio`` are STUBS behind an
+import-try (PIL/soundfile): they raise ``NotImplementedError`` with a
+clear message when the lib is absent. The Spark-side plumbing —
+schema, batch shape, partitioning, UDF signature — is real and
+tested via the deterministic ``fake_features`` extractor.
+
+Scale notes: binary payloads ride the normal columnar path (parquet
+BYTE_ARRAY), so partition sizing is governed by
+``spark.sql.files.maxPartitionBytes`` like any other column; keep
+payloads under ~100 MB/row (parquet page limits) and store larger
+media as object-store URIs + fetch inside the batch fn instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+META_SCHEMA = "mime string, n_bytes bigint, checksum string"
+
+try:  # codec gate: not in this container — plumbing still real
+    from PIL import Image  # type: ignore  # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+
+def attach_binary(
+    df: DataFrame, text_col: str = "text", mime: str = "text/plain"
+) -> DataFrame:
+    """Demo payload builder: treat a string column as the media bytes
+    and attach the typed metadata struct every multimodal row carries."""
+    payload = F.col(text_col).cast("binary")
+    return df.withColumn("payload", payload).withColumn(
+        "meta",
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.octet_length(payload).alias("n_bytes"),
+            F.md5(payload).alias("checksum"),
+        ),
+    )
+
+
+def decode_image(payload: bytes) -> object:
+    """Decode an image payload. STUB: PIL is not in this container."""
+    if not _HAS_PIL:
+        raise NotImplementedError(
+            "image decode requires PIL; container has no codecs — "
+            "use fake_features for plumbing tests"
+        )
+    import io
+
+    return Image.open(io.BytesIO(payload))  # pragma: no cover
+
+
+def fake_features(payload: bytes) -> tuple[int, int, float]:
+    """Deterministic fake 'decoder' standing in for codec work:
+    (n_bytes, sum of first 64 byte values, a [0,1) scalar feature).
+    Mirrors what a real extractor returns so plumbing tests are real.
+    """
+    head = payload[:64]
+    head_sum = sum(head)
+    return len(payload), head_sum, (len(payload) % 97) / 97.0
+
+
+def extract_features(
+    df: DataFrame,
+    fn: Callable[[bytes], tuple] = fake_features,
+    id_col: str = "doc_id",
+    out_schema: str = "doc_id bigint, n_bytes bigint, head_sum bigint, feat0 double",
+) -> DataFrame:
+    """Arrow-batched feature extraction over the ``payload`` column.
+
+    The mapInPandas stage is the one Python hop; everything before
+    (payload build, filtering) and after (joins, aggs) stays JVM-side.
+    Batch size rides spark.sql.execution.arrow.maxRecordsPerBatch.
+    """
+    cols = [id_col, "payload"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [fn(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                feats, columns=["n_bytes", "head_sum", "feat0"]
+            )
+            out.insert(0, id_col, pdf[id_col].to_numpy())
+            yield out
+
+    return df.select(*cols).mapInPandas(run, out_schema)

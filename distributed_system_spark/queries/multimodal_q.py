@@ -1,0 +1,67 @@
+"""Multimodal-column queries: binary payload + metadata plumbing and
+the Arrow-batched feature-extraction path (deterministic fake decode;
+real codecs are stubbed — see operators/multimodal.py).
+
+The oracle replicates the byte arithmetic in SQL (documents text is
+ASCII, so ord == byte value), which checks that the pandas-UDF hop
+preserves bytes exactly.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from distributed_system_spark.operators.multimodal import (
+    attach_binary,
+    extract_features,
+)
+from distributed_system_spark.queries import register
+from distributed_system_spark.sources.tables import load_table
+
+
+@register(
+    "mm_binary_meta",
+    oracle="""
+SELECT doc_id,
+       'text/plain' AS mime,
+       length(text) AS n_bytes,
+       md5(text) AS checksum,
+       lower(hex(substr(text, 1, 16)::BLOB)) AS head16
+FROM documents
+""",
+    tags=("multimodal",),
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload column + typed metadata struct, all JVM-side
+    (octet_length / md5 / substring-on-binary / hex)."""
+    docs = attach_binary(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.checksum").alias("checksum"),
+        F.lower(F.hex(F.expr("substring(payload, 1, 16)"))).alias("head16"),
+    )
+
+
+@register(
+    "mm_feature_extract",
+    oracle="""
+SELECT doc_id,
+       length(text) AS n_bytes,
+       CAST(list_sum([ord(substr(text, CAST(i AS INT), 1))
+                      for i in range(1, least(length(text), 64) + 1)])
+            AS BIGINT) AS head_sum,
+       round(CAST(length(text) % 97 AS DOUBLE) / 97.0, 6) AS feat0
+FROM documents
+""",
+    tags=("multimodal", "C10"),
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched 'decode' over the binary payload via mapInPandas
+    (the real multimodal plumbing; the codec itself is the
+    deterministic fake). feat0 rounded to match the oracle."""
+    docs = attach_binary(load_table(spark, sf_dir, "documents"))
+    feats = extract_features(docs)
+    return feats.withColumn("feat0", F.round("feat0", 6))

@@ -1,0 +1,117 @@
+"""Batch-equivalent registry entries for the streaming operators
+(SURVEY.md §2.C row C9): the same window/session/dedup definitions
+from streaming/streams.py run on the batch events table, which makes
+them DuckDB-oracle-checkable; the pytest streaming suite runs the
+identical definitions through a real readStream and asserts
+batch-equivalence (see tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from distributed_system_spark.queries import register
+from distributed_system_spark.sources.tables import load_table
+from distributed_system_spark.streaming.streams import (
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+
+_HOUR_US = 3_600_000_000
+_HALF_US = 1_800_000_000
+_GAP_US = 600_000_000
+
+
+@register(
+    "win_tumbling",
+    oracle=f"""
+SELECT (epoch_us(ts) // {_HOUR_US}) * {_HOUR_US} AS win_start_us,
+       event_type,
+       count(*) AS cnt,
+       CAST(round(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("C9",),
+)
+def win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event type (epoch-aligned, matching
+    F.window's alignment)."""
+    return tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "win_sliding",
+    oracle=f"""
+WITH base AS (SELECT epoch_us(ts) AS t, event_type FROM events),
+w AS (
+  SELECT ((t // {_HALF_US}) - j) * {_HALF_US} AS win_start_us, event_type
+  FROM base CROSS JOIN (SELECT unnest(range(0, 2)) AS j) js
+)
+SELECT win_start_us, event_type, count(*) AS cnt
+FROM w GROUP BY 1, 2
+""",
+    tags=("C9",),
+)
+def win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes: each event lands in
+    width/slide = 2 windows (the oracle enumerates both shifts)."""
+    return sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "win_session",
+    oracle=f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+o AS (
+  SELECT user_id, t,
+         CASE WHEN lag(t) OVER w IS NULL
+                   OR t - lag(t) OVER w >= {_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+),
+s AS (
+  SELECT user_id, t,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       min(t) AS session_start_us,
+       max(t) + {_GAP_US} AS session_end_us,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+""",
+    tags=("C9", "session-window"),
+)
+def win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows per user via F.session_window (one
+    definition for batch and streaming); the oracle reconstructs
+    sessions with the lag/cumsum islands idiom. A new session starts
+    when the gap is >= 10 min (Spark's end bound is exclusive)."""
+    return session_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_dedup_first",
+    oracle="""
+SELECT user_id, event_type,
+       min(epoch_us(ts)) AS first_us,
+       count(*) AS n_dups
+FROM events GROUP BY user_id, event_type
+""",
+    tags=("C9", "dedup"),
+)
+def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keep-first dedup per (user, type): the batch face
+    of streaming dropDuplicates + watermark (which keeps the first
+    arrival; in batch 'first' must be defined, so min(ts))."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("ts_us").alias("first_us"), F.count(F.lit(1)).alias("n_dups")
+    )
