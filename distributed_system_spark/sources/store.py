@@ -23,6 +23,14 @@ Atomicity/exactly-once (the reference's append-permission protocol,
 mj_master.cpp:158-194) is inherited from Spark's output committer:
 task attempts write to staging paths and commit by rename, so replayed
 tasks never double-append — asserted in tests rather than rebuilt.
+
+SCOPE: the dataset reads/writes go through Spark (any Hadoop-compatible
+FS), but the catalog operations (ls/del/metadata sidecar) use local
+POSIX calls — this store is a **local-mode test double of SDFS**, like
+the reference's own mock (its networked SDFS is dead code,
+sdfs_client.cpp is fully commented out). Query paths never depend on
+it; on a cluster, replace the catalog calls with the Hadoop FileSystem
+API or a real catalog.
 """
 
 from __future__ import annotations
@@ -62,18 +70,28 @@ class DatasetStore:
 
     # -- file ops (put/append/get/del — sdfs_client.h:20-31) ----------
     def put(self, df: DataFrame, path: str, metadata: dict[str, str] | None = None) -> None:
-        """Overwrite dataset `path` with df (reference: put resets pieces)."""
+        """Overwrite dataset `path` with df (reference: put resets
+        pieces to 1, mock_sdfs_client.cpp:102-110)."""
         writer = df.write.format(self.fmt).mode("overwrite")
         writer.save(self._abs(path))
-        self._write_meta(path, metadata or {})
+        self._write_sidecar(path, pieces=1, user=metadata or {})
 
     def append(self, df: DataFrame, path: str, metadata: dict[str, str] | None = None) -> None:
-        """Append a new piece (reference: append → num_pieces++)."""
+        """Append a new piece (reference: append → num_pieces++).
+
+        The sidecar read-merge-replace assumes a single writer per
+        dataset (the reference serializes via its master; Spark jobs
+        via the driver). Concurrent appends from separate drivers
+        need external coordination.
+        """
         df.write.format(self.fmt).mode("append").save(self._abs(path))
+        side = self._read_sidecar(path)
+        user = side.get("user", {})
         if metadata:
-            merged = self.get_metadata(path)
-            merged.update(metadata)
-            self._write_meta(path, merged)
+            user.update(metadata)
+        self._write_sidecar(
+            path, pieces=int(side.get("pieces", 0)) + 1, user=user
+        )
 
     def get(self, path: str) -> DataFrame:
         """Read the dataset; Spark concatenates all pieces/part-files."""
@@ -120,26 +138,38 @@ class DatasetStore:
         )
 
     def get_num_shards(self, path: str) -> int:
-        """Count part files — the analog of SDFS piece count
-        (mock_sdfs_client.cpp:527-543)."""
+        """Logical piece count: 1 after put, +1 per append — the
+        reference's num_pieces semantics (mock_sdfs_client.cpp:527-543).
+        One put/append can emit many physical part files, so the count
+        lives in the sidecar, not the file listing; datasets written
+        by other tools (no sidecar) fall back to the part-file count.
+        """
+        side = self._read_sidecar(path)
+        if "pieces" in side:
+            return int(side["pieces"])
         base = self._abs(path)
         if not os.path.isdir(base):
             return 0
         return sum(1 for f in os.listdir(base) if f.startswith("part-"))
 
     # -- metadata (sdfs.h:8; mock_sdfs_client.cpp:204, 245) ------------
-    def _write_meta(self, path: str, metadata: dict[str, str]) -> None:
+    def _write_sidecar(
+        self, path: str, pieces: int, user: dict[str, str]
+    ) -> None:
         os.makedirs(self._abs(path), exist_ok=True)
         tmp = os.path.join(self._abs(path), _META_NAME + ".tmp")
         with open(tmp, "w") as fh:
-            json.dump(metadata, fh)
+            json.dump({"pieces": pieces, "user": user}, fh)
         # Atomic replace mirrors the reference's temp-file + rename
         # write protocol (mock_sdfs_client.cpp:192-202).
         os.replace(tmp, os.path.join(self._abs(path), _META_NAME))
 
-    def get_metadata(self, path: str) -> dict[str, str]:
+    def _read_sidecar(self, path: str) -> dict:
         meta_path = os.path.join(self._abs(path), _META_NAME)
         if not os.path.exists(meta_path):
             return {}
         with open(meta_path) as fh:
             return json.load(fh)
+
+    def get_metadata(self, path: str) -> dict[str, str]:
+        return self._read_sidecar(path).get("user", {})

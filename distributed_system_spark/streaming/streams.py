@@ -40,6 +40,23 @@ EVENTS_SCHEMA = StructType(
 )
 
 
+def _stage_dir(sf_dir: str) -> str:
+    """The file-stream source watches a DIRECTORY (files arriving in
+    it are the A19 events), but the driver ships events as one file —
+    so symlink it into a per-sf staging dir under /tmp."""
+    import hashlib
+    import os
+
+    src = f"{sf_dir.rstrip('/')}/events.parquet"
+    tag = hashlib.md5(src.encode()).hexdigest()[:12]
+    stage = f"/tmp/dss-events-stream-{tag}"
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events-000.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return stage
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet: each new file that lands is
     an A19-style event batch. Derives the same ts_ns/ts columns as the
@@ -48,7 +65,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
-        .parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+        .parquet(_stage_dir(sf_dir))
     )
     return raw.withColumnRenamed("ts", "ts_ns").withColumn(
         "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))

@@ -1,0 +1,114 @@
+"""LLM-pipeline operator properties: LSH recall vs exact Jaccard,
+simhash locality, ANN top-k shape, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from distributed_system_spark.operators.dedup import (
+    doc_tokens,
+    jaccard_verify,
+    lsh_band_signatures,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash16,
+)
+from distributed_system_spark.operators.multimodal import (
+    attach_binary,
+    decode_image,
+    extract_features,
+    fake_features,
+)
+from distributed_system_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucket_topk,
+    vec_double,
+)
+from distributed_system_spark.sources.tables import load_table
+
+
+def _toks(spark, sf_dir):
+    return doc_tokens(load_table(spark, sf_dir, "documents"))
+
+
+def test_lsh_pairs_subset_of_exact_with_high_recall(spark, sf_dir):
+    toks = _toks(spark, sf_dir).cache()
+    exact = {
+        (r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(toks, 0.8).collect()
+    }
+    sigs = minhash_signatures(toks, num_hashes=8)
+    cand = lsh_candidate_pairs(lsh_band_signatures(sigs, rows_per_band=2))
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_verify(cand, toks, 0.8).collect()
+    }
+    assert lsh <= exact  # verification step guarantees precision == 1
+    if exact:
+        assert len(lsh) / len(exact) > 0.9  # S-curve: ~98% at s=0.8
+
+
+def test_simhash_identical_docs_equal_fingerprints(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "x y z w q")],
+        "doc_id bigint, text string",
+    )
+    out = {r["id"]: r["simhash"] for r in simhash16(doc_tokens(docs)).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+    assert all(0 <= v < 2**16 for v in out.values())
+
+
+def test_brute_force_topk_shape_and_order(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), vec_double("embedding").alias("vec")
+    )
+    out = brute_force_topk(
+        emb.filter(F.col("id") < 3), emb.filter(F.col("id") >= 3), k=4
+    ).collect()
+    assert len(out) == 12  # 3 queries x 4
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append((r["rnk"], r["cos"]))
+    for rows in by_q.values():
+        rows.sort()
+        cos = [c for _, c in rows]
+        assert cos == sorted(cos, reverse=True)  # rank follows cosine
+
+
+def test_lsh_topk_is_bucket_restricted_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), vec_double("embedding").alias("vec")
+    )
+    q = emb.filter(F.col("id") < 3)
+    c = emb.filter(F.col("id") >= 3)
+    approx = lsh_bucket_topk(q, c, k=3, num_planes=4).collect()
+    exact = brute_force_topk(q, c, k=3).collect()
+    # approximate neighbors are a subset of the corpus with valid ranks
+    assert all(r["rnk"] <= 3 for r in approx)
+    assert len(approx) <= len(exact)
+
+
+def test_multimodal_roundtrip_bytes_exact(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, "Ab9!")], "doc_id bigint, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_bytes"], r["head_sum"])
+        for r in extract_features(attach_binary(docs)).collect()
+    }
+    assert out[1] == (5, sum(b"hello"))
+    assert out[2] == (4, sum(b"Ab9!"))
+
+
+def test_fake_features_deterministic():
+    assert fake_features(b"abc") == fake_features(b"abc")
+    n, s, f = fake_features(bytes(range(100)))
+    assert (n, s) == (100, sum(range(64)))
+    assert 0 <= f < 1
+
+
+def test_decode_image_stub_raises_without_codec():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")

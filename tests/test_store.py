@@ -1,0 +1,90 @@
+"""DatasetStore semantics — ported from the reference's SDFS tests
+(tests/mock_sdfs_client.cpp): put/get, 10x append ordering, put
+resets pieces, delete, metadata, idempotent rewrite (A5)."""
+
+from __future__ import annotations
+
+import pytest
+
+from distributed_system_spark.sources.store import DatasetStore
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return DatasetStore(spark, str(tmp_path / "store"), fmt="text")
+
+
+def _text_df(spark, *lines):
+    return spark.createDataFrame([(ln,) for ln in lines], "value string")
+
+
+def test_put_get_roundtrip(store, spark):
+    store.put(_text_df(spark, "hello", "world"), "d/f")
+    assert sorted(r["value"] for r in store.get("d/f").collect()) == [
+        "hello",
+        "world",
+    ]
+
+
+def test_ten_appends_concatenate(store, spark):
+    """tests/mock_sdfs_client.cpp:86-102 — append 0..9, read back all."""
+    store.put(_text_df(spark, "0"), "d/f")
+    for i in range(1, 10):
+        store.append(_text_df(spark, str(i)), "d/f")
+    got = sorted(r["value"] for r in store.get("d/f").collect())
+    assert got == [str(i) for i in range(10)]
+    assert store.get_num_shards("d/f") == 10
+
+
+def test_put_resets_pieces(store, spark):
+    store.put(_text_df(spark, "a"), "f")
+    store.append(_text_df(spark, "b"), "f")
+    assert store.get_num_shards("f") == 2
+    store.put(_text_df(spark, "c"), "f")  # put resets to 1 piece
+    assert store.get_num_shards("f") == 1
+    assert [r["value"] for r in store.get("f").collect()] == ["c"]
+
+
+def test_shards_count_ops_not_part_files(store, spark):
+    """VERDICT r1: 1 put + 1 append must be 2 shards even when Spark
+    emits multiple part files per write."""
+    many = _text_df(spark, *[str(i) for i in range(20)]).repartition(4)
+    store.put(many, "f")
+    store.append(many, "f")
+    assert store.get_num_shards("f") == 2
+
+
+def test_idempotent_rewrite(store, spark):
+    """A5 analog: overwriting with the same content is a no-op in
+    content terms (committer semantics, not double-append)."""
+    df = _text_df(spark, "x", "y")
+    store.put(df, "f")
+    store.put(df, "f")
+    assert sorted(r["value"] for r in store.get("f").collect()) == ["x", "y"]
+    assert store.get_num_shards("f") == 1
+
+
+def test_delete_and_exists(store, spark):
+    store.put(_text_df(spark, "a"), "d/f")
+    assert store.exists("d/f")
+    store.delete("d/f")
+    assert not store.exists("d/f")
+
+
+def test_ls_files_and_dirs(store, spark):
+    store.put(_text_df(spark, "a"), "dir1/fileA")
+    store.put(_text_df(spark, "b"), "dir1/fileB")
+    store.mkdir("dir1/sub")
+    assert store.ls_files("dir1") == ["fileA", "fileB"]
+    assert store.ls_dirs("dir1") == ["sub"]
+
+
+def test_metadata_merge(store, spark):
+    store.put(_text_df(spark, "a"), "f", metadata={"k1": "v1"})
+    store.append(_text_df(spark, "b"), "f", metadata={"k2": "v2"})
+    assert store.get_metadata("f") == {"k1": "v1", "k2": "v2"}
+
+
+def test_path_escape_rejected(store):
+    with pytest.raises(ValueError):
+        store.exists("../outside")

@@ -1,0 +1,85 @@
+"""Streaming semantics: the same window/dedup definitions produce
+identical results through a real readStream (available-now trigger)
+and the batch DataFrame — plus the A20 config watcher."""
+
+from __future__ import annotations
+
+import time
+
+import pyspark.sql.functions as F
+
+from distributed_system_spark.sources.tables import load_table
+from distributed_system_spark.streaming import (
+    ConfigWatcher,
+    dedup_stream,
+    events_stream,
+    run_available_now,
+    session_counts,
+    tumbling_counts,
+)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir):
+    stream = tumbling_counts(events_stream(spark, sf_dir))
+    got = run_available_now(stream, "t_tumbling", output_mode="complete")
+    want = tumbling_counts(load_table(spark, sf_dir, "events"))
+    assert _rows(got) == _rows(want)
+
+
+def test_stream_session_equals_batch(spark, sf_dir):
+    stream = session_counts(events_stream(spark, sf_dir))
+    got = run_available_now(stream, "t_session", output_mode="complete")
+    want = session_counts(load_table(spark, sf_dir, "events"))
+    assert _rows(got) == _rows(want)
+
+
+def test_stream_dedup_drops_replays(spark, sf_dir):
+    stream = dedup_stream(events_stream(spark, sf_dir)).select("event_id")
+    got = run_available_now(stream, "t_dedup", output_mode="append")
+    batch = load_table(spark, sf_dir, "events")
+    assert got.count() == batch.select("event_id").distinct().count()
+
+
+def test_config_watcher_fires_on_change(tmp_path):
+    w = ConfigWatcher(str(tmp_path / "conf"), poll_interval=0.05)
+    seen: list[tuple[str, str | None]] = []
+    w.set_value("threshold", "10")
+    w.watch_value("threshold", lambda k, v: seen.append((k, v)))
+    w.start()
+    try:
+        w.set_value("threshold", "20")
+        deadline = time.time() + 3
+        while not seen and time.time() < deadline:
+            time.sleep(0.05)
+    finally:
+        w.stop()
+    assert seen == [("threshold", "20")]
+    assert w.get_value("threshold") == "20"
+
+
+def test_config_watcher_value_cap(tmp_path):
+    import pytest
+
+    w = ConfigWatcher(str(tmp_path / "conf2"))
+    with pytest.raises(ValueError):
+        w.set_value("big", "x" * 9000)  # 8192-byte cap, shared_configuration.h:9
+
+
+def test_config_watcher_no_spurious_fires(tmp_path):
+    """Re-writing the same value must not fire (the reference dedups
+    change notifications, tests/shared_configuration.cpp:52-96)."""
+    w = ConfigWatcher(str(tmp_path / "conf3"), poll_interval=0.05)
+    seen: list[str | None] = []
+    w.set_value("k", "same")
+    w.watch_value("k", lambda k, v: seen.append(v))
+    w.start()
+    try:
+        w.set_value("k", "same")
+        time.sleep(0.3)
+    finally:
+        w.stop()
+    assert seen == []
