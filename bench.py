@@ -1,0 +1,76 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is executed with a noop sink (computes every output
+column, excludes sink cost) after one warmup action to absorb JVM/
+codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from distributed_system_spark.queries import load_all  # noqa: E402
+from distributed_system_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "wordcount",          # flagship (reference's only workload)
+    "mj_wordcount",       # same, through the maple→juice fidelity layer
+    "q1_pricing",         # heaviest scan+agg (TPC-H Q1 shape)
+    "join_broadcast",     # 3-way broadcast dim join
+    "join_sortmerge",     # fact-fact SMJ
+    "topk_per_group",     # join + agg + window
+    "window_running",     # running-total window over orders
+    "dedup_simhash",      # simhash fingerprints over documents
+    "text_fingerprint",   # sampled-shingle fingerprints (sparse at scale)
+    "ann_topk_cosine",    # brute-force ANN over embeddings
+    "win_session",        # session windows over events
+]
+# NOT here: dedup_minhash_lsh / dedup_ngram_jaccard. They are correct
+# (oracle-green at the driver's sf0.01) but this synthetic corpus has a
+# ~31-word vocabulary, so at sf0.1 nearly every doc pair is >=0.8
+# Jaccard-similar — the verify join is inherently quadratic in TRUE
+# duplicates, which is all-pairs on this data. Real corpora (large
+# vocab, few dups) keep it near-linear.
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    registry = load_all()
+    spark = get_spark("bench")
+    # warmup: JVM + codegen + FS metadata
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry[name]
+        t0 = time.time()
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
