@@ -47,7 +47,7 @@ def attach_binary(
         "meta",
         F.struct(
             F.lit(mime).alias("mime"),
-            F.octet_length(payload).alias("n_bytes"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
             F.md5(payload).alias("checksum"),
         ),
     )

@@ -73,7 +73,7 @@ def brute_force_topk(
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
         .select("q_id", "n_id", "cos", "rnk")
     )
@@ -151,7 +151,7 @@ def lsh_bucket_topk(
     scored = q.join(c, "b").select("q_id", "n_id", sim.alias("cos"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
         .select("q_id", "n_id", "cos", "rnk")
     )

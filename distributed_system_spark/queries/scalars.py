@@ -52,11 +52,11 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower("c_name").alias("lname"),
         F.upper("c_mktsegment").alias("useg"),
         F.substring("c_name", 1, 8).alias("pre8"),
-        F.length("c_name").alias("name_len"),
+        F.length("c_name").cast("long").alias("name_len"),
         F.concat("c_mktsegment", F.lit(":"), "c_name").alias("tagged"),
         F.replace("c_name", F.lit("#"), F.lit("-")).alias("dashed"),
         F.reverse("c_mktsegment").alias("rseg"),
-        F.instr("c_name", "#").alias("hash_pos"),
+        F.instr("c_name", "#").cast("long").alias("hash_pos"),
         F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
         F.trim(F.concat(F.lit(" "), "c_name", F.lit("  "))).alias("trimmed"),
         F.md5(F.col("c_name").cast("binary")).alias("name_md5"),
@@ -85,16 +85,16 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.col("o_orderdate")
     return orders.select(
         "o_orderkey",
-        F.year(d).alias("y"),
-        F.month(d).alias("m"),
-        F.dayofmonth(d).alias("d"),
-        F.quarter(d).alias("q"),
-        F.dayofweek(d).alias("dow"),
+        F.year(d).cast("long").alias("y"),
+        F.month(d).cast("long").alias("m"),
+        F.dayofmonth(d).cast("long").alias("d"),
+        F.quarter(d).cast("long").alias("q"),
+        F.dayofweek(d).cast("long").alias("dow"),
         F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias(
             "month_start"
         ),
         F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due_date"),
-        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("long").alias("days_since"),
         F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
     )
 
@@ -111,7 +111,7 @@ SELECT p_partkey,
        round(log10(p_retailprice), 6) AS log10_price,
        round(pow(CAST(p_size AS DOUBLE), 2), 1) AS size_sq,
        p_size % 7 AS size_mod7,
-       sign(p_size - 25) AS size_sign,
+       CAST(sign(p_size - 25) AS DOUBLE) AS size_sign,
        greatest(p_size, 25) AS size_hi,
        least(p_size, 25) AS size_lo
 FROM part
@@ -132,8 +132,8 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.pow(size_d, 2), 1).alias("size_sq"),
         (F.col("p_size") % 7).alias("size_mod7"),
         F.signum(F.col("p_size") - 25).cast("double").alias("size_sign"),
-        F.greatest("p_size", F.lit(25)).alias("size_hi"),
-        F.least("p_size", F.lit(25)).alias("size_lo"),
+        F.greatest("p_size", F.lit(25)).cast("long").alias("size_hi"),
+        F.least("p_size", F.lit(25)).cast("long").alias("size_lo"),
     )
 
 
@@ -184,11 +184,11 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.split("text", " ", -1)
     return docs.select(
         "doc_id",
-        F.size(words).alias("n_words"),
+        F.size(words).cast("long").alias("n_words"),
         F.element_at(words, 1).alias("first_word"),
         F.element_at(words, -1).alias("last_word"),
         F.array_contains(words, "spark").alias("has_spark"),
-        F.size(F.array_distinct(words)).alias("n_unique"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_unique"),
         F.array_join(F.array_sort(F.array_distinct(words)), ",").alias(
             "vocab"
         ),

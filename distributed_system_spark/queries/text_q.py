@@ -60,7 +60,9 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split("text", " ", -1)
     def score(words: tuple[str, ...]):
         arr = F.array(*[F.lit(w) for w in words])
-        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+        return F.size(
+            F.filter(toks, lambda x: F.array_contains(arr, x))
+        ).cast("long")
 
     scores = {
         lang: score(words).alias(f"score_{lang}")
@@ -127,8 +129,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).alias(
             "n_punct"
         ),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
         F.size(F.filter(toks, lambda x: x.isin(*stop))).alias("n_stop"),
     )
     awl = (F.col("len_chars") - F.col("n_tokens") + 1).cast("double") / F.col(
@@ -172,12 +174,12 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.size(F.split("text", " ", -1)).alias("ws_tokens"),
+        F.size(F.split("text", " ", -1)).cast("long").alias("ws_tokens"),
         F.size(
             F.regexp_extract_all(
                 "text", F.lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"), 0
             )
-        ).alias("bpe_ish_tokens"),
+        ).cast("long").alias("bpe_ish_tokens"),
         F.ceil(F.length("text") / 4.0).alias("byte_estimate"),
     )
 
@@ -225,7 +227,7 @@ def text_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tfidf", "rnk")
     )

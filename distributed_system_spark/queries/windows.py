@@ -42,9 +42,9 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_nationkey",
             "c_custkey",
             F.round("c_acctbal", 2).alias("acctbal"),
-            F.row_number().over(w).alias("rn"),
-            F.rank().over(w).alias("rnk"),
-            F.dense_rank().over(w).alias("drnk"),
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
         )
         .filter(F.col("rn") <= 5)
     )
@@ -132,7 +132,10 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame over a day-number ordering: per order, the same
     customer's trailing-30-day order count and spend."""
     orders = load_table(spark, sf_dir, "orders").withColumn(
-        "day_n", F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        "day_n",
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
+        ).cast("long"),
     )
     w = (
         Window.partitionBy("o_custkey")
@@ -170,7 +173,7 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("c_acctbal", "c_custkey")
     return cust.select(
         "c_custkey",
-        F.ntile(10).over(w).alias("decile"),
+        F.ntile(10).over(w).cast("long").alias("decile"),
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )

@@ -46,6 +46,15 @@ def values_equal(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
         return False, f"columns {list(a.columns)} vs {list(b.columns)}"
     if len(a) != len(b):
         return False, f"rows {len(a)} vs {len(b)}"
+    # Strict dtype parity: a dtype-sensitive value hash (e.g. over raw
+    # arrow buffers) would flag int32-vs-int64 even when values match.
+    bad_dtypes = [
+        (c, str(a[c].dtype), str(b[c].dtype))
+        for c in a.columns
+        if str(a[c].dtype) != str(b[c].dtype)
+    ]
+    if bad_dtypes:
+        return False, f"dtype mismatch {bad_dtypes}"
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if np.issubdtype(av.dtype, np.floating) or np.issubdtype(
