@@ -1,0 +1,135 @@
+"""UDF surface (SURVEY.md §2.C row C10): scalar pandas UDF, grouped-
+aggregate pandas UDF, and the row-at-a-time Python UDF — plus
+approx_count_distinct (rows-only check; HLL sketches are
+engine-specific by nature).
+
+House position: UDFs are the slow path. Every query elsewhere in the
+registry is Column expressions; these entries exist to prove the
+surface works and to document the cost ladder:
+  Column expr (codegen) > pandas UDF (Arrow batch) >> Python UDF (row).
+applyInPandas / mapInPandas are exercised by the MapleJuice layer
+(operators/maplejuice.py) and multimodal extractor.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import pandas_udf
+
+from distributed_system_spark.queries import register
+from distributed_system_spark.sources.tables import load_table
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+SELECT doc_id,
+       len(str_split(text, ' ')) AS n_tokens,
+       md5(text) AS text_md5
+FROM documents
+""",
+    tags=("C10", "pandas-udf"),
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDFs: one vectorized (string split/len), one
+    per-element (hashlib md5 — bit-identical to the engines' md5).
+    Defined inside the query: pandas_udf parses its return type
+    against the active session, which doesn't exist at import time."""
+
+    @pandas_udf("long")
+    def _vec_token_count(text: pd.Series) -> pd.Series:
+        # nullable Int64 (not int64): a NULL line stays NULL, matching
+        # the oracle's len(str_split(NULL, ' ')) = NULL.
+        return text.str.split(" ").str.len().astype("Int64")
+
+    @pandas_udf("string")
+    def _vec_md5(text: pd.Series) -> pd.Series:
+        import hashlib
+
+        return text.map(
+            lambda s: hashlib.md5(s.encode()).hexdigest(),
+            na_action="ignore",  # md5(NULL) = NULL, like the engines'
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        _vec_token_count("text").alias("n_tokens"),
+        _vec_md5("text").alias("text_md5"),
+    )
+
+
+@register(
+    "udf_grouped_agg",
+    oracle="""
+SELECT l_returnflag,
+       round(max(l_extendedprice), 2) AS max_price,
+       count(*) AS cnt
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("C10", "pandas-udf"),
+)
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDFs (Spark disallows mixing them with
+    non-pandas aggregates in one groupBy, so both measures are pandas
+    — still a single shuffle)."""
+
+    @pandas_udf("double")
+    def _grouped_max(v: pd.Series) -> float:
+        # max is exact on floats (no accumulation): oracle-matches.
+        return float(v.max())
+
+    @pandas_udf("long")
+    def _grouped_count(v: pd.Series) -> int:
+        return int(len(v))
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(_grouped_max("l_extendedprice"), 2).alias("max_price"),
+        _grouped_count("l_extendedprice").alias("cnt"),
+    )
+
+
+@register(
+    "udf_python_row",
+    oracle="""
+SELECT p_partkey,
+       regexp_replace(p_name, '[^0-9a-zA-Z]', '', 'g') AS sanitized
+FROM part
+WHERE p_size > 40
+""",
+    tags=("C10", "python-udf", "B2"),
+)
+def udf_python_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF applying B2's sanitize (wc_maple.cpp:
+    9-21). Exists to prove the surface; 10-100x slower than the
+    Column-expression form in functions/wordcount.py — never use this
+    shape in a hot path. The filter still pushes down to the scan
+    (only the projection pays the Python tax)."""
+    sanitize = F.udf(lambda s: re.sub("[^0-9a-zA-Z]", "", s), "string")
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(F.col("p_size") > 40).select(
+        "p_partkey", sanitize("p_name").alias("sanitized")
+    )
+
+
+@register(
+    "approx_distinct",
+    oracle=None,  # HLL sketches are engine-specific; driver records rows-only
+    tags=("C4", "approx"),
+)
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) next to the exact count;
+    at 100 TB the sketch avoids the count-distinct shuffle entirely.
+    No SQL oracle — two engines' HLL estimates legitimately differ;
+    the pytest suite asserts the estimate lands within the configured
+    relative error of the exact count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )

@@ -75,6 +75,23 @@ def test_pipe_identity_and_failure(spark, sf_dir):
         pipe_lines(lines, "false").count()  # nonzero exit → job fails (A13)
 
 
+def test_job_chaining_through_materialized_intermediate(
+    spark, sf_dir, tmp_path
+):
+    """A22 (tests/maplejuice.cpp:243-247): maple's materialized output
+    dir is juice's input dir — two separate jobs with a storage
+    barrier, equal to the fused single-DAG result."""
+    kv = maple(doc_lines(spark, sf_dir), wc_maple_fn)
+    path = str(tmp_path / "intermediate")
+    write_keyed_buckets(kv, path, num_buckets=8)  # job 1: maple + sink
+    readback = spark.read.parquet(path).select("key", "value")
+    chained = juice(readback, wc_juice_fn)  # job 2: juice from storage
+    fused = juice(kv, wc_juice_fn)
+    assert sorted(map(tuple, chained.collect())) == sorted(
+        map(tuple, fused.collect())
+    )
+
+
 def test_bucket_sink_key_locality_and_idempotence(spark, sf_dir, tmp_path):
     kv = maple(doc_lines(spark, sf_dir), wc_maple_fn)
     path = str(tmp_path / "buckets")
