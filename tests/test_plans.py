@@ -1,0 +1,136 @@
+"""Physical-plan audits: the 100 TB design assertions.
+
+Correctness tests prove the small-SF answer; these prove the *plan*
+is the one that survives a 1000-executor scale-up — broadcast where a
+dimension is small, sort-merge where both sides are facts, filters
+and projections pushed into the parquet scan, partial (map-side)
+aggregation before every shuffle, top-k as TakeOrderedAndProject
+(never a global sort), and no cartesian products hiding inside the
+LSH/dedup joins.
+
+The reference had exactly one physical strategy (partition files →
+pipe exe → per-key append, mj_worker.cpp:287-387); everything here is
+what Catalyst buys us on top, pinned down so a regression is loud.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from distributed_system_spark.queries import load_all
+
+REGISTRY = load_all()
+
+
+def plan_of(spark, sf_dir: str, name: str) -> str:
+    """Final physical plan, post-execution: AQE re-plans at runtime, so
+    the plan that matters is the `== Final Plan ==` section after an
+    action on this exact DataFrame. Whole-stage codegen spans appear
+    as `*(n)` operator prefixes."""
+    df = REGISTRY[name].fn(spark, sf_dir)
+    df.collect()
+    full = df._jdf.queryExecution().executedPlan().toString()
+    if "AdaptiveSparkPlan" in full:  # trivial plans skip AQE entirely
+        assert "isFinalPlan=true" in full, full
+    return full.split("== Initial Plan ==")[0]
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    """join_broadcast: all three dimension joins must be broadcast —
+    a 100 TB orders scan must never shuffle for MB-sized dims."""
+    plan = plan_of(spark, sf_dir, "join_broadcast")
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_fact_fact_is_sort_merge(spark, sf_dir):
+    """join_sortmerge: lineitem ⋈ orders stays SMJ (hinted) even when
+    tiny-SF sizes would tempt the planner into a broadcast that
+    would OOM at real scale."""
+    plan = plan_of(spark, sf_dir, "join_sortmerge")
+    assert "SortMergeJoin" in plan, plan
+
+
+def test_scan_pushdown_and_pruning(spark, sf_dir):
+    """proj_filter: the range predicate reaches the parquet reader as
+    PushedFilters and the scan schema is pruned to the selected
+    columns (a scan reading all 16 lineitem columns for a 4-column
+    projection is wrong at any scale)."""
+    plan = plan_of(spark, sf_dir, "proj_filter")
+    assert "PushedFilters: [" in plan, plan
+    scan = plan[plan.index("PushedFilters") :]
+    assert "IsNotNull" in scan or "GreaterThan" in scan, scan
+    # column pruning: lineitem has 16 columns; the pushed ReadSchema
+    # must not contain unprojected ones like l_comment / l_shipmode.
+    read = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "l_comment" not in read and "l_shipmode" not in read, read
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    """wordcount + q1_pricing: hash aggregation must run
+    partial→shuffle→final (B3's map-side combine, wc_maple.cpp:24-43,
+    done by Catalyst automatically). Two HashAggregates with one
+    exchange between them."""
+    for name in ("wordcount", "q1_pricing"):
+        plan = plan_of(spark, sf_dir, name)
+        assert plan.count("HashAggregate") >= 2, (name, plan)
+        first = plan.index("HashAggregate")
+        assert "Exchange" in plan[first:], (name, plan)
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    """orderby_limit: ORDER BY + LIMIT must plan as
+    TakeOrderedAndProject (per-partition heap + merge), never a
+    global sort of the full table."""
+    plan = plan_of(spark, sf_dir, "orderby_limit")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_no_cartesian_in_lsh_dedup(spark, sf_dir):
+    """The banded-LSH candidate joins must be equi-joins on
+    (band, signature) — an accidental cross join is the all-pairs
+    O(n^2) failure mode the LSH design exists to avoid."""
+    for name in ("dedup_minhash_lsh", "ann_lsh_topk", "dedup_ngram_jaccard"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+
+
+def test_semi_anti_planned_as_such(spark, sf_dir):
+    """Semi/anti joins must stay semi/anti in the physical plan (no
+    materialized inner join + distinct)."""
+    assert "LeftSemi" in plan_of(spark, sf_dir, "join_semi")
+    assert "LeftAnti" in plan_of(spark, sf_dir, "join_anti")
+
+
+def test_window_partitions_by_group_key(spark, sf_dir):
+    """topk_per_group: exactly one window exchange, partitioned by the
+    group key — the rank never triggers a single-partition global
+    sort (the classic unpartitioned-Window scale bug)."""
+    plan = plan_of(spark, sf_dir, "topk_per_group")
+    assert "Window" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_filter_pushed_through_join(spark, sf_dir):
+    """join_sortmerge: the o_orderdate filter must appear as a pushed
+    filter on the orders scan, not as a post-join Filter."""
+    plan = plan_of(spark, sf_dir, "join_sortmerge")
+    idx = plan.index("o_orderdate")
+    assert "PushedFilters" in plan, plan
+    # the orders-side scan advertises the date predicate
+    assert any(
+        "o_orderdate" in seg.splitlines()[0]
+        for seg in plan.split("PushedFilters: [")[1:]
+    ), plan
+
+
+@pytest.mark.parametrize("name", ["wordcount", "join_broadcast", "q1_pricing"])
+def test_whole_stage_codegen_active(spark, sf_dir, name):
+    """Hot relational paths must run inside whole-stage-codegen spans
+    (`*(n)` operator prefixes) — falling out of codegen (e.g. via a
+    stray Python UDF) would cost an order of magnitude at 100 TB."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "*(" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
