@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from distributed_system_spark.queries import register
 from distributed_system_spark.sources.tables import load_table
 from distributed_system_spark.streaming.streams import (
+    running_totals_stateful,
     session_counts,
     sliding_counts,
     tumbling_counts,
@@ -93,6 +94,24 @@ def win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions with the lag/cumsum islands idiom. A new session starts
     when the gap is >= 10 min (Spark's end bound is exclusive)."""
     return session_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_stateful_totals",
+    oracle="""
+SELECT user_id, count(*) AS n_events,
+       CAST(round(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS total_value
+FROM events GROUP BY user_id
+""",
+    tags=("C9", "applyInPandasWithState"),
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real streaming execution (not a batch stand-in): a 3-microbatch
+    replay of events through applyInPandasWithState, whose final
+    per-user state snapshot must equal the batch GROUP BY — state
+    carried across batches is what makes them match."""
+    return running_totals_stateful(spark, sf_dir)
 
 
 @register(

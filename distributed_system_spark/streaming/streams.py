@@ -141,6 +141,103 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return src.dropDuplicates(["event_id"])
 
 
+def _multibatch_stage_dir(spark: SparkSession, sf_dir: str, n: int = 3) -> str:
+    """Stage the events table as ``n`` parquet files so a
+    maxFilesPerTrigger=1 stream replays it as ``n`` microbatches —
+    the multi-batch arrival pattern that actually exercises state
+    carry-over (one symlinked file would collapse to a single batch)."""
+    import hashlib
+    import os
+
+    src = f"{sf_dir.rstrip('/')}/events.parquet"
+    tag = hashlib.md5(f"{src}:{n}".encode()).hexdigest()[:12]
+    stage = f"/tmp/dss-events-multibatch-{tag}"
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        (
+            spark.read.parquet(src)
+            .repartition(n)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+    return stage
+
+
+def running_totals_stateful(
+    spark: SparkSession, sf_dir: str, sink_name: str = "stateful_totals_sink"
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (count, total) maintained in explicit group state across
+    microbatches — the Structured Streaming face of the reference
+    master's per-key committed-output bookkeeping
+    (mj_master.hpp:74-76), where state survives between file arrivals.
+
+    The running total is accumulated in integer ten-thousandths
+    (exact, order-insensitive across batch schedules) and emitted
+    rounded to 2 decimals, so the final snapshot hash-matches the
+    batch DECIMAL(18,4) oracle. State size is O(distinct users) —
+    bounded, so no watermark eviction is needed for this aggregate;
+    per-session state would add a timeout (see session_counts).
+
+    Returns the final snapshot per user after an available-now drain:
+    the last update per user (its row with the highest n_events).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_totals(key, pdfs, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += int(len(pdf))
+            v = pdf["value"].astype("float64")
+            # decimal(18,4) semantics: round half-away at 4 dp, sum exact
+            import numpy as np
+
+            cents += int(
+                (np.sign(v) * np.floor(np.abs(v) * 10_000 + 0.5))
+                .astype("int64")
+                .sum()
+            )
+        state.update((n, cents))
+        import numpy as np
+
+        total = float(np.sign(cents) * np.floor(abs(cents) / 100 + 0.5) / 100)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_multibatch_stage_dir(spark, sf_dir))
+    )
+    updates = stream.groupBy("user_id").applyInPandasWithState(
+        update_totals,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, cents long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        updates.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sink = spark.table(sink_name)
+    # final snapshot = the last (largest-n) update each user emitted
+    from pyspark.sql import Window
+
+    latest = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    )
+    return (
+        sink.withColumn("_rn", latest).filter("_rn = 1").drop("_rn")
+    )
+
+
 def run_available_now(
     sdf: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

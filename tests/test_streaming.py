@@ -44,6 +44,29 @@ def test_stream_dedup_drops_replays(spark, sf_dir):
     assert got.count() == batch.select("event_id").distinct().count()
 
 
+def test_stateful_totals_carry_state_across_batches(spark, sf_dir):
+    """applyInPandasWithState: the final per-user snapshot after a
+    3-microbatch replay equals the batch GROUP BY, and the sink holds
+    more update rows than users — proof that state actually carried
+    across batches (users re-emitted with growing counts) rather than
+    the stream collapsing into one batch."""
+    from distributed_system_spark.streaming.streams import (
+        running_totals_stateful,
+    )
+
+    got = running_totals_stateful(spark, sf_dir, sink_name="t_stateful")
+    ev = load_table(spark, sf_dir, "events")
+    want = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total_value"),
+    )
+    assert _rows(got) == _rows(want)
+    sink_rows = spark.table("t_stateful").count()
+    assert sink_rows > got.count(), (sink_rows, got.count())
+
+
 def test_config_watcher_fires_on_change(tmp_path):
     w = ConfigWatcher(str(tmp_path / "conf"), poll_interval=0.05)
     seen: list[tuple[str, str | None]] = []
