@@ -157,6 +157,78 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_assign(
+    vecs: DataFrame, centroids: DataFrame, nprobe: int = 1
+) -> DataFrame:
+    """(id, list_id, probe_rnk): assign each vector to its ``nprobe``
+    nearest centroids by rounded cosine (centroid-id tiebreak).
+
+    The centroid table is tiny (n_lists rows) and broadcast, so
+    assignment is one linear corpus scan — no shuffle until the
+    (small) per-id top-nprobe window.
+    """
+    c = centroids.select(
+        F.col("id").alias("list_id"), F.col("vec").alias("c_vec")
+    )
+    sim = F.round(cosine(F.col("vec"), F.col("c_vec")), 6)
+    scored = vecs.crossJoin(F.broadcast(c)).select(
+        "id", "list_id", sim.alias("c_cos")
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("c_cos").desc(), F.col("list_id")
+    )
+    return (
+        scored.withColumn("probe_rnk", F.row_number().over(w))
+        .filter(F.col("probe_rnk") <= nprobe)
+        .select("id", "list_id", "probe_rnk")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus vectors are
+    partitioned into one inverted list per centroid; each query scans
+    only its ``nprobe`` closest lists.
+
+    Per-query work drops from |C| to ~nprobe/n_lists of the corpus —
+    the other classic ANN scale path next to hyperplane LSH
+    (lsh_bucket_topk). At 100 TB the corpus assignment is a single
+    linear pass with broadcast centroids, and the candidate join is an
+    equi-join on list_id (shuffle partitioned by list — never
+    all-pairs). Centroids here are a deterministic corpus subset so
+    the whole operator stays engine-portable; a production variant
+    would plug k-means centroids into the same plan shape.
+    """
+    c_assign = ivf_assign(corpus, centroids, nprobe=1).select(
+        F.col("id").alias("n_id"), "list_id"
+    )
+    q_probes = ivf_assign(queries, centroids, nprobe=nprobe).select(
+        F.col("id").alias("q_id"), "list_id"
+    )
+    q = queries.select(F.col("id").alias("q_id"), F.col("vec").alias("q_vec"))
+    c = corpus.select(F.col("id").alias("n_id"), F.col("vec").alias("n_vec"))
+    cand = (
+        q_probes.join(c_assign, "list_id")
+        .select("q_id", "n_id")
+        .distinct()
+        .join(F.broadcast(q), "q_id")
+        .join(c, "n_id")
+    )
+    sim = F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6)
+    scored = cand.select("q_id", "n_id", sim.alias("cos"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "n_id", "cos", "rnk")
+    )
+
+
 def cosine_neardup_pairs(
     vecs: DataFrame, threshold: float
 ) -> DataFrame:

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from distributed_system_spark.operators.similarity import (
     brute_force_topk,
     cosine_neardup_pairs,
+    ivf_topk,
     lsh_bucket_topk,
     vec_double,
 )
@@ -109,6 +110,74 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         vecs.filter(F.col("id") >= 10),
         k=3,
         num_planes=8,
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec
+           FROM embeddings),
+cents AS (SELECT id AS list_id, vec AS c_vec FROM e
+          WHERE id BETWEEN 10 AND 17),
+qa AS (
+  SELECT q_id, list_id FROM (
+    SELECT q.id AS q_id, c.list_id,
+           row_number() OVER (
+             PARTITION BY q.id
+             ORDER BY round(list_sum(list_transform(range(1, 65),
+                         i -> q.vec[i] * c.c_vec[i]))
+                   / (sqrt(list_sum(list_transform(range(1, 65),
+                         i -> q.vec[i] * q.vec[i])))
+                    * sqrt(list_sum(list_transform(range(1, 65),
+                         i -> c.c_vec[i] * c.c_vec[i])))), 6) DESC,
+                      c.list_id) AS pr
+    FROM e q CROSS JOIN cents c WHERE q.id < 10
+  ) WHERE pr <= 2
+),
+ca AS (
+  SELECT n_id, list_id FROM (
+    SELECT n.id AS n_id, c.list_id,
+           row_number() OVER (
+             PARTITION BY n.id
+             ORDER BY round(list_sum(list_transform(range(1, 65),
+                         i -> n.vec[i] * c.c_vec[i]))
+                   / (sqrt(list_sum(list_transform(range(1, 65),
+                         i -> n.vec[i] * n.vec[i])))
+                    * sqrt(list_sum(list_transform(range(1, 65),
+                         i -> c.c_vec[i] * c.c_vec[i])))), 6) DESC,
+                      c.list_id) AS pr
+    FROM e n CROSS JOIN cents c WHERE n.id >= 10
+  ) WHERE pr <= 1
+),
+cand AS (
+  SELECT DISTINCT qa.q_id, ca.n_id
+  FROM qa JOIN ca ON qa.list_id = ca.list_id
+),
+scored AS (
+  SELECT cand.q_id, cand.n_id, {_COS_SQL} AS cos
+  FROM cand JOIN e q ON q.id = cand.q_id JOIN e c ON c.id = cand.n_id
+)
+SELECT q_id, n_id, cos, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos DESC, n_id) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+""",
+    tags=("similarity", "ann", "ivf"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-3: corpus bucketed into 8 inverted lists
+    (centroids = corpus ids 10..17, deterministic so DuckDB can mirror
+    them), queries probe their 2 nearest lists. The second ANN scale
+    path next to hyperplane LSH; same plan shape as a k-means IVF."""
+    vecs = _vecs(spark, sf_dir)
+    return ivf_topk(
+        vecs.filter(F.col("id") < 10),
+        vecs.filter(F.col("id") >= 10),
+        vecs.filter((F.col("id") >= 10) & (F.col("id") < 18)),
+        k=3,
+        nprobe=2,
     )
 
 

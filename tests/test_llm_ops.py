@@ -23,6 +23,7 @@ from distributed_system_spark.operators.multimodal import (
 )
 from distributed_system_spark.operators.similarity import (
     brute_force_topk,
+    ivf_topk,
     lsh_bucket_topk,
     vec_double,
 )
@@ -88,6 +89,31 @@ def test_lsh_topk_is_bucket_restricted_brute_force(spark, sf_dir):
     # approximate neighbors are a subset of the corpus with valid ranks
     assert all(r["rnk"] <= 3 for r in approx)
     assert len(approx) <= len(exact)
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    """IVF with nprobe = n_lists degenerates to exact search (every
+    list probed); with nprobe < n_lists it returns a valid-rank subset
+    with reasonable recall@k against brute force."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), vec_double("embedding").alias("vec")
+    )
+    q = emb.filter(F.col("id") < 5)
+    c = emb.filter(F.col("id") >= 5)
+    cents = emb.filter((F.col("id") >= 5) & (F.col("id") < 9))  # 4 lists
+
+    def pairs(df):
+        return {(r["q_id"], r["n_id"]) for r in df.collect()}
+
+    exact = pairs(brute_force_topk(q, c, k=3))
+    full_probe = pairs(ivf_topk(q, c, cents, k=3, nprobe=4))
+    assert full_probe == exact  # all lists probed == exhaustive
+
+    approx = ivf_topk(q, c, cents, k=3, nprobe=2)
+    rows = approx.collect()
+    assert all(r["rnk"] <= 3 for r in rows)
+    got = pairs(approx)
+    assert len(got & exact) / len(exact) >= 0.5  # recall@3, nprobe=2/4
 
 
 def test_multimodal_roundtrip_bytes_exact(spark):
