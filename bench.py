@@ -26,6 +26,9 @@ HEADLINE = [
     "wordcount",          # flagship (reference's only workload)
     "mj_wordcount",       # same, through the maple→juice fidelity layer
     "q1_pricing",         # heaviest scan+agg (TPC-H Q1 shape)
+    "q3_shipping_priority",  # 3-table join + agg + top-k (TPC-H Q3 shape)
+    "q5_local_supplier_volume",  # 6-table join (TPC-H Q5 shape)
+    "q10_returned_items", # selective join + agg + top-k (TPC-H Q10 shape)
     "join_broadcast",     # 3-way broadcast dim join
     "join_sortmerge",     # fact-fact SMJ
     "topk_per_group",     # join + agg + window
