@@ -289,3 +289,48 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.filter(F.col("tag") == 1).select(
         "event_id", "user_id", "ts_us", "last_click_us"
     )
+
+
+@register(
+    "join_skew_salted",
+    oracle=f"""
+SELECT p_brand, count(*) AS n_lines, {sql_dsum('l_extendedprice')} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""",
+    tags=("C3", "skew"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual salt-and-replicate skew join: the fact side gets a
+    deterministic salt in [0, 8), the dimension is replicated once per
+    salt, and the join key becomes (key, salt) — splitting any hot key
+    across 8 partitions. The oracle is the UNSALTED join: salting must
+    never change results, only the shuffle distribution.
+
+    AQE's skewJoin (enabled in session.py) does this automatically for
+    sort-merge joins; the manual pattern still matters at 100 TB for
+    aggregations over skewed keys and for engines/plans AQE can't
+    rewrite. Salt count trades skew-splitting against dim replication.
+    """
+    n_salts = 8
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.col("l_suppkey"), F.lit(n_salts)).cast("int")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .withColumn("p_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+        .withColumn("p_salt", F.col("p_salt").cast("int"))
+    )
+    return (
+        li.hint("merge")
+        .join(
+            part,
+            (F.col("l_partkey") == F.col("p_partkey"))
+            & (F.col("salt") == F.col("p_salt")),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice").alias("revenue"),
+        )
+    )

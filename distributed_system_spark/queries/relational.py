@@ -454,3 +454,32 @@ def try_cast_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("try_cast(tok AS BIGINT)"),
         ),
     )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.25) AS p25,
+       quantile_cont(l_extendedprice, 0.50) AS p50,
+       quantile_cont(l_extendedprice, 0.95) AS p95,
+       median(l_extendedprice) AS med
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("C4", "percentile"),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles + median per group. Spark's
+    `percentile` and DuckDB's `quantile_cont` share the same
+    linear-interpolation definition and match bit-for-bit (verified,
+    no rounding needed). At 100 TB prefer `approx_percentile`
+    (t-digest-style sketch, no global sort of the group); the exact
+    form is the correctness baseline.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("p25"),
+        F.percentile("l_extendedprice", F.lit(0.50)).alias("p50"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+        F.median("l_extendedprice").alias("med"),
+    )

@@ -234,3 +234,40 @@ def orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
     )
+
+
+@register(
+    "window_distribution",
+    oracle="""
+SELECT o_orderkey,
+       o_orderstatus,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cdist,
+       first_value(o_orderkey) OVER w AS first_key,
+       nth_value(o_orderkey, 3) OVER w AS third_key
+FROM orders
+WHERE o_orderkey <= 2000
+WINDOW w AS (PARTITION BY o_orderstatus
+             ORDER BY o_totalprice DESC, o_orderkey)
+""",
+    tags=("C5", "distribution"),
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank / cume_dist) plus
+    positional ones (first_value / nth_value) over one deterministic
+    ordering — exact rationals, rounded identically on both engines.
+    One shuffle on the partition key, like every other window here."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") <= 2000
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.nth_value("o_orderkey", 3).over(w).alias("third_key"),
+    )
