@@ -75,6 +75,58 @@ def fake_features(payload: bytes) -> tuple[int, int, float]:
     return len(payload), head_sum, (len(payload) % 97) / 97.0
 
 
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Resize an image payload. STUB: PIL is not in this container."""
+    if not _HAS_PIL:
+        raise NotImplementedError(
+            "image resize requires PIL; container has no codecs — "
+            "the mapInPandas plumbing is exercised via sample_frames"
+        )
+    import io
+
+    img = Image.open(io.BytesIO(payload))  # pragma: no cover
+    out = io.BytesIO()  # pragma: no cover
+    img.resize((width, height)).save(out, img.format)  # pragma: no cover
+    return out.getvalue()  # pragma: no cover
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_bytes: int = 16,
+    every: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame sampling over binary payloads: split each payload into
+    fixed-size frames and keep every ``every``-th one — the video
+    frame-sample pattern with a byte-chunk stand-in for the codec
+    (a real decoder slots into the same mapInPandas stage).
+
+    One row out per sampled frame (explode-shaped). Arrow-batched;
+    output size is |payload| / every, so a 100 TB corpus sampled at
+    every=30 (1 fps of 30 fps video) emits ~3.3 TB downstream.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[object] = []
+            idxs: list[int] = []
+            frames: list[bytes] = []
+            for i, p in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(p)
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for k in range(0, n_frames, every):
+                    ids.append(i)
+                    idxs.append(k)
+                    frames.append(b[k * frame_bytes : (k + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        run, f"{id_col} bigint, frame_idx bigint, frame binary"
+    )
+
+
 def extract_features(
     df: DataFrame,
     fn: Callable[[bytes], tuple] = fake_features,

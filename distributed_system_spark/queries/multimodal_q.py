@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from distributed_system_spark.operators.multimodal import (
     attach_binary,
     extract_features,
+    sample_frames,
 )
 from distributed_system_spark.queries import register
 from distributed_system_spark.sources.tables import load_table
@@ -43,6 +44,32 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.checksum").alias("checksum"),
         F.lower(F.hex(F.expr("substring(payload, 1, 16)"))).alias("head16"),
     )
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+WITH f AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(ceil(length(text) / 16.0) AS BIGINT), 2))
+           AS frame_idx
+  FROM documents
+)
+SELECT f.doc_id, f.frame_idx,
+       md5(substr(d.text, CAST(f.frame_idx * 16 + 1 AS INT), 16))
+         AS frame_md5
+FROM f JOIN documents d ON f.doc_id = d.doc_id
+""",
+    tags=("multimodal", "C10", "frame-sample"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through the mapInPandas plumbing: 16-byte frames,
+    every 2nd kept, md5 per frame (the corpus is ASCII so the oracle's
+    char slicing sees the same bytes). A real video decoder slots into
+    the same stage; the byte-chunk frame is the codec stand-in."""
+    docs = attach_binary(load_table(spark, sf_dir, "documents"))
+    frames = sample_frames(docs, frame_bytes=16, every=2)
+    return frames.select("doc_id", "frame_idx", F.md5("frame").alias("frame_md5"))
 
 
 @register(

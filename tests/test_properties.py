@@ -1,0 +1,127 @@
+"""Property-based tests (hypothesis) for the codec/tokenizer/decimal
+layers — the reference has zero property testing (SURVEY.md §5 gaps);
+these pin the invariants its golden tests only sample.
+
+Spark jobs are slow per example, so each property batches the entire
+generated list through ONE job and runs few examples.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from distributed_system_spark.functions.kv import kv_decode, kv_encode
+from distributed_system_spark.functions.wordcount import (
+    sanitize_token,
+    tokenize_line,
+)
+from distributed_system_spark.queries._util import dsum
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# key: no spaces or newlines (processor.cpp:27-37); value: no newlines
+_KEY = st.text(
+    st.characters(codec="ascii", exclude_characters=" \n\r"), min_size=1
+)
+_VALUE = st.text(st.characters(codec="ascii", exclude_characters="\n\r"))
+
+_SEPS = " \t\r\x0b\f"
+_LINE = st.text(
+    st.sampled_from(list("abcXYZ0,!." + _SEPS)), max_size=40
+)
+
+
+def _model_tokenize(line: str) -> list[str]:
+    """Pure-python mirror of wc_maple.cpp:28-44: every separator ends
+    a token (empties included); the final token appended only if
+    non-empty."""
+    toks, cur = [], ""
+    for ch in line:
+        if ch in _SEPS:
+            toks.append(cur)
+            cur = ""
+        else:
+            cur += ch
+    if cur:
+        toks.append(cur)
+    return toks
+
+
+def _model_sanitize(tok: str) -> str:
+    return "".join(c for c in tok if c.isascii() and c.isalnum())
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(_KEY, _VALUE), min_size=1, max_size=30))
+def test_kv_roundtrip(spark, pairs):
+    df = spark.createDataFrame(pairs, "k string, v string")
+    out = df.select(
+        "k", "v", kv_decode(kv_encode("k", "v")).alias("kv")
+    ).collect()
+    for r in out:
+        assert r["kv"]["key"] == r["k"].split(" ", 1)[0] == r["k"]
+        assert r["kv"]["value"] == r["v"]
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_LINE, min_size=1, max_size=25))
+def test_tokenizer_matches_reference_model(spark, lines):
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    got = [
+        r["t"]
+        for r in df.select(tokenize_line("line").alias("t")).collect()
+    ]
+    assert got == [_model_tokenize(l) for l in lines]
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_LINE, min_size=1, max_size=25))
+def test_sanitize_matches_reference_model(spark, toks):
+    df = spark.createDataFrame([(t,) for t in toks], "t string")
+    got = [r["s"] for r in df.select(sanitize_token("t").alias("s")).collect()]
+    assert got == [_model_sanitize(t) for t in toks]
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.decimals(
+            min_value=-99999, max_value=99999, places=2, allow_nan=False
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_dsum_is_partition_invariant(spark, vals):
+    """The DECIMAL-accumulated sum must not depend on partitioning —
+    the invariant that makes float aggregates oracle-checkable."""
+    rows = [(float(v),) for v in vals]
+    df = spark.createDataFrame(rows, "x double")
+    one = df.repartition(1).agg(dsum("x").alias("s")).first()["s"]
+    many = df.repartition(7).agg(dsum("x").alias("s")).first()["s"]
+    assert one == many
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.integers(0, 10**9), min_size=1, max_size=40))
+def test_partitioners_preserve_rows(spark, keys):
+    from distributed_system_spark.operators.maplejuice import (
+        partition_by_hash,
+        partition_by_range,
+        partition_round_robin,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    want = sorted(r["k"] for r in df.collect())
+    for part in (
+        partition_round_robin(df, 4),
+        partition_by_hash(df, 4, "k"),
+        partition_by_range(df, 4, "k"),
+    ):
+        assert sorted(r["k"] for r in part.collect()) == want
