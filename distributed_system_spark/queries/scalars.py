@@ -288,3 +288,37 @@ def from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p.missing").alias("missing"),
         )
     )
+
+
+@register(
+    "cond_null_funcs",
+    oracle="""
+SELECT s_suppkey,
+       coalesce(nullif(s_name, 'SUPP_0'), 'anonymous') AS display_name,
+       CASE WHEN s_acctbal < 0 THEN NULL ELSE round(s_acctbal, 2) END
+         AS pos_bal,
+       round(least(s_acctbal, 5000.0), 2) AS capped,
+       round(greatest(s_acctbal, 0.0), 2) AS floored,
+       (s_acctbal IS NULL) AS bal_missing,
+       ifnull(CASE WHEN s_acctbal >= 0 THEN s_acctbal END, 0.0) >= 0
+         AS nonneg
+FROM supplier
+""",
+    tags=("C8", "conditional"),
+)
+def cond_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional / NULL-handling family: coalesce, nullif, CASE-to-
+    NULL, least/greatest, isnull, ifnull — all codegen'd Column
+    expressions (no UDF), identical semantics on both engines."""
+    s = load_table(spark, sf_dir, "supplier")
+    bal = F.col("s_acctbal")
+    return s.select(
+        "s_suppkey",
+        F.coalesce(F.nullif("s_name", F.lit("SUPP_0")), F.lit("anonymous"))
+        .alias("display_name"),
+        F.when(bal >= 0, F.round(bal, 2)).alias("pos_bal"),
+        F.round(F.least(bal, F.lit(5000.0)), 2).alias("capped"),
+        F.round(F.greatest(bal, F.lit(0.0)), 2).alias("floored"),
+        F.isnull(bal).alias("bal_missing"),
+        (F.ifnull(F.when(bal >= 0, bal), F.lit(0.0)) >= 0).alias("nonneg"),
+    )

@@ -238,6 +238,31 @@ def running_totals_stateful(
     )
 
 
+def pieces_sink(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """foreachBatch sink appending one parquet 'piece' per microbatch —
+    the streaming face of SDFS append (A15, mock_sdfs_client.cpp:
+    218-257: each append adds a numbered piece; readers concatenate).
+
+    The checkpoint gives exactly-once piece commits across restarts
+    (A5's committed-pair dedup): a batch replayed after a crash is
+    recognized by its batch_id and not re-appended. Drain with the
+    available-now trigger.
+    """
+
+    def write_piece(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_piece)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(
     sdf: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -67,6 +67,38 @@ def test_stateful_totals_carry_state_across_batches(spark, sf_dir):
     assert sink_rows > got.count(), (sink_rows, got.count())
 
 
+def test_pieces_sink_appends_batches_exactly_once(spark, sf_dir, tmp_path):
+    """A15/A5 streaming analog: every microbatch lands as an appended
+    piece; re-running against the same checkpoint replays nothing (the
+    batch-id ledger is the committed-pairs set of mj_master.hpp:74-76)."""
+    from distributed_system_spark.streaming.streams import (
+        EVENTS_SCHEMA,
+        _multibatch_stage_dir,
+        pieces_sink,
+    )
+
+    stage = _multibatch_stage_dir(spark, sf_dir)
+    out = str(tmp_path / "pieces")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        pieces_sink(stream.select("event_id", "user_id"), out, ckpt)
+
+    drain()
+    want = load_table(spark, sf_dir, "events").count()
+    assert spark.read.parquet(out).count() == want
+    drain()  # restart with same checkpoint: nothing new to commit
+    assert spark.read.parquet(out).count() == want
+    assert (
+        spark.read.parquet(out).select("event_id").distinct().count() == want
+    )
+
+
 def test_config_watcher_fires_on_change(tmp_path):
     w = ConfigWatcher(str(tmp_path / "conf"), poll_interval=0.05)
     seen: list[tuple[str, str | None]] = []
