@@ -483,3 +483,81 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
         F.median("l_extendedprice").alias("med"),
     )
+
+
+@register(
+    "posexplode_tokens",
+    oracle="""
+WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+           WHERE doc_id < 50)
+SELECT doc_id,
+       CAST(generate_subscripts(toks, 1) AS BIGINT) - 1 AS pos,
+       unnest(toks) AS tok
+FROM t
+""",
+    tags=("C8", "lateral"),
+)
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: lateral view with element position (0-based; the
+    oracle's generate_subscripts is 1-based, shifted to match)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ", -1)).alias("pos", "tok"),
+    ).withColumn("pos", F.col("pos").cast("long"))
+
+
+@register(
+    "not_in_subquery",
+    oracle="""
+SELECT p_partkey, p_brand
+FROM part
+WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem
+                        WHERE l_quantity >= 49)
+""",
+    tags=("C3", "null-aware-anti"),
+)
+def not_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN subquery — planned as a null-aware anti join, a distinct
+    physical operator from plain LEFT ANTI (NOT EXISTS): one NULL in
+    the subquery result would empty the output under SQL three-valued
+    logic. Expressed via spark.sql to exercise that exact path."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("v_part")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand
+        FROM v_part
+        WHERE p_partkey NOT IN (SELECT l_partkey FROM v_lineitem
+                                WHERE l_quantity >= 49)
+        """
+    )
+
+
+@register(
+    "unpivot_metrics",
+    oracle="""
+SELECT l_orderkey, l_linenumber, metric, round(value, 2) AS value
+FROM (
+  UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                  l_discount
+           FROM lineitem WHERE l_orderkey < 100)
+  ON l_quantity, l_extendedprice, l_discount
+  INTO NAME metric VALUE value
+)
+""",
+    tags=("C7", "unpivot"),
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot/melt: wide measure columns → (metric, value) rows —
+    the inverse of pivot_status. Names follow the source columns on
+    both engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") < 100
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "value",
+    ).withColumn("value", F.round("value", 2))
