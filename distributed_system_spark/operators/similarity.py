@@ -229,6 +229,27 @@ def ivf_topk(
     )
 
 
+def quantize_int8(vecs: DataFrame) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x|, code =
+    floor(x * 127 / scale + 0.5). Shrinks a float32 embedding column
+    4x (16x vs the double form) — at 100 TB the ANN candidate
+    generation can run entirely over int8 codes and only rescore the
+    top candidates at full precision. floor(x+0.5) is used instead of
+    round() so both engines break .5 ties identically.
+    """
+    amax = F.array_max(F.transform("vec", lambda x: F.abs(x)))
+    return vecs.select(
+        "id",
+        amax.alias("scale"),
+        F.transform(
+            "vec",
+            lambda x: F.floor(x * F.lit(127.0) / amax + F.lit(0.5)).cast(
+                "int"
+            ),
+        ).alias("q"),
+    )
+
+
 def cosine_neardup_pairs(
     vecs: DataFrame, threshold: float
 ) -> DataFrame:

@@ -17,6 +17,7 @@ from distributed_system_spark.operators.similarity import (
     cosine_neardup_pairs,
     ivf_topk,
     lsh_bucket_topk,
+    quantize_int8,
     vec_double,
 )
 from distributed_system_spark.queries import register
@@ -179,6 +180,28 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         nprobe=2,
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec
+           FROM embeddings),
+m AS (SELECT id, vec,
+             list_max(list_transform(vec, x -> abs(x))) AS amax
+      FROM e)
+SELECT id, amax AS scale,
+       list_transform(vec, x -> CAST(floor(x * 127.0 / amax + 0.5)
+                                     AS INTEGER)) AS q
+FROM m
+""",
+    tags=("similarity", "quantization"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization of the embedding column
+    (see operators/similarity.py::quantize_int8). max is exact on
+    doubles so even `scale` hash-matches without rounding."""
+    return quantize_int8(_vecs(spark, sf_dir))
 
 
 @register(

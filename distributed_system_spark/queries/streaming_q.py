@@ -14,10 +14,14 @@ from pyspark.sql import DataFrame, SparkSession
 from distributed_system_spark.queries import register
 from distributed_system_spark.sources.tables import load_table
 from distributed_system_spark.streaming.streams import (
+    EVENTS_SCHEMA,
+    _timeordered_stage_dir,
+    run_available_now,
     running_totals_stateful,
     session_counts,
     sliding_counts,
     tumbling_counts,
+    view_click_attribution,
 )
 
 _HOUR_US = 3_600_000_000
@@ -112,6 +116,47 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user state snapshot must equal the batch GROUP BY — state
     carried across batches is what makes them match."""
     return running_totals_stateful(spark, sf_dir)
+
+
+@register(
+    "stream_join_attribution",
+    oracle="""
+SELECT v.user_id,
+       v.event_id AS view_id,
+       c.event_id AS click_id,
+       epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+FROM events v JOIN events c
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+""",
+    tags=("C9", "stream-stream-join"),
+)
+def stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real stream-stream self-join (not a batch stand-in): the events
+    replayed as 3 microbatches, views ⋈ clicks per user within 30 min,
+    both sides watermarked so join state is evictable. Equals the
+    batch join, which is the oracle."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # join-state partitions follow shuffle partitions; 200 is waste
+    # for 2k events/side — restored after the drain
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        raw = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_timeordered_stage_dir(sf_dir))
+        )
+        stream = raw.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+        )
+        joined = view_click_attribution(stream)
+        return run_available_now(
+            joined, "attribution_sink", output_mode="append"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 @register(

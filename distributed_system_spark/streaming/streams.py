@@ -206,6 +206,11 @@ def running_totals_stateful(
             {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
         )
 
+    # streaming state partitions = shuffle partitions at first run;
+    # a 200-wide state store for 150 users is pure per-task overhead
+    # (restored below — on a cluster, size to keys/executors instead)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -218,14 +223,17 @@ def running_totals_stateful(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    q = (
-        updates.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            updates.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     sink = spark.table(sink_name)
     # final snapshot = the last (largest-n) update each user emitted
     from pyspark.sql import Window
@@ -235,6 +243,86 @@ def running_totals_stateful(
     )
     return (
         sink.withColumn("_rn", latest).filter("_rn = 1").drop("_rn")
+    )
+
+
+def _timeordered_stage_dir(sf_dir: str, n: int = 3) -> str:
+    """Stage events as ``n`` time-ordered, non-overlapping parquet
+    slices with increasing mtimes, so the file stream replays them in
+    event-time order (the realistic A19 arrival pattern — and the one
+    watermarked stream-stream joins are designed for; a random split
+    would make every batch span the full month and everything after
+    batch 1 'late'). Driver-side pyarrow staging: test fixture prep,
+    not a query path."""
+    import hashlib
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = f"{sf_dir.rstrip('/')}/events.parquet"
+    tag = hashlib.md5(f"{src}:ordered:{n}".encode()).hexdigest()[:12]
+    stage = f"/tmp/dss-events-ordered-{tag}"
+    if os.path.exists(os.path.join(stage, "_DONE")):
+        return stage
+    os.makedirs(stage, exist_ok=True)
+    t = pq.read_table(src)
+    t = t.set_column(
+        t.schema.get_field_index("ts"),
+        "ts",
+        pc.cast(t["ts"], "int64"),  # nanos-as-long, matching EVENTS_SCHEMA
+    )
+    t = t.sort_by("ts")
+    step = (t.num_rows + n - 1) // n
+    base = 1_700_000_000
+    for k in range(n):
+        path = os.path.join(stage, f"slice-{k:03d}.parquet")
+        pq.write_table(t.slice(k * step, step), path)
+        os.utime(path, (base + k, base + k))  # mtime order == time order
+    open(os.path.join(stage, "_DONE"), "w").close()
+    return stage
+
+
+def view_click_attribution(
+    events: DataFrame,
+    max_gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream self-join: attribute each click to the view(s) by
+    the same user in the preceding ``max_gap_minutes``. Works on the
+    batch frame (the oracle face) and on a streaming frame, where both
+    sides carry watermarks and the time-range condition lets Spark
+    evict join state older than gap+watermark — without it,
+    stream-stream join state grows unboundedly (the 100 TB/day
+    failure mode). Inner-join matches emit eagerly; the watermark only
+    bounds state.
+    """
+    v = events.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    if events.isStreaming:
+        v = v.withWatermark("v_ts", watermark)
+        c = c.withWatermark("c_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (
+            F.col("c_ts")
+            <= F.col("v_ts") + F.expr(f"INTERVAL {max_gap_minutes} MINUTES")
+        )
+    )
+    return v.join(c, cond).select(
+        "user_id",
+        "view_id",
+        "click_id",
+        (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("gap_us"),
     )
 
 

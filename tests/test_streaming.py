@@ -99,6 +99,22 @@ def test_pieces_sink_appends_batches_exactly_once(spark, sf_dir, tmp_path):
     )
 
 
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    """Stream-stream self-join (time-ordered 3-batch replay) must
+    equal the batch join — watermark state eviction may not lose
+    in-gap matches."""
+    from distributed_system_spark.queries.streaming_q import (
+        stream_join_attribution,
+    )
+    from distributed_system_spark.streaming.streams import (
+        view_click_attribution,
+    )
+
+    got = stream_join_attribution(spark, sf_dir)
+    want = view_click_attribution(load_table(spark, sf_dir, "events"))
+    assert _rows(got) == _rows(want)
+
+
 def test_config_watcher_fires_on_change(tmp_path):
     w = ConfigWatcher(str(tmp_path / "conf"), poll_interval=0.05)
     seen: list[tuple[str, str | None]] = []
