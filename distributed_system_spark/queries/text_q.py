@@ -318,3 +318,55 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(",", F.sort_array(F.collect_list("h"))).cast("binary")
         ).alias("fingerprint"),
     )
+
+
+@register(
+    "doc_quality_filter",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, str_split(text, ' ') AS toks FROM documents
+), m AS (
+  SELECT doc_id, lang,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_unique,
+         len(list_filter(toks, x -> list_contains(
+             ['the','a','of','and','to','is','in'], x))) AS n_stop
+  FROM t
+)
+SELECT doc_id, lang, n_tokens,
+       (n_tokens BETWEEN 20 AND 5000
+        AND CAST(n_unique AS DOUBLE) / n_tokens >= 0.2
+        AND (lang <> 'en' OR CAST(n_stop AS DOUBLE) / n_tokens >= 0.02))
+         AS keep
+FROM m
+""",
+    tags=("text", "pipeline", "filter"),
+)
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite keep/drop decision — the gate a training-data pipeline
+    applies before dedup/tokenization: length band, lexical diversity
+    floor, and (for English) a stopword-ratio floor. One scan, all
+    Column expressions; at 100 TB this runs as a pushed-down projection
+    + filter producing the keep bitmap that later stages join on."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ", -1)
+    stops = F.array(*[F.lit(w) for w in
+                      ("the", "a", "of", "and", "to", "is", "in")])
+    m = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stops, x)))
+        .cast("long")
+        .alias("n_stop"),
+    )
+    keep = (
+        F.col("n_tokens").between(20, 5000)
+        & (F.col("n_unique").cast("double") / F.col("n_tokens") >= 0.2)
+        & (
+            (F.col("lang") != "en")
+            | (F.col("n_stop").cast("double") / F.col("n_tokens") >= 0.02)
+        )
+    )
+    return m.select("doc_id", "lang", "n_tokens", keep.alias("keep"))
