@@ -205,3 +205,54 @@ def simhash16(toks: DataFrame) -> DataFrame:
     return per_bit.groupBy("id").agg(
         F.sum(F.col("maj") * weight).alias("simhash")
     )
+
+
+def connected_components(
+    edges: DataFrame, nodes: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components by iterative min-label propagation: the
+    cluster step of near-dup grouping (pairs → groups → keep one
+    representative per group). (id, comp) out, comp = min node id
+    reachable.
+
+    The driver loop runs O(graph diameter) Spark jobs — each iteration
+    is one join + aggregate over (label ∪ edges), all JVM-side; the
+    driver only inspects the converged? count. At 100 TB use the
+    large-star/small-star variant (same loop shape, alternating
+    neighbor contractions) to cut iterations on high-diameter graphs;
+    near-dup graphs are almost always tiny stars, converging in 2-3.
+
+    ``edges``: (src, dst) undirected pairs; ``nodes``: (id).
+    """
+    sym = edges.selectExpr("src", "dst").union(
+        edges.selectExpr("dst AS src", "src AS dst")
+    )
+    labels = nodes.select(F.col("id"), F.col("id").alias("comp"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            labels.join(sym, labels["id"] == sym["src"])
+            .groupBy(sym["dst"].alias("id2"))
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(
+                neighbor_min, labels["id"] == neighbor_min["id2"], "left"
+            )
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce("ncomp", F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage
+        changed = (
+            labels.withColumnRenamed("comp", "old")
+            .join(new_labels, "id")
+            .filter(F.col("old") != F.col("comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -222,3 +222,51 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus; real dedup uses ~0.95). Exhaustive here for exact-recall
     oracle checking; the LSH-bucketed form is the scale path."""
     return cosine_neardup_pairs(_vecs(spark, sf_dir), 0.4)
+
+
+@register(
+    "dedup_cc_clusters",
+    oracle=f"""
+WITH RECURSIVE
+e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+edges AS (
+  SELECT q.id AS src, c.id AS dst
+  FROM e q JOIN e c ON q.id < c.id
+  WHERE {_COS_SQL} >= 0.4
+),
+sym AS (SELECT src, dst FROM edges
+        UNION ALL SELECT dst AS src, src AS dst FROM edges),
+walk(id, comp) AS (
+  SELECT id, id FROM e
+  UNION
+  SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.id
+),
+cc AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
+SELECT cc.comp AS cluster_id,
+       count(*) AS n_members,
+       min(cc.id) AS representative
+FROM cc GROUP BY cc.comp
+""",
+    tags=("similarity", "dedup", "iterative"),
+)
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: embedding near-dup pairs (cosine >= 0.4)
+    grouped into connected components by the iterative min-label loop
+    (operators/dedup.py::connected_components) — the step that turns
+    pairwise dedup into keep-one-per-group. The oracle reproduces the
+    fixpoint with a recursive CTE; the Spark loop is the
+    non-SQL-expressible iterative-algorithm class done as repeated
+    joins, O(diameter) jobs."""
+    from distributed_system_spark.operators.dedup import (
+        connected_components,
+    )
+
+    vecs = _vecs(spark, sf_dir)
+    edges = cosine_neardup_pairs(vecs, 0.4).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    cc = connected_components(edges, vecs.select("id"))
+    return cc.groupBy(F.col("comp").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("id").alias("representative"),
+    )

@@ -116,6 +116,25 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     assert len(got & exact) / len(exact) >= 0.5  # recall@3, nprobe=2/4
 
 
+def test_connected_components_labels_and_convergence(spark):
+    """Known graph: {1-2, 2-3} ∪ {5-6} ∪ isolated 9 → three components
+    labeled by their min member, including a 2-hop chain (needs >1
+    iteration of label propagation)."""
+    from distributed_system_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 6, 9)], "id long")
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components(edges, nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9}
+
+
 def test_multimodal_roundtrip_bytes_exact(spark):
     docs = spark.createDataFrame(
         [(1, "hello"), (2, "Ab9!")], "doc_id bigint, text string"
