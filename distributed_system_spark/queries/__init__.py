@@ -50,6 +50,7 @@ _MODULES = (
     "distributed_system_spark.queries.text_q",
     "distributed_system_spark.queries.multimodal_q",
     "distributed_system_spark.queries.streaming_q",
+    "distributed_system_spark.queries.timeseries",
     "distributed_system_spark.queries.udf_q",
 )
 

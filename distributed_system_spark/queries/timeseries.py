@@ -1,0 +1,190 @@
+"""Time-series operators over `events`: hierarchical rollups
+(hourly → daily composed from the hourly pre-aggregate, the
+hypertable/continuous-aggregate pattern) and gap filling with
+last-observation-carried-forward.
+
+Scale notes:
+- The rollup identity (daily = regroup of hourly) is what makes
+  materialized continuous aggregates valid: at 100 TB/day you
+  maintain the hourly table incrementally (one streaming agg) and
+  serve every coarser granularity from it — the raw-events scan
+  happens once, not once per granularity. The oracle aggregates the
+  RAW table directly, so the green check proves the composition is
+  lossless (decimal sums are associative by construction).
+- Gap fill generates the dense hour spine with `sequence()` per
+  group (no driver loop) and LOCF is one `last(ignorenulls)` window
+  — linear, one shuffle on the group key.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from distributed_system_spark.queries import register
+from distributed_system_spark.sources.tables import load_table
+
+_HOUR_US = 3_600_000_000
+_DAY_US = 24 * _HOUR_US
+
+
+def _hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hourly pre-aggregate a continuous rollup would maintain."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = (F.col("ts_us") - F.col("ts_us") % _HOUR_US).alias("hour_us")
+    return (
+        ev.withColumn("ts_us", F.expr("ts_ns div 1000"))
+        .groupBy(hour, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_dec"),
+        )
+    )
+
+
+@register(
+    "ts_rollup_daily_from_hourly",
+    oracle=f"""
+SELECT (epoch_us(ts) // {_DAY_US}) * {_DAY_US} AS day_us,
+       event_type,
+       count(*) AS cnt,
+       CAST(round(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("timeseries", "rollup"),
+)
+def ts_rollup_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily rollup computed FROM the hourly pre-aggregate (never from
+    raw events) — the continuous-aggregate serving path. Matching the
+    raw-table oracle proves hourly → daily composition is lossless."""
+    hourly = _hourly(spark, sf_dir)
+    day = (F.col("hour_us") - F.col("hour_us") % _DAY_US).alias("day_us")
+    return (
+        hourly.groupBy(day, "event_type")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.round(F.sum("sum_dec"), 2).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "ts_gapfill_locf",
+    oracle=f"""
+WITH h AS (
+  SELECT (epoch_us(ts) // {_HOUR_US}) * {_HOUR_US} AS hour_us,
+         user_id, count(*) AS cnt
+  FROM events WHERE user_id < 10 GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, min(hour_us) AS lo, max(hour_us) AS hi
+  FROM h GROUP BY user_id
+),
+spine AS (
+  SELECT user_id, unnest(range(lo, hi + 1, {_HOUR_US})) AS hour_us
+  FROM bounds
+),
+joined AS (
+  SELECT s.user_id, s.hour_us, h.cnt
+  FROM spine s LEFT JOIN h ON h.user_id = s.user_id
+                          AND h.hour_us = s.hour_us
+)
+SELECT user_id, hour_us,
+       coalesce(cnt, 0) AS cnt,
+       last_value(cnt IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY hour_us
+         ROWS UNBOUNDED PRECEDING) AS locf_cnt
+FROM joined
+""",
+    tags=("timeseries", "gapfill", "locf"),
+)
+def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling: generate every user's dense hour spine between
+    their first and last event with `sequence()` (no driver loop),
+    left-join the sparse hourly counts, and carry the last observation
+    forward with one `last(ignorenulls)` window."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    hour = (F.col("ts_us") - F.col("ts_us") % _HOUR_US).alias("hour_us")
+    h = (
+        ev.withColumn("ts_us", F.expr("ts_ns div 1000"))
+        .groupBy("user_id", hour)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spine = (
+        h.groupBy("user_id")
+        .agg(F.min("hour_us").alias("lo"), F.max("hour_us").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.lit(_HOUR_US))
+            ).alias("hour_us"),
+        )
+    )
+    joined = spine.join(h, ["user_id", "hour_us"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        "hour_us",
+        F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        F.last("cnt", ignorenulls=True).over(w).alias("locf_cnt"),
+    )
+
+
+@register(
+    "sample_deterministic",
+    oracle="""
+SELECT doc_id, lang
+FROM documents
+WHERE strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+      <= 3
+""",
+    tags=("sampling", "pipeline"),
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~3/16 Bernoulli sample keyed on md5(doc_id) — the
+    sampling every training-data pipeline needs to be rerunnable:
+    membership depends only on the id, not on partitioning, executor
+    count, or Spark's RNG (df.sample() is none of those things).
+    Pushes down as a deterministic filter; no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    nibble = F.instr(
+        F.lit("0123456789abcdef"),
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1),
+    )
+    return docs.filter(nibble <= 3).select("doc_id", "lang")
+
+
+@register(
+    "sample_stratified_topn",
+    oracle="""
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn
+  FROM documents
+) WHERE rn <= 20
+""",
+    tags=("sampling", "stratified"),
+)
+def sample_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sample: exactly 20 docs per language,
+    chosen by md5 order (uniform, reproducible, engine-portable).
+    One shuffle on the stratum key; at 100 TB prefer this over
+    sampleBy(), whose per-partition RNG draws are not stable across
+    cluster layouts."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "doc_id")
+    )
