@@ -41,6 +41,7 @@ _MODULES = (
     "distributed_system_spark.queries.wordcount_q",
     "distributed_system_spark.queries.relational",
     "distributed_system_spark.queries.analytics",
+    "distributed_system_spark.queries.tpch2",
     "distributed_system_spark.queries.joins",
     "distributed_system_spark.queries.windows",
     "distributed_system_spark.queries.scalars",
