@@ -308,15 +308,23 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    hashed = docs.select(
-        "doc_id", F.explode(shingles).alias("sh")
-    ).select("doc_id", F.md5(F.col("sh").cast("binary")).alias("h"))
-    selected = hashed.filter(F.substring("h", 1, 1) == "0")
-    return selected.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_sel"),
-        F.md5(
-            F.concat_ws(",", F.sort_array(F.collect_list("h"))).cast("binary")
-        ).alias("fingerprint"),
+    # doc_id is the row key, so the whole fingerprint is per-row array
+    # math — no explode, no shuffle, embarrassingly parallel at any
+    # scale (the explode+groupBy formulation shuffles every shingle).
+    kept = F.array_sort(
+        F.filter(
+            F.transform(shingles, lambda s: F.md5(s.cast("binary"))),
+            lambda h: h.startswith("0"),
+        )
+    )
+    return (
+        docs.select("doc_id", kept.alias("hs"))
+        .filter(F.size("hs") > 0)
+        .select(
+            "doc_id",
+            F.size("hs").cast("long").alias("n_sel"),
+            F.md5(F.concat_ws(",", "hs").cast("binary")).alias("fingerprint"),
+        )
     )
 
 

@@ -126,6 +126,60 @@ def test_filter_pushed_through_join(spark, sf_dir):
     ), plan
 
 
+def test_q6_pure_scan_agg(spark, sf_dir):
+    """q6_revenue_forecast: every predicate reaches the parquet scan
+    and the only shuffle is the 1-row final aggregate — the shape
+    that makes Q6 IO-bound (the correct bound) at 100 TB."""
+    plan = plan_of(spark, sf_dir, "q6_revenue_forecast")
+    assert "PushedFilters: [" in plan, plan
+    pushed = plan.split("PushedFilters: [")[1].splitlines()[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed, pushed
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q21_correlated_exists_stays_equi(spark, sf_dir):
+    """q21_waiting_supplier: the EXISTS / NOT-EXISTS correlations are
+    equi on l_orderkey with residual predicates — they must plan as
+    hash/sort-merge semi+anti joins, never a nested-loop or cartesian
+    (the O(n^2) failure mode of correlated subqueries)."""
+    plan = plan_of(spark, sf_dir, "q21_waiting_supplier")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+
+
+def test_q2_window_min_partitioned_by_part(spark, sf_dir):
+    """q2_min_cost_supplier: the correlated-MIN window partitions by
+    p_partkey — an unpartitioned window would serialize the table
+    through one task."""
+    plan = plan_of(spark, sf_dir, "q2_min_cost_supplier")
+    assert "Window" in plan, plan
+    assert "SinglePartition" not in plan.split("TakeOrderedAndProject")[-1]
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_scalar_subquery_broadcast_not_global_window(spark, sf_dir):
+    """q11/q15/q22: the scalar threshold must arrive via a broadcast
+    join of a 1-row aggregate, never a window over a global (empty)
+    partition that would single-partition the fact table."""
+    for name in ("q11_important_parts", "q15_top_supplier",
+                 "q22_global_sales"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "Window" not in plan, (name, plan)
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in (
+            plan
+        ), (name, plan)
+
+
+def test_fingerprint_is_shuffle_free(spark, sf_dir):
+    """text_fingerprint: the per-document fingerprint is pure row-local
+    array math — the plan must contain no Exchange at all (the naive
+    explode+groupBy formulation shuffles every shingle hash)."""
+    plan = plan_of(spark, sf_dir, "text_fingerprint")
+    assert "Exchange" not in plan, plan
+
+
 @pytest.mark.parametrize("name", ["wordcount", "join_broadcast", "q1_pricing"])
 def test_whole_stage_codegen_active(spark, sf_dir, name):
     """Hot relational paths must run inside whole-stage-codegen spans
