@@ -270,3 +270,106 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.min("id").alias("representative"),
     )
+
+
+_SQL_SQDIST = (
+    "round(list_sum(list_transform(range(1, 65), "
+    "i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), 6)"
+)
+
+
+@register(
+    "kmeans_clusters",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_SQL_SQDIST}, c.cid) AS rn
+    FROM e CROSS JOIN c0 c) WHERE rn = 1
+),
+pts AS (
+  SELECT a1.cid, unnest(e.v) AS x, generate_subscripts(e.v, 1) AS pos
+  FROM a1 JOIN e USING (vec_id)
+),
+c1 AS (
+  SELECT cid, list(m ORDER BY pos) AS c FROM (
+    SELECT cid, pos,
+           round(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+                 / count(*), 9) AS m
+    FROM pts GROUP BY cid, pos) GROUP BY cid
+)
+SELECT vec_id, cid AS cluster FROM (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_SQL_SQDIST}, c.cid) AS rn
+  FROM e CROSS JOIN c1 c) WHERE rn = 1
+""",
+    tags=("clustering", "kmeans", "iterative"),
+)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=8, one centroid update, deterministic init =
+    vectors 0..7), the iterative-algorithm archetype the reference
+    could only express as chained MapleJuice jobs (A22).
+
+    Spark-first shape (mirrors MLlib KMeans): each iteration is one
+    embarrassingly-parallel assignment pass against k centroid
+    *literals* (k·d doubles live on the driver — constant size at any
+    corpus scale, never a data collect) and one groupBy(cluster, pos)
+    mean to re-estimate centroids.  Distances round to 6 and means to
+    9 via the exact-decimal path so the DuckDB oracle (same two CTE
+    rounds) lands on identical assignments."""
+    k = 8
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+
+    def assign(df: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
+        choices = [
+            F.struct(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            "v",
+                            F.array(*[F.lit(float(x)) for x in vec]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    6,
+                ).alias("d"),
+                F.lit(int(cid)).cast("int").alias("cid"),
+            )
+            for cid, vec in cents
+        ]
+        return df.withColumn("cluster", F.array_min(F.array(*choices))["cid"])
+
+    c0 = [
+        (r["vec_id"], list(r["v"]))
+        for r in e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    ]
+    a1 = assign(e, c0)
+    c1_rows = (
+        a1.select("cluster", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cluster", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("m")
+        )
+        .collect()
+    )
+    by_cid: dict[int, dict[int, float]] = {}
+    for r in c1_rows:
+        by_cid.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+    c1 = [
+        (cid, [dims[p] for p in sorted(dims)])
+        for cid, dims in sorted(by_cid.items())
+    ]
+    return assign(e, c1).select(
+        "vec_id", F.col("cluster").cast("long").alias("cluster")
+    )

@@ -179,3 +179,52 @@ def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id", "event_type").agg(
         F.min("ts_us").alias("first_us"), F.count(F.lit(1)).alias("n_dups")
     )
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n_events,
+       CAST(round(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+""",
+    tags=("C9", "stream-static-join"),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real streaming stream-static enrichment: the events stream
+    (3 time-ordered microbatches) joined to the static customer
+    dimension — the canonical "enrich a firehose with a broadcast
+    dim" pattern. The static side is re-broadcast per microbatch, so
+    at 100 TB/day the stream never shuffles; state is only the
+    running aggregate. Must equal the batch join, which is the
+    oracle."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_timeordered_stage_dir(sf_dir))
+        )
+        cust = F.broadcast(
+            load_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment"
+            )
+        )
+        enriched = stream.join(
+            cust, F.col("user_id") == F.col("c_custkey")
+        )
+        agg = enriched.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")), 2
+            ).cast("double").alias("sum_value"),
+        )
+        return run_available_now(
+            agg, "static_enrich_sink", output_mode="complete"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

@@ -378,3 +378,93 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return m.select("doc_id", "lang", "n_tokens", keep.alias("keep"))
+
+
+@register(
+    "doc_chunking",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+), n AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t
+), s AS (
+  SELECT doc_id, toks, n,
+         unnest(range(0,
+           CAST(greatest(ceil((n - 50) / 40.0), 0) AS BIGINT) + 1)) AS cid
+  FROM n
+)
+SELECT doc_id, cid AS chunk_id,
+       len(list_slice(toks, 1 + 40 * cid,
+                      least(40 * cid + 50, n))) AS n_tok,
+       array_to_string(list_slice(toks, 1 + 40 * cid,
+                                  least(40 * cid + 50, n)), ' ')
+         AS chunk_text
+FROM s
+""",
+    tags=("llm", "chunking"),
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap (window 50, stride 40 —
+    10-token overlap), the standard LLM-training prep step.  Pure
+    per-row array math plus an explode whose fan-out is bounded by
+    n_tokens/stride: no shuffle, no Python, linear at any corpus
+    size."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ", -1)
+    n = F.size(toks)
+    n_chunks = (
+        F.greatest(F.ceil((n - 50) / F.lit(40.0)), F.lit(0)).cast("long") + 1
+    )
+    chunked = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.posexplode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "_p", "cid"
+        ),
+    )
+    piece = F.slice("toks", (1 + 40 * F.col("cid")).cast("int"), 50)
+    return chunked.select(
+        "doc_id",
+        F.col("cid").alias("chunk_id"),
+        F.size(piece).cast("long").alias("n_tok"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+@register(
+    "dataset_split",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b
+  FROM documents
+)
+SELECT CASE WHEN b < 'cd' THEN 'train'
+            WHEN b < 'e6' THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM h GROUP BY 1
+""",
+    tags=("llm", "split"),
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/val/test assignment by the first
+    md5 byte of the document id — stable under re-runs, additions,
+    and engine changes (md5 hex is bit-identical everywhere), which
+    is what keeps a 100 TB corpus's split leak-free across pipeline
+    versions.  Buckets: 0x00-0xcc train (205/256), 0xcd-0xe5 val
+    (25/256), 0xe6-0xff test (26/256)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+    split = (
+        F.when(b < "cd", "train").when(b < "e6", "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )

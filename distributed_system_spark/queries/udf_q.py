@@ -133,3 +133,38 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
+
+
+@register(
+    "hll_mergeable_rollup",
+    oracle=None,  # Datasketches HLL binary sketches are engine-specific
+    tags=("C4", "approx", "sketch"),
+)
+def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches via
+    hll_sketch_agg / hll_union_agg): per-event-type user sketches are
+    built once, then *re-aggregated* to a global distinct-user count
+    by merging the sketches — no second pass over the data.
+
+    This is the 100 TB pattern the plain approx_count_distinct can't
+    do: persist per-partition/per-day sketch bytes, answer any
+    rollup (day → month → all-time distinct) by unioning kilobytes.
+    No SQL oracle (sketch encodings are engine-specific); the pytest
+    suite asserts per-type and merged estimates land within 5% of
+    exact, and that merging per-type sketches equals sketching the
+    union."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    merged = per_type.agg(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.lit(None).cast("long").alias("exact_users"),
+    )
+    return per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+        "exact_users",
+    ).unionByName(merged)

@@ -32,3 +32,27 @@ def test_approx_count_distinct_within_rsd(spark, sf_dir):
     for r in rows:
         exact = r["exact_parts"]
         assert abs(r["approx_parts"] - exact) <= max(1, 0.10 * exact)
+
+
+def test_hll_sketch_rollup_accuracy_and_merge(spark, sf_dir):
+    """DataSketches HLL: per-type estimates within 5% of exact, and
+    the merged (union) sketch estimate within 5% of the true global
+    distinct-user count — the re-aggregation property that makes
+    sketches the 100 TB rollup primitive."""
+    import pyspark.sql.functions as F
+
+    from distributed_system_spark.queries.udf_q import hll_mergeable_rollup
+    from distributed_system_spark.sources.tables import load_table
+
+    rows = {r["event_type"]: r for r in
+            hll_mergeable_rollup(spark, sf_dir).collect()}
+    assert "ALL" in rows and len(rows) >= 2
+    for etype, r in rows.items():
+        if etype == "ALL":
+            continue
+        exact = r["exact_users"]
+        assert abs(r["approx_users"] - exact) <= max(1, 0.05 * exact), r
+    ev = load_table(spark, sf_dir, "events")
+    true_global = ev.select("user_id").distinct().count()
+    merged = rows["ALL"]["approx_users"]
+    assert abs(merged - true_global) <= max(1, 0.05 * true_global)
