@@ -29,6 +29,10 @@ HEADLINE = [
     "q3_shipping_priority",  # 3-table join + agg + top-k (TPC-H Q3 shape)
     "q5_local_supplier_volume",  # 6-table join (TPC-H Q5 shape)
     "q10_returned_items", # selective join + agg + top-k (TPC-H Q10 shape)
+    "q6_revenue_forecast",  # pure scan+filter+agg (TPC-H Q6 shape, IO-bound)
+    "q9_product_profit",  # 5-table join, profit rollup (TPC-H Q9 shape)
+    "q18_large_volume",   # HAVING over grouped fact + join-back (TPC-H Q18)
+    "q21_waiting_supplier",  # correlated EXISTS/NOT-EXISTS (TPC-H Q21)
     "join_broadcast",     # 3-way broadcast dim join
     "join_sortmerge",     # fact-fact SMJ
     "topk_per_group",     # join + agg + window
@@ -36,6 +40,8 @@ HEADLINE = [
     "dedup_simhash",      # simhash fingerprints over documents
     "text_fingerprint",   # sampled-shingle fingerprints (sparse at scale)
     "ann_topk_cosine",    # brute-force ANN over embeddings
+    "kmeans_clusters",    # iterative Lloyd assignment over embeddings
+    "doc_chunking",       # token-window chunking (LLM prep, shuffle-free)
     "win_session",        # session windows over events
 ]
 # NOT here: dedup_minhash_lsh / dedup_ngram_jaccard. They are correct

@@ -309,22 +309,26 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # doc_id is the row key, so the whole fingerprint is per-row array
-    # math — no explode, no shuffle, embarrassingly parallel at any
-    # scale (the explode+groupBy formulation shuffles every shingle).
+    # math — no explode fan-out, no shuffle, embarrassingly parallel
+    # at any scale (the explode+groupBy formulation shuffles every
+    # shingle hash).
     kept = F.array_sort(
         F.filter(
             F.transform(shingles, lambda s: F.md5(s.cast("binary"))),
             lambda h: h.startswith("0"),
         )
     )
-    return (
-        docs.select("doc_id", kept.alias("hs"))
-        .filter(F.size("hs") > 0)
-        .select(
-            "doc_id",
-            F.size("hs").cast("long").alias("n_sel"),
-            F.md5(F.concat_ws(",", "hs").cast("binary")).alias("fingerprint"),
-        )
+    # 1:1 explode barrier: downstream filter/size/concat reference the
+    # generated attribute, so the md5-heavy `kept` evaluates once per
+    # row — without it Catalyst substitutes the expression into all
+    # three references (3x the hashing).
+    once = docs.select(
+        "doc_id", F.explode(F.array(kept)).alias("hs")
+    )
+    return once.filter(F.size("hs") > 0).select(
+        "doc_id",
+        F.size("hs").cast("long").alias("n_sel"),
+        F.md5(F.concat_ws(",", "hs").cast("binary")).alias("fingerprint"),
     )
 
 
