@@ -52,6 +52,7 @@ _MODULES = (
     "distributed_system_spark.queries.multimodal_q",
     "distributed_system_spark.queries.streaming_q",
     "distributed_system_spark.queries.timeseries",
+    "distributed_system_spark.queries.behavior",
     "distributed_system_spark.queries.udf_q",
 )
 

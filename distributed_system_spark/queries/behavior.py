@@ -1,0 +1,158 @@
+"""Behavioral / operational analytics over the events stream table:
+batch sessionization (the window-function face of C9's session
+windows), retention cohorts, and a join-key skew report.
+
+Scale notes:
+- Sessionization is two windows and one aggregate, all partitioned by
+  user_id — one shuffle on the natural key, no state beyond the
+  window frame.  This is the batch twin of `win_session`
+  (session_window); at 100 TB/day the streaming form bounds state
+  with a watermark while this form is the backfill path.
+- The cohort matrix is two grouped passes over events joined on
+  user_id (first-activity side is one row per user — broadcastable).
+- The skew report is the operational pre-check for the salted-join
+  path (`join_skew_salted`): it's how you *find* the keys worth
+  salting before a 100 TB join, as a TakeOrderedAndProject (top-k
+  heap), never a global sort.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from distributed_system_spark.queries import register
+from distributed_system_spark.sources.tables import load_table
+
+_GAP_US = 1_800_000_000  # 30 min session gap
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+), g AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > {_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), s AS (
+  SELECT user_id, ts_us,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
+  FROM g
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts_us) AS start_us, max(ts_us) AS end_us,
+       max(ts_us) - min(ts_us) AS duration_us
+FROM s GROUP BY user_id, session_id
+""",
+    tags=("C5", "C9", "sessionization"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: lag-gap flag + running sum assigns session
+    ids (30-min gap), then per-session aggregates — the classic
+    two-window shape, deterministic via the (ts, event_id) tiebreak."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > _GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    with_sid = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return with_sid.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+WITH f AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+  FROM events GROUP BY user_id
+), a AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+)
+SELECT cohort,
+       CAST(date_diff('day', cohort, wk) / 7 AS BIGINT) AS week_offset,
+       count(*) AS n_active
+FROM a JOIN f USING (user_id)
+GROUP BY cohort, week_offset
+""",
+    tags=("C4", "retention"),
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention matrix: users bucketed by first-activity week
+    (cohort), counted per week-offset of later activity — two grouped
+    passes joined on user_id; the per-user cohort side broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    return (
+        active.join(F.broadcast(first), "user_id")
+        .groupBy(
+            "cohort",
+            (F.datediff("wk", "cohort") / 7).cast("long").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@register(
+    "skew_report",
+    oracle="""
+SELECT l_orderkey, count(*) AS n_rows,
+       round(CAST(count(*) AS DOUBLE)
+             / (SELECT count(*) FROM lineitem), 9) AS share
+FROM lineitem
+GROUP BY l_orderkey
+ORDER BY n_rows DESC, l_orderkey
+LIMIT 20
+""",
+    tags=("C4", "C6", "skew"),
+)
+def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 heaviest join keys with their row share — the
+    operational pre-check that decides which keys the salted join
+    (`join_skew_salted`) must replicate.  Planned as partial agg +
+    TakeOrderedAndProject; the total is a broadcast 1-row scalar."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = li.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        per_key.crossJoin(F.broadcast(total))
+        .select(
+            "l_orderkey",
+            "n_rows",
+            F.round(
+                F.col("n_rows").cast("double") / F.col("total"), 9
+            ).alias("share"),
+        )
+        .orderBy(F.col("n_rows").desc(), "l_orderkey")
+        .limit(20)
+    )

@@ -180,6 +180,22 @@ def test_fingerprint_is_shuffle_free(spark, sf_dir):
     assert "Exchange" not in plan, plan
 
 
+def test_sessionize_windows_partition_by_user(spark, sf_dir):
+    """sessionize_events: both windows and the final aggregate hash on
+    user_id — a single shuffle, never an unpartitioned window."""
+    plan = plan_of(spark, sf_dir, "sessionize_events")
+    assert "Window" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_skew_report_is_topk(spark, sf_dir):
+    """skew_report: the heavy-key ranking must be a top-k heap
+    (TakeOrderedAndProject) over the grouped counts, not a global
+    sort of every distinct key."""
+    plan = plan_of(spark, sf_dir, "skew_report")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 @pytest.mark.parametrize("name", ["wordcount", "join_broadcast", "q1_pricing"])
 def test_whole_stage_codegen_active(spark, sf_dir, name):
     """Hot relational paths must run inside whole-stage-codegen spans
