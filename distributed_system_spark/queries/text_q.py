@@ -472,3 +472,79 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_id"),
         )
     )
+
+
+@register(
+    "contamination_check",
+    oracle="""
+WITH assign AS (
+  SELECT doc_id, text,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+              THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+              THEN 'val' ELSE 'test' END AS split
+  FROM documents
+), grams AS (
+  SELECT doc_id, split,
+         unnest(list_distinct([md5(array_to_string(toks[i:i+7], ' '))
+                for i in range(1, len(toks) - 6)])) AS h
+  FROM (SELECT doc_id, split, str_split(text, ' ') AS toks FROM assign)
+), common AS (
+  SELECT h FROM grams WHERE split = 'train'
+  GROUP BY h HAVING count(*) <= 100
+)
+SELECT te.doc_id AS test_doc, tr.doc_id AS train_doc,
+       count(*) AS n_shared
+FROM (SELECT * FROM grams WHERE split = 'test') te
+JOIN (SELECT * FROM grams WHERE split = 'train') tr ON te.h = tr.h
+JOIN common ON te.h = common.h
+GROUP BY te.doc_id, tr.doc_id
+HAVING count(*) >= 3
+""",
+    tags=("llm", "contamination"),
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination: test docs sharing >=3 distinct word
+    8-grams with a train doc (split assignment = `dataset_split`'s
+    md5 buckets).  The join is equi on the md5 of each 8-gram;
+    boilerplate n-grams appearing in >100 train docs are dropped
+    first — the standard suppression that also caps join fan-out (the
+    scale guard against a hot shingle going quadratic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+    split = F.when(b < "cd", "train").when(b < "e6", "val").otherwise("test")
+    grams8 = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("toks") - 7, F.lit(0))),
+            lambda i: F.md5(
+                F.array_join(F.slice("toks", i, 8), " ").cast("binary")
+            ),
+        )
+    )
+    grams = (
+        docs.select(
+            "doc_id", split.alias("split"),
+            F.split("text", " ", -1).alias("toks"),
+        )
+        .filter(F.col("split") != "val")
+        .select("doc_id", "split", F.explode(grams8).alias("h"))
+    )
+    train = grams.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "h"
+    )
+    test = grams.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc"), "h"
+    )
+    common = (
+        train.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_train"))
+        .filter(F.col("n_train") <= 100)
+        .select("h")
+    )
+    return (
+        test.join(common, "h")
+        .join(train, "h")
+        .groupBy("test_doc", "train_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )

@@ -157,3 +157,31 @@ def test_fake_features_deterministic():
 def test_decode_image_stub_raises_without_codec():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
+
+
+def test_doc_chunking_reconstructs_original(spark, sf_dir):
+    """Chunk coverage invariant: dropping the 10-token overlap from
+    every chunk after the first reconstructs the original token
+    stream exactly — no token lost or duplicated at any boundary."""
+    import pyspark.sql.functions as F
+
+    from distributed_system_spark.queries.text_q import doc_chunking
+    from distributed_system_spark.sources.tables import load_table
+
+    chunks = doc_chunking(spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    assert set(by_doc) == set(docs)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_id"])
+        rebuilt: list[str] = []
+        for i, r in enumerate(rows):
+            toks = r["chunk_text"].split(" ") if r["chunk_text"] else [""]
+            assert len(toks) == r["n_tok"], (doc_id, r)
+            rebuilt.extend(toks if i == 0 else toks[10:])
+        assert rebuilt == docs[doc_id], doc_id
