@@ -156,3 +156,102 @@ def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_rows").desc(), "l_orderkey")
         .limit(20)
     )
+
+
+@register(
+    "funnel_stages",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+), v AS (
+  SELECT user_id, min(ts_us) AS v_ts FROM e
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts_us) AS c_ts
+  FROM e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts_us > v.v_ts
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts_us) AS p_ts
+  FROM e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts_us > c.c_ts
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v) AS n_viewed,
+       (SELECT count(*) FROM c) AS n_clicked,
+       (SELECT count(*) FROM p) AS n_purchased
+""",
+    tags=("C4", "funnel"),
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → later click → later purchase): each
+    stage is a grouped min joined to the previous stage's per-user
+    anchor — two equi joins on user_id, no window over the global
+    stream, per-user state only."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts_ns div 1000").alias("ts_us")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_us") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_us") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("p_ts"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased")))
+    )
+
+
+@register(
+    "cdc_latest_per_key",
+    oracle="""
+SELECT user_id, event_type, event_id AS last_event_id,
+       ts_us AS last_ts_us, value AS last_value
+FROM (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY epoch_us(ts) DESC, event_id DESC)
+           AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    tags=("C5", "cdc"),
+)
+def cdc_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest compaction per (user, type) — the CDC upsert twin
+    of `stream_dedup_first`'s keep-first: one row_number window on
+    the natural key, deterministic via the (ts, event_id) tiebreak.
+    At scale this is the merge-on-read compaction pass every
+    change-capture table needs."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts_us").alias("last_ts_us"),
+            F.col("value").alias("last_value"),
+        )
+    )
