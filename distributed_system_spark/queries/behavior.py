@@ -255,3 +255,76 @@ def cdc_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("last_value"),
         )
     )
+
+
+@register(
+    "merge_upsert",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS spend
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+  GROUP BY o_custkey
+), changes AS (
+  SELECT o_custkey AS key, spend FROM spend
+  UNION ALL
+  SELECT o_custkey + 100000 AS key, spend FROM spend
+  WHERE o_custkey % 97 = 0
+)
+SELECT COALESCE(c.c_custkey, ch.key) AS custkey,
+       CAST(round(CAST(
+         CASE WHEN c.c_custkey IS NULL THEN ch.spend
+              WHEN ch.key IS NULL THEN c.c_acctbal
+              ELSE c.c_acctbal + ch.spend END AS DECIMAL(18,4)), 2)
+         AS DOUBLE) AS acctbal,
+       CASE WHEN c.c_custkey IS NULL THEN 'insert'
+            WHEN ch.key IS NULL THEN 'keep'
+            ELSE 'update' END AS op
+FROM customer c FULL OUTER JOIN changes ch ON c.c_custkey = ch.key
+""",
+    tags=("C3", "merge", "cdc"),
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (the Delta/Iceberg upsert) as a full outer
+    join: matched rows update (balance + recent spend), unmatched
+    change rows insert, unmatched base rows keep.  One shuffle on the
+    merge key; at lakehouse scale the same plan runs per partition
+    after AQE prunes untouched files — the reference's closest analog
+    is SDFS put-overwrite (A14), which can only replace whole files."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (
+        orders.filter(
+            F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2
+            ).cast("double").alias("spend")
+        )
+    )
+    inserts = spend.filter(F.col("o_custkey") % 97 == 0).select(
+        (F.col("o_custkey") + 100000).alias("key"), "spend"
+    )
+    changes = spend.select(
+        F.col("o_custkey").alias("key"), "spend"
+    ).unionByName(inserts)
+    merged = cust.join(changes, cust["c_custkey"] == changes["key"], "full")
+    new_bal = (
+        F.when(F.col("c_custkey").isNull(), F.col("spend"))
+        .when(F.col("key").isNull(), F.col("c_acctbal"))
+        .otherwise(F.col("c_acctbal") + F.col("spend"))
+    )
+    return merged.select(
+        F.coalesce("c_custkey", "key").alias("custkey"),
+        F.round(new_bal.cast("decimal(18,4)"), 2)
+        .cast("double")
+        .alias("acctbal"),
+        F.when(F.col("c_custkey").isNull(), "insert")
+        .when(F.col("key").isNull(), "keep")
+        .otherwise("update")
+        .alias("op"),
+    )
