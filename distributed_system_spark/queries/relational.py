@@ -561,3 +561,49 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     ).withColumn("value", F.round("value", 2))
+
+
+@register(
+    "multi_format_scan",
+    oracle="""
+SELECT r_name, count(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+    tags=("C1", "csv", "json"),
+)
+def multi_format_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 source coverage inside the oracle-checked surface: region is
+    staged to CSV and nation to JSON (driver-side staging, like the
+    streaming fixtures), then read back through the csv/json readers
+    with explicit schemas and joined — the result must equal the
+    parquet-only oracle.  Explicit schemas matter at scale: schema
+    inference is a full extra pass over 100 TB."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(f"{sf_dir}:formats".encode()).hexdigest()[:12]
+    stage = f"/tmp/dss-formats-{tag}"
+    region_csv = f"{stage}/region_csv"
+    nation_json = f"{stage}/nation_json"
+    if not os.path.exists(f"{stage}/_DONE"):
+        load_table(spark, sf_dir, "region").write.mode("overwrite").option(
+            "header", True
+        ).csv(region_csv)
+        load_table(spark, sf_dir, "nation").write.mode("overwrite").json(
+            nation_json
+        )
+        open(f"{stage}/_DONE", "w").close()
+    region = (
+        spark.read.option("header", True)
+        .schema("r_regionkey INT, r_name STRING")
+        .csv(region_csv)
+    )
+    nation = spark.read.schema(
+        "n_nationkey INT, n_name STRING, n_regionkey INT"
+    ).json(nation_json)
+    return (
+        nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
