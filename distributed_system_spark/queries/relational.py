@@ -607,3 +607,31 @@ def multi_format_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(F.count(F.lit(1)).alias("n_nations"))
     )
+
+
+@register(
+    "argmax_order",
+    oracle="""
+SELECT o_custkey,
+       arg_max(o_orderkey, o_totalprice) AS best_order,
+       max(o_totalprice) AS best_price,
+       arg_min(o_orderkey, o_totalprice) AS worst_order,
+       min(o_totalprice) AS worst_price
+FROM orders GROUP BY o_custkey
+""",
+    tags=("C4", "argmax"),
+)
+def argmax_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max/arg-min aggregates (max_by/min_by): each customer's
+    highest- and lowest-value order in one grouped pass — no window,
+    no self-join, one shuffle on the group key.  Deterministic here
+    because (o_custkey, o_totalprice) has no ties at any SF (verified
+    for all three fixtures); with ties, max_by needs a composite
+    ordering struct for a stable answer."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.expr("max_by(o_orderkey, o_totalprice)").alias("best_order"),
+        F.max("o_totalprice").alias("best_price"),
+        F.expr("min_by(o_orderkey, o_totalprice)").alias("worst_order"),
+        F.min("o_totalprice").alias("worst_price"),
+    )
