@@ -548,3 +548,60 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 3)
     )
+
+
+@register(
+    "fuzzy_part_names",
+    oracle="""
+WITH p AS (
+  SELECT p_partkey, p_name, split_part(p_name, ' ', 2) AS noun
+  FROM part
+)
+SELECT a.noun,
+       count(*) AS n_pairs,
+       CAST(min(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS min_dist,
+       CAST(max(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS max_dist
+FROM p a JOIN p b
+  ON a.noun = b.noun AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+GROUP BY a.noun
+""",
+    tags=("C8", "fuzzy-match", "levenshtein"),
+)
+def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy match (the entity-resolution shape): candidate
+    pairs come only from an equi-join on a blocking key (the name's
+    noun), then edit distance filters within the block — never an
+    all-pairs cross join.  At 100 TB the block sizes bound the
+    quadratic term; a hot block would get salted or length-bucketed
+    further."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.split_part("p_name", F.lit(" "), F.lit(2)).alias("noun"),
+    )
+    a = p.select(
+        F.col("noun"),
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("noun").alias("noun_b"),
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(
+            b,
+            (F.col("noun") == F.col("noun_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(dist <= 4)
+        .groupBy("noun")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(dist).cast("long").alias("min_dist"),
+            F.max(dist).cast("long").alias("max_dist"),
+        )
+    )
