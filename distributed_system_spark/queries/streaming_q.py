@@ -138,10 +138,10 @@ def stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides watermarked so join state is evictable. Equals the
     batch join, which is the oracle."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # join-state partitions follow shuffle partitions; 200 is waste
+    # join-state partitions follow shuffle partitions; wide is waste
     # for 2k events/side — restored after the drain
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         raw = (
             spark.readStream.schema(EVENTS_SCHEMA)
@@ -202,7 +202,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         stream = (
             spark.readStream.schema(EVENTS_SCHEMA)

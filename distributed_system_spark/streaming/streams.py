@@ -210,7 +210,7 @@ def running_totals_stateful(
     # a 200-wide state store for 150 users is pure per-task overhead
     # (restored below — on a cluster, size to keys/executors instead)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
