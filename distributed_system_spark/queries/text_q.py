@@ -57,18 +57,25 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-count language ID with a fixed priority tiebreak
     (en > de > es > fr) — the deterministic n-gram-heuristic shape."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ", -1)
+    # 1:1 explode barrier: tokenize once per row (four score columns
+    # would otherwise each inline their own split of the text)
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array(F.split("text", " ", -1))).alias("toks"),
+    )
+
     def score(words: tuple[str, ...]):
         arr = F.array(*[F.lit(w) for w in words])
         return F.size(
-            F.filter(toks, lambda x: F.array_contains(arr, x))
+            F.filter("toks", lambda x: F.array_contains(arr, x))
         ).cast("long")
 
     scores = {
         lang: score(words).alias(f"score_{lang}")
         for lang, words in _LANG_WORDS.items()
     }
-    scored = docs.select("doc_id", "lang", *scores.values())
+    scored = t.select("doc_id", "lang", *scores.values())
     e, d, s, fr = (F.col(f"score_{x}") for x in ("en", "de", "es", "fr"))
     pred = (
         F.when((e >= d) & (e >= s) & (e >= fr), "en")
@@ -121,17 +128,24 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniqueness ratios) with a boolean keep decision — the standard
     pretraining-corpus filter shape."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ", -1)
     stop = ("the", "a", "of", "and", "to", "is", "in")
-    m = docs.select(
+    # 1:1 explode barrier: tokenize once per row for the three
+    # token-derived metrics
+    t = docs.select(
         "doc_id",
         F.length("text").alias("len_chars"),
         F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).alias(
             "n_punct"
         ),
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
-        F.size(F.filter(toks, lambda x: x.isin(*stop))).alias("n_stop"),
+        F.explode(F.array(F.split("text", " ", -1))).alias("toks"),
+    )
+    m = t.select(
+        "doc_id",
+        "len_chars",
+        "n_punct",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_unique"),
+        F.size(F.filter("toks", lambda x: x.isin(*stop))).alias("n_stop"),
     )
     awl = (F.col("len_chars") - F.col("n_tokens") + 1).cast("double") / F.col(
         "n_tokens"
@@ -253,15 +267,20 @@ def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-20 word bigrams (n-gram extraction as a transform
     over token positions — flatMap-shaped, no UDF)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ", -1)
+    # 1:1 explode barrier: materialize the token array once per row —
+    # inlining the split into every element_at re-tokenizes the text
+    # per element (O(n^2) per document).
+    t = docs.select(
+        F.explode(F.array(F.split("text", " ", -1))).alias("toks")
+    )
     grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
+        F.sequence(F.lit(1), F.size("toks") - 1),
         lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            " ", F.element_at("toks", i), F.element_at("toks", i + 1)
         ),
     )
     return (
-        docs.select(F.explode(grams).alias("bigram"))
+        t.select(F.explode(grams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), "bigram")
@@ -361,15 +380,20 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Column expressions; at 100 TB this runs as a pushed-down projection
     + filter producing the keep bitmap that later stages join on."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ", -1)
     stops = F.array(*[F.lit(w) for w in
                       ("the", "a", "of", "and", "to", "is", "in")])
-    m = docs.select(
+    # 1:1 explode barrier: tokenize once per row (see text_quality)
+    t = docs.select(
         "doc_id",
         "lang",
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
-        F.size(F.filter(toks, lambda x: F.array_contains(stops, x)))
+        F.explode(F.array(F.split("text", " ", -1))).alias("toks"),
+    )
+    m = t.select(
+        "doc_id",
+        "lang",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_unique"),
+        F.size(F.filter("toks", lambda x: F.array_contains(stops, x)))
         .cast("long")
         .alias("n_stop"),
     )
