@@ -635,3 +635,81 @@ def argmax_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("min_by(o_orderkey, o_totalprice)").alias("worst_order"),
         F.min("o_totalprice").alias("worst_price"),
     )
+
+
+@register(
+    "price_histogram",
+    oracle="""
+SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+       count(*) AS cnt,
+       CAST(round(min(o_totalprice), 2) AS DOUBLE) AS lo,
+       CAST(round(max(o_totalprice), 2) AS DOUBLE) AS hi
+FROM orders
+GROUP BY bin
+""",
+    tags=("C4", "histogram"),
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram by floor-division binning — one grouped
+    pass, bin count independent of data size (the distribution-sketch
+    shape dashboards aggregate further)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn(
+            "bin", F.floor(F.col("o_totalprice") / 50000.0).cast("long")
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.min("o_totalprice"), 2).cast("double").alias("lo"),
+            F.round(F.max("o_totalprice"), 2).cast("double").alias("hi"),
+        )
+    )
+
+
+@register(
+    "winsorize_prices",
+    oracle="""
+WITH q AS (
+  SELECT quantile_cont(o_totalprice, 0.01) AS p01,
+         quantile_cont(o_totalprice, 0.99) AS p99
+  FROM orders
+)
+SELECT o_orderstatus,
+       count(*) AS n,
+       CAST(round(SUM(CAST(
+         CASE WHEN o_totalprice < p01 THEN p01
+              WHEN o_totalprice > p99 THEN p99
+              ELSE o_totalprice END AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS clipped_sum
+FROM orders, q
+GROUP BY o_orderstatus
+""",
+    tags=("C4", "robust-stats"),
+)
+def winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (outlier clipping at p01/p99) — the robust-stats
+    preprocessing shape: exact interpolated percentiles as a 1-row
+    broadcast scalar, then a clipped decimal-exact aggregate.  Spark's
+    `percentile` matches DuckDB's `quantile_cont` interpolation
+    bit-for-bit (proven by `agg_percentiles`)."""
+    orders = load_table(spark, sf_dir, "orders")
+    q = orders.agg(
+        F.expr("percentile(o_totalprice, 0.01)").alias("p01"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+    )
+    clipped = (
+        F.when(F.col("o_totalprice") < F.col("p01"), F.col("p01"))
+        .when(F.col("o_totalprice") > F.col("p99"), F.col("p99"))
+        .otherwise(F.col("o_totalprice"))
+    )
+    return (
+        orders.crossJoin(F.broadcast(q))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(clipped.cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("clipped_sum"),
+        )
+    )

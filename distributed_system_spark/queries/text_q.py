@@ -628,3 +628,36 @@ def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(dist).cast("long").alias("max_dist"),
         )
     )
+
+
+@register(
+    "weighted_sample",
+    oracle="""
+SELECT doc_id, n_chars
+FROM documents
+WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+           AS BIGINT) AS DOUBLE) / 4294967296.0
+      < least(CAST(n_chars AS DOUBLE) / 4000.0, 1.0)
+""",
+    tags=("llm", "sampling"),
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted (importance) sampling: keep a document
+    with probability proportional to its length — the training-mix
+    reweighting primitive.  The acceptance draw is a uniform derived
+    from the doc id's md5 (first 8 hex digits / 2^32), so the sample
+    is reproducible across runs, partitionings, and engines, and a
+    corpus re-shard never changes which documents survive."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / 4294967296.0
+    )
+    p = F.least(F.col("n_chars").cast("double") / 4000.0, F.lit(1.0))
+    return docs.filter(u < p).select("doc_id", "n_chars")
