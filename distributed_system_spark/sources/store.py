@@ -93,6 +93,42 @@ class DatasetStore:
             path, pieces=int(side.get("pieces", 0)) + 1, user=user
         )
 
+    def compact(self, path: str, target_partitions: int = 1) -> int:
+        """Merge all pieces into ``target_partitions`` files and reset
+        the piece count to 1 — the put-after-appends pattern readers
+        of a many-piece file want (the reference compacts implicitly
+        whenever a client gets then re-puts, mock_sdfs_client.cpp:
+        275-303 then 187-265).
+
+        At scale this is the small-files compaction every append-heavy
+        table needs: N appends leave O(N x tasks) files whose per-file
+        open/footer cost dominates scans; coalescing to size-targeted
+        partitions restores scan throughput. Returns the part-file
+        count before compaction (for the caller's bookkeeping).
+
+        Single-writer, like append: compaction is a maintenance op,
+        not a concurrent-write protocol.
+        """
+        before = len(
+            [
+                f
+                for f in os.listdir(self._abs(path))
+                if not f.startswith(("_", "."))
+            ]
+        )
+        meta = self.get_metadata(path)
+        df = self.get(path).coalesce(target_partitions)
+        # stage-then-swap: never leave the dataset half-overwritten if
+        # the rewrite dies mid-way (the committer protects each write;
+        # the swap protects the read path between the two writes)
+        staged = self._abs(path) + ".compacting"
+        df.write.format(self.fmt).mode("overwrite").save(staged)
+        final = self._abs(path)
+        shutil.rmtree(final)
+        os.rename(staged, final)
+        self._write_sidecar(path, pieces=1, user=meta)
+        return before
+
     def get(self, path: str) -> DataFrame:
         """Read the dataset; Spark concatenates all pieces/part-files."""
         return self.spark.read.format(self.fmt).load(self._abs(path))

@@ -88,3 +88,26 @@ def test_metadata_merge(store, spark):
 def test_path_escape_rejected(store):
     with pytest.raises(ValueError):
         store.exists("../outside")
+
+
+def test_compact_merges_pieces_and_preserves_rows(spark, tmp_path):
+    """compact(): N appends leave many part files; compaction coalesces
+    them to one, preserves every row and the metadata, and resets the
+    piece count to 1 (the put-after-appends semantics)."""
+    from distributed_system_spark.sources.store import DatasetStore
+
+    store = DatasetStore(spark, str(tmp_path / "store"))
+    df = spark.range(100).withColumnRenamed("id", "v")
+    store.put(df, "data/t", metadata={"owner": "tests"})
+    for _ in range(4):
+        store.append(df, "data/t")
+    assert store.get_num_shards("data/t") == 5
+    before_rows = store.get("data/t").count()
+    n_files_before = store.compact("data/t")
+    assert n_files_before >= 5
+    assert store.get("data/t").count() == before_rows == 500
+    assert store.get_num_shards("data/t") == 1
+    assert store.get_metadata("data/t") == {"owner": "tests"}
+    import glob
+    parts = glob.glob(str(tmp_path / "store/data/t/*.parquet"))
+    assert len(parts) == 1, parts
