@@ -188,3 +188,98 @@ def sample_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("lang", "doc_id")
     )
+
+
+@register(
+    "ts_similarity_topk",
+    oracle="""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hr,
+         CAST(round(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS s
+  FROM events GROUP BY user_id, hr
+), q AS (
+  SELECT hr, s AS qs FROM hourly WHERE user_id = 0
+), j AS (
+  SELECT h.user_id, h.s, q.qs
+  FROM hourly h JOIN q ON h.hr = q.hr
+  WHERE h.user_id <> 0
+), stats AS (
+  SELECT user_id,
+         count(*) AS n,
+         CAST(SUM(CAST(s AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(qs AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(s * s AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(qs * qs AS DECIMAL(28,8))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(s * qs AS DECIMAL(28,8))) AS DOUBLE) AS sxy
+  FROM j GROUP BY user_id HAVING count(*) >= 6
+)
+SELECT user_id,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+             6) AS corr,
+       n AS n_hours
+FROM stats
+ORDER BY corr DESC, user_id
+LIMIT 5
+""",
+    tags=("timeseries", "similarity", "corr"),
+)
+def ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (the distributed pattern from the
+    streaming-similarity literature): align every user's hourly value
+    series with the query user's on the hour key, reduce each pair to
+    the five Pearson sufficient statistics, rank by correlation.
+
+    Scale shape: one groupBy builds the series, one broadcast-able
+    join aligns on the query series (bounded: hours x 1 user), one
+    groupBy reduces pairs — never a series cross join.  The sufficient
+    statistics accumulate in exact DECIMAL (each hourly value is
+    4-dp, so products are 8-dp exact), making the correlation — and
+    therefore the oracle hash — engine-deterministic; a plain corr()
+    aggregate sums doubles in partition order and is not."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 4)
+        .cast("double")
+        .alias("s")
+    )
+    q = hourly.filter(F.col("user_id") == 0).select(
+        F.col("hr").alias("qhr"), F.col("s").alias("qs")
+    )
+    j = hourly.filter(F.col("user_id") != 0).join(
+        F.broadcast(q), F.col("hr") == F.col("qhr")
+    )
+    dec = "decimal(28,8)"
+    stats = (
+        j.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("s").cast(dec)).cast("double").alias("sx"),
+            F.sum(F.col("qs").cast(dec)).cast("double").alias("sy"),
+            F.sum((F.col("s") * F.col("s")).cast(dec))
+            .cast("double")
+            .alias("sxx"),
+            F.sum((F.col("qs") * F.col("qs")).cast(dec))
+            .cast("double")
+            .alias("syy"),
+            F.sum((F.col("s") * F.col("qs")).cast(dec))
+            .cast("double")
+            .alias("sxy"),
+        )
+        .filter(F.col("n") >= 6)
+    )
+    corr = F.round(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (
+            F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        ),
+        6,
+    )
+    return (
+        stats.select("user_id", corr.alias("corr"), F.col("n").alias("n_hours"))
+        .orderBy(F.col("corr").desc(), "user_id")
+        .limit(5)
+    )
