@@ -334,3 +334,25 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice").alias("revenue"),
         )
     )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+SELECT s_suppkey, s_name, n_name
+FROM nation RIGHT JOIN supplier ON n_nationkey = s_nationkey
+""",
+    tags=("C3", "outer"),
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (the mirrored preserve-side of
+    `join_left_outer`): every supplier survives even without a
+    matching nation row.  Catalyst rewrites it to a left outer with
+    swapped sides, so the broadcast still lands on the dimension."""
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        F.broadcast(nation)
+        .join(supp, F.col("n_nationkey") == F.col("s_nationkey"), "right")
+        .select("s_suppkey", "s_name", "n_name")
+    )

@@ -713,3 +713,41 @@ def winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("clipped_sum"),
         )
     )
+
+
+@register(
+    "set_except_all",
+    oracle="""
+SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+EXCEPT ALL
+SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+""",
+    tags=("C7", "multiset"),
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag difference): each orderkey survives as many
+    times as its 'A' count exceeds its 'R' count — the multiset twin
+    of `set_except`, planned as one counted anti-semantics shuffle,
+    not a distinct."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_orderkey")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return a.exceptAll(r)
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+INTERSECT ALL
+SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+""",
+    tags=("C7", "multiset"),
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag intersection): min of the two per-key
+    multiplicities — `set_intersect`'s multiset twin."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_orderkey")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return a.intersectAll(r)
