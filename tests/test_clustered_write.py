@@ -93,3 +93,68 @@ def test_range_clustered_write_enables_rowgroup_skipping(spark, tmp_path):
         .count()
     )
     assert n_direct == n_clustered
+
+
+def _col_intervals(directory: str, col: str) -> list[tuple]:
+    out = []
+    for path in sorted(glob.glob(f"{directory}/*.parquet")):
+        meta = pq.ParquetFile(path).metadata
+        idx = meta.schema.names.index(col)
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            out.append((st.min, st.max))
+    return out
+
+
+def test_zorder_skips_on_both_columns(spark, tmp_path):
+    """Z-ordering on (l_orderkey, l_partkey) must let a narrow
+    predicate on EITHER column skip row groups, where a plain
+    single-column sort only skips on its own column."""
+    from distributed_system_spark.operators.layout import write_zordered
+    from distributed_system_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    opts = {"parquet.block.size": str(64 * 1024)}
+
+    single_dir = str(tmp_path / "single")
+    (
+        li.repartitionByRange(4, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.options(**opts)
+        .mode("overwrite")
+        .parquet(single_dir)
+    )
+    z_dir = str(tmp_path / "zorder")
+    write_zordered(li, z_dir, "l_orderkey", "l_partkey", **opts)
+
+    # identical contents either way
+    assert (
+        spark.read.parquet(z_dir).count() == li.count()
+    )
+
+    def candidates(intervals, lo, hi):
+        return sum(1 for mn, mx in intervals if mx >= lo and mn <= hi)
+
+    # a ~5% window on each column
+    ok_span = (1, 750)        # orderkeys ~0..15000
+    pk_span = (1, 100)        # partkeys  ~0..2000
+
+    s_ok = _col_intervals(single_dir, "l_orderkey")
+    s_pk = _col_intervals(single_dir, "l_partkey")
+    z_ok = _col_intervals(z_dir, "l_orderkey")
+    z_pk = _col_intervals(z_dir, "l_partkey")
+    assert len(z_ok) >= 8
+
+    # single-column sort: skips on its sort column, not the other
+    assert candidates(s_ok, *ok_span) <= len(s_ok) // 2
+    assert candidates(s_pk, *pk_span) == len(s_pk)
+
+    # z-order: skips on BOTH columns
+    assert candidates(z_ok, *ok_span) <= len(z_ok) // 2, (
+        candidates(z_ok, *ok_span), len(z_ok)
+    )
+    assert candidates(z_pk, *pk_span) <= len(z_pk) // 2, (
+        candidates(z_pk, *pk_span), len(z_pk)
+    )
