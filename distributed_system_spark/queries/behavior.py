@@ -328,3 +328,51 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("update")
         .alias("op"),
     )
+
+
+@register(
+    "event_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id)
+           AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       count(*) AS cnt,
+       round(CAST(count(*) AS DOUBLE)
+             / SUM(count(*)) OVER (PARTITION BY event_type), 6) AS p
+FROM seq
+WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+""",
+    tags=("C5", "sequence", "markov"),
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: lead() pairs consecutive events, one grouped count, and
+    a per-source normalization window over the (tiny) transition
+    matrix itself — the sequence-mining shape behind session-flow and
+    clickstream analysis."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.withColumn("next_type", F.lead("event_type").over(w)).filter(
+        F.col("next_type").isNotNull()
+    )
+    counts = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    norm = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "cnt",
+        F.round(
+            F.col("cnt").cast("double") / F.sum("cnt").over(norm), 6
+        ).alias("p"),
+    )

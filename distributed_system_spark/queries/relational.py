@@ -751,3 +751,37 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = li.filter(F.col("l_returnflag") == "A").select("l_orderkey")
     r = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
     return a.intersectAll(r)
+
+
+@register(
+    "mad_robust_spread",
+    oracle="""
+WITH med AS (
+  SELECT quantile_cont(o_totalprice, 0.5) AS m FROM orders
+)
+SELECT round(CAST((SELECT m FROM med) AS DOUBLE), 6) AS median_price,
+       round(quantile_cont(abs(o_totalprice - (SELECT m FROM med)), 0.5),
+             6) AS mad
+FROM orders
+""",
+    tags=("C4", "robust-stats"),
+)
+def mad_robust_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation — the outlier-robust spread measure:
+    two exact-percentile passes (median, then median of absolute
+    deviations), the second over a broadcast 1-row scalar.  Unlike
+    stddev it is insensitive to the heavy tail that order totals
+    have."""
+    orders = load_table(spark, sf_dir, "orders")
+    med = orders.agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("m")
+    )
+    return (
+        orders.crossJoin(F.broadcast(med))
+        .agg(
+            F.round(F.first("m"), 6).alias("median_price"),
+            F.round(
+                F.expr("percentile(abs(o_totalprice - m), 0.5)"), 6
+            ).alias("mad"),
+        )
+    )
