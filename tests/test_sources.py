@@ -72,3 +72,26 @@ def test_overwrite_vs_append_modes(spark, tmp_path):
     assert spark.read.parquet(path).count() == 10
     spark.range(3).write.mode("overwrite").parquet(path)
     assert spark.read.parquet(path).count() == 3
+
+
+def test_observe_metrics_account_for_rows(spark, sf_dir):
+    """df.observe(): task-side metric accumulation during a real
+    action — the zero-cost row/byte accounting a 100 TB pipeline
+    attaches to every stage (the reference's FILE_DONE progress
+    counters, mj_master.cpp:199-232, were driver-polled; Spark rolls
+    them up with the job)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Observation
+
+    from distributed_system_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("scan_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum((F.col("l_quantity") > 25).cast("long")).alias("big_qty"),
+    )
+    kept = observed.filter(F.col("l_quantity") > 25).count()
+    assert obs.get["rows_seen"] == li.count()
+    assert obs.get["big_qty"] == kept
