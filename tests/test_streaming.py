@@ -154,3 +154,89 @@ def test_config_watcher_no_spurious_fires(tmp_path):
     finally:
         w.stop()
     assert seen == []
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data drop (C9): after the watermark advances past an
+    event-time window, rows arriving for it are discarded from the
+    append-mode windowed aggregate — the batch run of the same
+    definition keeps them, and the difference is exactly the late
+    rows."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from distributed_system_spark.streaming.streams import EVENTS_SCHEMA
+
+    base_ns = 1_700_000_000_000_000_000  # an hour-aligned-ish anchor
+    hour_ns = 3_600_000_000_000
+
+    def rows(*ts_offsets_min):
+        return {
+            "event_id": list(range(len(ts_offsets_min))),
+            "ts": [base_ns + m * 60_000_000_000 for m in ts_offsets_min],
+            "user_id": [1] * len(ts_offsets_min),
+            "event_type": ["view"] * len(ts_offsets_min),
+            "value": [1.0] * len(ts_offsets_min),
+            "props": ["{}"] * len(ts_offsets_min),
+        }
+
+    stage = str(tmp_path / "late-stage")
+    os.makedirs(stage)
+    # batch 0: minutes 0..120 — sets max event time to 120min
+    pq.write_table(pa.table(rows(0, 20, 50, 70, 110, 120)),
+                   f"{stage}/slice-000.parquet")
+    # batch 1: on-time row; the watermark computed from batch 0
+    # (120 - 30 = 90min) takes effect from this batch on
+    pq.write_table(pa.table(rows(125)), f"{stage}/slice-500.parquet")
+    # batch 2: minute 15 — 75min older than the watermark → dropped
+    pq.write_table(pa.table(rows(15)), f"{stage}/slice-999.parquet")
+    os.utime(f"{stage}/slice-000.parquet", (1_700_000_000, 1_700_000_000))
+    os.utime(f"{stage}/slice-500.parquet", (1_700_004_000, 1_700_004_000))
+    os.utime(f"{stage}/slice-999.parquet", (1_700_009_000, 1_700_009_000))
+
+    def windowed(df):
+        src = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+        if src.isStreaming:
+            src = src.withWatermark("ts", "30 minutes")
+        return src.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        windowed(stream)
+        .writeStream.format("memory")
+        .queryName("late_drop_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        r["w"]["start"]: r["cnt"]
+        for r in spark.table("late_drop_sink").collect()
+    }
+    batch = {
+        r["w"]["start"]: r["cnt"]
+        for r in windowed(spark.read.schema(EVENTS_SCHEMA).parquet(stage))
+        .collect()
+    }
+    # the first window closed and emitted WITHOUT the late minute-15
+    # row; the batch run of the same definition includes it (windows
+    # still open when the stream drained are absent from the append
+    # sink — that is append-mode semantics, not data loss)
+    first_window = min(batch)
+    assert batch[first_window] == streamed[first_window] + 1, (
+        batch,
+        streamed,
+    )
