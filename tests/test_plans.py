@@ -204,3 +204,51 @@ def test_whole_stage_codegen_active(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)
     assert "*(" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The session's AQE skew-join insurance must actually fire: a
+    join where 99% of rows share one key gets its hot partition split
+    at runtime (`SortMergeJoin(skew=true)` + a skewed AQEShuffleRead)
+    instead of serializing through one straggler task — the mechanism
+    that, with salting (`join_skew_salted`), handles skewed keys at
+    100 TB. Thresholds are lowered to make a test-sized shuffle
+    trip the same code path."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "10KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        import pyspark.sql.functions as F
+
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(500_000).select(
+            F.when(F.col("id") % 100 < 99, 7)
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("name")
+        )
+        j = left.join(right, "k").groupBy("name").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        rows = j.collect()
+        # 99% of rows land on key 7; of the 5000 pass-through ids only
+        # those < 1000 (99, 199, ..., 999) match the dimension
+        assert rows[0]["n"] == 495_000 + 10
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
