@@ -283,3 +283,59 @@ def ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("corr").desc(), "user_id")
         .limit(5)
     )
+
+
+@register(
+    "ts_ohlc_bars",
+    oracle="""
+WITH e AS (
+  SELECT event_type, value, epoch_us(ts) AS ts_us,
+         (epoch_us(ts) // 3600000000) * 3600000000 AS hr_us,
+         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+           || lpad(CAST(event_id AS VARCHAR), 12, '0') AS okey
+  FROM events
+)
+SELECT event_type, hr_us,
+       round(arg_min(value, okey), 4) AS open,
+       round(max(value), 4) AS high,
+       round(min(value), 4) AS low,
+       round(arg_max(value, okey), 4) AS close,
+       count(*) AS n_ticks
+FROM e
+GROUP BY event_type, hr_us
+""",
+    tags=("timeseries", "ohlc"),
+)
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type — the financial-rollup shape:
+    open/close are arg-min/arg-max over a zero-padded (ts, event_id)
+    string key (unique, so deterministic on tied timestamps — the
+    composite-ordering trick when the engine's arg_min takes only a
+    scalar), high/low/count are plain aggregates.  One grouped pass;
+    bars re-aggregate to daily/weekly by the same shape
+    (`ts_rollup_daily_from_hourly`)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    okey = F.concat(
+        F.lpad(F.col("ts_us").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.select(
+            "event_type",
+            "value",
+            (F.expr("ts_us div 3600000000") * 3_600_000_000).alias(
+                "hr_us"
+            ),
+            okey.alias("okey"),
+        )
+        .groupBy("event_type", "hr_us")
+        .agg(
+            F.round(F.expr("min_by(value, okey)"), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.expr("max_by(value, okey)"), 4).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
