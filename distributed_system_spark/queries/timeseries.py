@@ -339,3 +339,51 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_ticks"),
         )
     )
+
+
+@register(
+    "ts_moving_average",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS d, count(*) AS n,
+         CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+              AS DOUBLE) AS rev
+  FROM orders GROUP BY d
+)
+SELECT d, n, rev,
+       round(CAST(SUM(CAST(rev AS DECIMAL(28,4))) OVER w AS DOUBLE)
+             / count(*) OVER w, 6) AS rev_ma7,
+       CAST(count(*) OVER w AS BIGINT) AS n_days_in_window
+FROM daily
+WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+    tags=("timeseries", "moving-average"),
+)
+def ts_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing moving average over the daily revenue series —
+    aggregate first (the series is |days| rows, tiny at any SF), then
+    window over the *aggregate*, never over raw facts.  The window is
+    unpartitioned by design: it runs on thousands of rows, not
+    billions — the aggregate-then-window inversion is exactly what
+    makes it scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("d")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2
+        ).cast("double").alias("rev"),
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    return daily.select(
+        "d",
+        "n",
+        "rev",
+        F.round(
+            F.sum(F.col("rev").cast("decimal(28,4)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            6,
+        ).alias("rev_ma7"),
+        F.count(F.lit(1)).over(w).alias("n_days_in_window"),
+    )

@@ -252,3 +252,13 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_merge_upsert_single_shuffle_join(spark, sf_dir):
+    """merge_upsert: MERGE-INTO must plan as one equi full-outer join
+    on the merge key — no nested-loop, no cartesian, no repeated scan
+    of the base table."""
+    plan = plan_of(spark, sf_dir, "merge_upsert")
+    assert "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

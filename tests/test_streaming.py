@@ -240,3 +240,67 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         batch,
         streamed,
     )
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicate event ids are removed
+    while their dedup state lives inside the watermark horizon, and
+    the state is evictable (unlike plain dropDuplicates, whose state
+    grows forever on an unbounded stream)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from distributed_system_spark.streaming.streams import EVENTS_SCHEMA
+
+    base_ns = 1_700_000_000_000_000_000
+
+    def rows(ids_and_mins):
+        return {
+            "event_id": [i for i, _ in ids_and_mins],
+            "ts": [base_ns + m * 60_000_000_000 for _, m in ids_and_mins],
+            "user_id": [1] * len(ids_and_mins),
+            "event_type": ["view"] * len(ids_and_mins),
+            "value": [1.0] * len(ids_and_mins),
+            "props": ["{}"] * len(ids_and_mins),
+        }
+
+    stage = str(tmp_path / "dedup-stage")
+    os.makedirs(stage)
+    # batch 0: ids 1,2,3; batch 1 replays id 2 (inside the horizon)
+    # and adds id 4
+    pq.write_table(
+        pa.table(rows([(1, 0), (2, 5), (3, 10)])),
+        f"{stage}/s0.parquet",
+    )
+    pq.write_table(
+        pa.table(rows([(2, 12), (4, 15)])), f"{stage}/s1.parquet"
+    )
+    os.utime(f"{stage}/s0.parquet", (1_700_000_000,) * 2)
+    os.utime(f"{stage}/s1.parquet", (1_700_000_500,) * 2)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    deduped = (
+        stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("ddww_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        r["event_id"] for r in spark.table("ddww_sink").collect()
+    )
+    assert got == [1, 2, 3, 4], got  # the replayed id 2 appears once
