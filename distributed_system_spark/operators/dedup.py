@@ -227,6 +227,10 @@ def connected_components(
     sym = edges.selectExpr("src", "dst").union(
         edges.selectExpr("dst AS src", "src AS dst")
     )
+    # The edge set is loop-invariant but referenced 2x per iteration
+    # (join + convergence count): materialize it once so an expensive
+    # upstream (e.g. the LSH candidate pipeline) never re-executes.
+    sym = sym.localCheckpoint(eager=True)
     labels = nodes.select(F.col("id"), F.col("id").alias("comp"))
     for _ in range(max_iter):
         neighbor_min = (

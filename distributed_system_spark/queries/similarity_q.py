@@ -14,9 +14,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from distributed_system_spark.operators.similarity import (
     brute_force_topk,
-    cosine_neardup_pairs,
     ivf_topk,
     lsh_bucket_topk,
+    lsh_neardup_pairs,
     quantize_int8,
     vec_double,
 )
@@ -219,9 +219,13 @@ SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.4
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (>= 0.4 on this synthetic
-    corpus; real dedup uses ~0.95). Exhaustive here for exact-recall
-    oracle checking; the LSH-bucketed form is the scale path."""
-    return cosine_neardup_pairs(_vecs(spark, sf_dir), 0.4)
+    corpus; real dedup uses ~0.95) via banded-LSH candidates — never
+    an all-pairs crossJoin.  The oracle stays EXACT all-pairs: the md5
+    hyperplanes are deterministic and the default knobs achieve full
+    recall on this corpus at every SF, so LSH-vs-exact equality is
+    itself part of what the oracle certifies (see
+    operators/similarity.py::lsh_neardup_pairs)."""
+    return lsh_neardup_pairs(_vecs(spark, sf_dir), 0.4)
 
 
 @register(
@@ -262,7 +266,7 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     vecs = _vecs(spark, sf_dir)
-    edges = cosine_neardup_pairs(vecs, 0.4).select(
+    edges = lsh_neardup_pairs(vecs, 0.4).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
     cc = connected_components(edges, vecs.select("id"))

@@ -22,9 +22,12 @@ from distributed_system_spark.operators.multimodal import (
     fake_features,
 )
 from distributed_system_spark.operators.similarity import (
+    banded_lsh_buckets,
     brute_force_topk,
+    cosine_neardup_pairs,
     ivf_topk,
     lsh_bucket_topk,
+    lsh_neardup_pairs,
     vec_double,
 )
 from distributed_system_spark.sources.tables import load_table
@@ -185,3 +188,36 @@ def test_doc_chunking_reconstructs_original(spark, sf_dir):
             assert len(toks) == r["n_tok"], (doc_id, r)
             rebuilt.extend(toks if i == 0 else toks[10:])
         assert rebuilt == docs[doc_id], doc_id
+
+
+def test_banded_lsh_neardup_equals_exact(spark, sf_dir):
+    """lsh_neardup_pairs (banded hyperplane LSH candidates + exact
+    cosine verify) must reproduce the exhaustive all-pairs result at
+    default knobs: precision 1 by construction (exact filter), recall
+    1 empirically — deterministic md5 planes make that a fixed
+    property of the corpus, not a per-run gamble."""
+    from distributed_system_spark.queries.similarity_q import _vecs
+
+    vecs = _vecs(spark, sf_dir).cache()
+    exact = {tuple(r) for r in cosine_neardup_pairs(vecs, 0.4).collect()}
+    lsh = {tuple(r) for r in lsh_neardup_pairs(vecs, 0.4).collect()}
+    assert lsh == exact
+    assert len(exact) > 0  # non-vacuous at every shipped SF
+
+
+def test_banded_lsh_buckets_shape(spark, sf_dir):
+    """One (band, bucket) row per vector per band; buckets within
+    [0, 2^bits)."""
+    from distributed_system_spark.queries.similarity_q import _vecs
+
+    vecs = _vecs(spark, sf_dir)
+    n = vecs.count()
+    bb = banded_lsh_buckets(vecs, bits_per_band=3, bands=8).cache()
+    assert bb.count() == n * 8
+    stats = bb.agg(
+        F.min("bucket").alias("lo"),
+        F.max("bucket").alias("hi"),
+        F.countDistinct("band").alias("nb"),
+    ).first()
+    assert stats["nb"] == 8
+    assert 0 <= stats["lo"] and stats["hi"] <= 7

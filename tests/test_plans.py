@@ -91,7 +91,12 @@ def test_no_cartesian_in_lsh_dedup(spark, sf_dir):
     """The banded-LSH candidate joins must be equi-joins on
     (band, signature) — an accidental cross join is the all-pairs
     O(n^2) failure mode the LSH design exists to avoid."""
-    for name in ("dedup_minhash_lsh", "ann_lsh_topk", "dedup_ngram_jaccard"):
+    for name in (
+        "dedup_minhash_lsh",
+        "ann_lsh_topk",
+        "dedup_ngram_jaccard",
+        "embedding_neardup",
+    ):
         plan = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, (name, plan)
         assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
