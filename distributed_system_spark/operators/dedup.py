@@ -12,10 +12,10 @@ designed Spark-first:
   oracle-checkable against DuckDB (an engine-native hash would not
   be).
 - **Never all-pairs.** Candidate pairs come only from LSH band
-  buckets (minhash) or shared-token inverted-index joins (exact
-  Jaccard); at 100 TB add prefix filtering (sort tokens by global
-  frequency, index only each doc's rarest-k) to bound the inverted
-  index — noted per function.
+  buckets (minhash) or the prefix-filtered inverted index (exact
+  Jaccard, ``prefix_index``): tokens sorted by global frequency,
+  only each doc's ``n - ceil(t*n) + 1`` rarest indexed — lossless
+  for J >= t and bounds every posting list.
 
 Scale shape of MinHash-LSH at 100 TB: (doc × token) explode is a
 flatMap (no shuffle); signatures are one groupBy per (doc, seed) —
@@ -28,7 +28,7 @@ which LSH keeps near-linear in the number of true duplicates.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 
 def _text_col(col: Column | str) -> Column:
@@ -144,37 +144,64 @@ def jaccard_verify(
     )
 
 
+def prefix_index(toks: DataFrame, threshold: float) -> DataFrame:
+    """(id, tok) pruned inverted index for a Jaccard-threshold join:
+    each doc keeps only its first ``n - ceil(t*n) + 1`` tokens under
+    the global canonical order (ascending document frequency, then
+    token) — the classic prefix filter (Bayardo et al., WWW'07).
+
+    Why it is exhaustive: J(A,B) >= t implies |A∩B| >= t·|A∪B| >=
+    ceil(t·|A|).  If no shared token sat in A's prefix, all shared
+    tokens would fit in A's suffix of size ceil(t·|A|) - 1 —
+    contradiction.  The SMALLEST shared token (canonical order) is
+    therefore in BOTH prefixes, so a prefix-to-prefix join loses no
+    qualifying pair.  Indexing rarest-first also means the highest-DF
+    (stop) tokens are exactly the ones pruned — the unbounded-posting
+    failure mode of a naive inverted index.
+
+    The 1e-9 epsilon guards float noise in t*n: it can only LENGTHEN
+    a prefix (safe), never shorten one.
+    """
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    doc_freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "tok")
+    prefix_len = (
+        F.col("n")
+        - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9))
+        + F.lit(1)
+    )
+    return (
+        toks.join(doc_freq, "tok")
+        .withColumn("rnk", F.row_number().over(w))
+        .join(sizes, "id")
+        .filter(F.col("rnk") <= prefix_len)
+        .select("id", "tok")
+    )
+
+
 def ngram_jaccard_pairs(
     toks: DataFrame, threshold: float
 ) -> DataFrame:
-    """Exact (non-approximate) Jaccard-similar pairs via inverted-index
-    join: pairs sharing >= 1 token, then exact Jaccard filter.
+    """Exact (non-approximate) Jaccard-similar pairs: prefix-filtered
+    inverted-index join for candidates, then exact Jaccard verify.
 
-    Any pair with J > 0 shares a token, so this is exhaustive. At
-    100 TB, bound the index with prefix filtering: a pair with
-    J >= t must share a token among each doc's ⌈(1-t)·n⌉+1 globally
-    rarest tokens, so only those need indexing.
+    Candidates come only from ``prefix_index`` (each doc's
+    ``n - ceil(t*n) + 1`` globally rarest tokens), which is lossless
+    for J >= t (proof in prefix_index) while bounding posting lists —
+    one stop-token no longer joins the whole corpus.  The verify step
+    recomputes Jaccard over the FULL token sets, so precision is
+    exact too.
     """
-    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a = toks.select(F.col("id").alias("id_a"), "tok")
-    b = toks.select(F.col("id").alias("id_b"), "tok")
-    inter = (
+    prefix = prefix_index(toks, threshold)
+    a = prefix.select(F.col("id").alias("id_a"), "tok")
+    b = prefix.select(F.col("id").alias("id_b"), "tok")
+    cand = (
         a.join(b, "tok")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
-        .select(
-            "id_a", "id_b", F.round(jac.cast("double"), 6).alias("jaccard")
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return jaccard_verify(cand, toks, threshold)
 
 
 def simhash16(toks: DataFrame) -> DataFrame:

@@ -221,3 +221,33 @@ def test_banded_lsh_buckets_shape(spark, sf_dir):
     ).first()
     assert stats["nb"] == 8
     assert 0 <= stats["lo"] and stats["hi"] <= 7
+
+
+def test_prefix_filter_lossless_and_smaller(spark, sf_dir):
+    """prefix_index must (a) shrink the inverted index, (b) lose no
+    qualifying pair: ngram_jaccard_pairs through the prefix filter
+    equals the naive every-token inverted-index join."""
+    from distributed_system_spark.operators.dedup import (
+        jaccard_verify,
+        prefix_index,
+    )
+
+    toks = _toks(spark, sf_dir).cache()
+    t = 0.8
+    full_index = toks.count()
+    pruned = prefix_index(toks, t).count()
+    assert pruned < full_index, (pruned, full_index)
+
+    # naive exhaustive baseline: every shared-token pair, exact verify
+    a = toks.select(F.col("id").alias("id_a"), "tok")
+    b = toks.select(F.col("id").alias("id_b"), "tok")
+    all_cand = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    naive = {tuple(r) for r in jaccard_verify(all_cand, toks, t).collect()}
+    fast = {tuple(r) for r in ngram_jaccard_pairs(toks, t).collect()}
+    assert fast == naive
+    assert len(naive) > 0
