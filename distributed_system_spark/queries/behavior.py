@@ -270,7 +270,7 @@ WITH spend AS (
 ), changes AS (
   SELECT o_custkey AS key, spend FROM spend
   UNION ALL
-  SELECT o_custkey + 100000 AS key, spend FROM spend
+  SELECT -o_custkey AS key, spend FROM spend
   WHERE o_custkey % 97 = 0
 )
 SELECT COALESCE(c.c_custkey, ch.key) AS custkey,
@@ -306,8 +306,12 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double").alias("spend")
         )
     )
+    # Synthetic insert keys are NEGATED custkeys: custkeys are
+    # positive at every SF, so an insert key can never collide with a
+    # real c_custkey (a +100000 offset would at SFs where custkeys
+    # exceed it, silently fanning out the full outer join).
     inserts = spend.filter(F.col("o_custkey") % 97 == 0).select(
-        (F.col("o_custkey") + 100000).alias("key"), "spend"
+        (-F.col("o_custkey")).alias("key"), "spend"
     )
     changes = spend.select(
         F.col("o_custkey").alias("key"), "spend"

@@ -582,7 +582,27 @@ def multi_format_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
 
-    tag = hashlib.md5(f"{sf_dir}:formats".encode()).hexdigest()[:12]
+    # Cache key includes the source parquet's (path, mtime, size): if
+    # the fixture is regenerated in place the stale staged CSV/JSON is
+    # abandoned instead of silently reused (it would diverge from the
+    # parquet-only oracle).
+    def _stat_sig(table: str) -> str:
+        p = os.path.join(sf_dir, f"{table}.parquet")
+        paths = (
+            sorted(
+                os.path.join(p, f) for f in os.listdir(p) if not f.startswith(".")
+            )
+            if os.path.isdir(p)
+            else [p]
+        )
+        return ";".join(
+            f"{q}:{int(os.path.getmtime(q))}:{os.path.getsize(q)}"
+            for q in paths
+            if os.path.exists(q)
+        )
+
+    key = f"{sf_dir}:formats:{_stat_sig('region')}|{_stat_sig('nation')}"
+    tag = hashlib.md5(key.encode()).hexdigest()[:12]
     stage = f"/tmp/dss-formats-{tag}"
     region_csv = f"{stage}/region_csv"
     nation_json = f"{stage}/nation_json"

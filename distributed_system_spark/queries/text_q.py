@@ -537,14 +537,20 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     b = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
     split = F.when(b < "cd", "train").when(b < "e6", "val").otherwise("test")
-    grams8 = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size("toks") - 7, F.lit(0))),
-            lambda i: F.md5(
-                F.array_join(F.slice("toks", i, 8), " ").cast("binary")
-            ),
-        )
-    )
+    # Docs shorter than 8 tokens have no 8-grams: guard explicitly —
+    # sequence(1, size-7) would DESCEND for size<=7 (step -1 when
+    # start > stop) and slice(toks, 0, 8) throws.
+    grams8 = F.when(
+        F.size("toks") >= 8,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 7),
+                lambda i: F.md5(
+                    F.array_join(F.slice("toks", i, 8), " ").cast("binary")
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     grams = (
         docs.select(
             "doc_id", split.alias("split"),

@@ -84,11 +84,18 @@ def get_spark(
     )
     # Only set a master when one is explicitly requested (arg or env);
     # otherwise defer to spark-submit / defaults so a cluster submission
-    # is never silently forced back to local mode.
+    # is never silently forced back to local mode.  spark-submit conveys
+    # --master as the spark.master system property, which SparkConf
+    # loads by default — an env-var check alone would miss it.
+    from pyspark import SparkConf
+
     master = master or os.environ.get("SPARK_MASTER")
     if master:
         builder = builder.master(master)
-    elif not os.environ.get("SPARK_SUBMIT_DEPLOY_MODE"):
+    elif not (
+        SparkConf(loadDefaults=True).contains("spark.master")
+        or os.environ.get("SPARK_SUBMIT_DEPLOY_MODE")
+    ):
         builder = builder.master(f"local[{par}]")
     for key, value in RUNTIME_CONF.items():
         builder = builder.config(key, value)

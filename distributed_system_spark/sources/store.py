@@ -124,8 +124,17 @@ class DatasetStore:
         staged = self._abs(path) + ".compacting"
         df.write.format(self.fmt).mode("overwrite").save(staged)
         final = self._abs(path)
-        shutil.rmtree(final)
+        old = final + ".old"
+        # Swap via rename-aside (not rmtree-then-rename): the dataset
+        # is only ever absent for the instant between two renames, a
+        # crash strands a complete copy at *.old / *.compacting (both
+        # ignored by listings and cleaned up on the next compact), and
+        # no state loses data.
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(final, old)
         os.rename(staged, final)
+        shutil.rmtree(old)
         self._write_sidecar(path, pieces=1, user=meta)
         return before
 
@@ -152,6 +161,8 @@ class DatasetStore:
             return []
         out = []
         for name in sorted(os.listdir(base)):
+            if name.endswith((".compacting", ".old")):
+                continue  # interrupted-compact leftovers, not datasets
             full = os.path.join(base, name)
             if os.path.isdir(full) and any(
                 f.startswith("part-") or f == "_SUCCESS" for f in os.listdir(full)
@@ -167,6 +178,7 @@ class DatasetStore:
             name
             for name in os.listdir(base)
             if os.path.isdir(os.path.join(base, name))
+            and not name.endswith((".compacting", ".old"))
             and not any(
                 f.startswith("part-") or f == "_SUCCESS"
                 for f in os.listdir(os.path.join(base, name))

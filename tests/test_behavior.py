@@ -87,3 +87,15 @@ def test_weighted_sample_respects_weights(spark, sf_dir):
         / max(long_.count(), 1)
     )
     assert long_rate > short_rate, (short_rate, long_rate)
+
+
+def test_merge_upsert_one_row_per_key(spark, sf_dir):
+    """MERGE contract: exactly one output row per key — synthetic
+    insert keys are negated custkeys, so they can never collide with a
+    real customer at any SF (the old +100000 offset could)."""
+    from distributed_system_spark.queries import load_all
+
+    out = load_all()["merge_upsert"].fn(spark, sf_dir)
+    assert out.groupBy("custkey").count().filter("count > 1").count() == 0
+    inserts = out.filter("op = 'insert'")
+    assert inserts.filter("custkey >= 0").count() == 0

@@ -251,3 +251,22 @@ def test_prefix_filter_lossless_and_smaller(spark, sf_dir):
     fast = {tuple(r) for r in ngram_jaccard_pairs(toks, t).collect()}
     assert fast == naive
     assert len(naive) > 0
+
+
+def test_contamination_check_short_docs_no_crash(spark, tmp_path):
+    """Docs with <8 tokens must contribute zero 8-grams (like the
+    oracle's empty range) instead of crashing slice() on a descending
+    sequence."""
+    import os
+
+    from distributed_system_spark.queries import load_all
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, " ".join(f"t{i}" for i in range(30))), (3, "x")],
+        "doc_id bigint, text string",
+    )
+    docs.write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    out = load_all()["contamination_check"].fn(spark, str(tmp_path))
+    assert out.count() == 0  # no crash, no phantom grams

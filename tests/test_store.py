@@ -111,3 +111,32 @@ def test_compact_merges_pieces_and_preserves_rows(spark, tmp_path):
     import glob
     parts = glob.glob(str(tmp_path / "store/data/t/*.parquet"))
     assert len(parts) == 1, parts
+
+
+def test_compact_leftovers_invisible_to_listings(store, spark, tmp_path):
+    """An interrupted compact strands <name>.compacting / <name>.old
+    dirs; listings must not report them as datasets or dirs."""
+    import os
+
+    store.put(_text_df(spark, "a", "b"), "d/real")
+    base = str(tmp_path / "store" / "d")
+    for leftover in ("real.compacting", "real.old"):
+        os.makedirs(os.path.join(base, leftover, "x"), exist_ok=True)
+        open(os.path.join(base, leftover, "part-00000"), "w").close()
+    assert store.ls_files("d") == ["real"]
+    assert store.ls_dirs("d") == []
+
+
+def test_compact_swap_keeps_dataset_present(store, spark):
+    """After compact the dataset reads back identically and no *.old /
+    *.compacting residue remains (rename-aside swap cleans up)."""
+    import os
+
+    store.put(_text_df(spark, "x"), "d/c")
+    for i in range(3):
+        store.append(_text_df(spark, f"r{i}"), "d/c")
+    store.compact("d/c")
+    got = sorted(r["value"] for r in store.get("d/c").collect())
+    assert got == ["r0", "r1", "r2", "x"]
+    parent = os.path.dirname(store._abs("d/c"))
+    assert not [n for n in os.listdir(parent) if n.endswith((".old", ".compacting"))]
