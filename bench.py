@@ -43,13 +43,18 @@ HEADLINE = [
     "kmeans_clusters",    # iterative Lloyd assignment over embeddings
     "doc_chunking",       # token-window chunking (LLM prep, shuffle-free)
     "win_session",        # session windows over events
+    "embedding_neardup",  # banded-LSH cosine near-dup (the fuzzy-dedup
+                          # representative: bounded candidates by design)
 ]
-# NOT here: dedup_minhash_lsh / dedup_ngram_jaccard. They are correct
-# (oracle-green at the driver's sf0.01) but this synthetic corpus has a
-# ~31-word vocabulary, so at sf0.1 nearly every doc pair is >=0.8
-# Jaccard-similar — the verify join is inherently quadratic in TRUE
-# duplicates, which is all-pairs on this data. Real corpora (large
-# vocab, few dups) keep it near-linear.
+# NOT here: dedup_minhash_lsh / dedup_ngram_jaccard / simhash_neardup.
+# They are correct (oracle-green at the driver's sf0.01) but this
+# synthetic corpus has a ~31-word vocabulary, so at sf0.1 nearly every
+# doc pair is a TRUE >=0.8-Jaccard / Hamming<=3 duplicate (ngram: 3.0M
+# qualifying pairs from 5k docs, 128 s even with prefix filtering;
+# simhash_neardup: 7.1M pairs) — output-quadratic is inherent to the
+# data, not the plan. Real corpora (large vocab, few dups) keep all
+# three near-linear; embedding_neardup above measures the same
+# banded-LSH candidate machinery on data with a sane dup rate.
 
 
 def main() -> int:
@@ -67,18 +72,50 @@ def main() -> int:
         times[name] = round(time.time() - t0, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    prior = _latest_prior_times()
+    if prior:
+        deltas = {
+            name: round(t / prior[name], 2)
+            for name, t in times.items()
+            if name in prior and prior[name] > 0
+        }
+        out["deltas"] = deltas  # this-run / prior-round ratio per query
+        out["regressions"] = sorted(
+            name for name, r in deltas.items() if r > 1.5
         )
-    )
+    print(json.dumps(out))
     return 0
+
+
+def _latest_prior_times() -> dict[str, float]:
+    """Per-query seconds from the newest BENCH_r{N}.json the driver
+    recorded, for round-over-round regression tracking."""
+    import glob
+    import re
+
+    best: tuple[int, dict[str, float]] | None = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as fh:
+                parsed = json.load(fh).get("parsed") or {}
+            queries = parsed.get("queries") or {}
+        except (OSError, json.JSONDecodeError):
+            continue
+        rnd = int(m.group(1))
+        if queries and (best is None or rnd > best[0]):
+            best = (rnd, queries)
+    return best[1] if best else {}
 
 
 if __name__ == "__main__":
