@@ -9,9 +9,20 @@ import pytest
 from distributed_system_spark.sources.store import DatasetStore
 
 
-@pytest.fixture()
-def store(spark, tmp_path):
-    return DatasetStore(spark, str(tmp_path / "store"), fmt="text")
+@pytest.fixture(params=["plain", "file_uri"])
+def store(spark, tmp_path, request):
+    """Same suite twice: POSIX-style path and explicit file:/ URI —
+    catalog ops go through the Hadoop FileSystem API either way, so
+    the URI run proves the hdfs://-shaped call path."""
+    root = str(tmp_path / "store")
+    if request.param == "file_uri":
+        root = f"file://{root}"
+    return DatasetStore(spark, root, fmt="text")
+
+
+def _local(p: str) -> str:
+    """Local filesystem view of a store path (for os.* assertions)."""
+    return p.removeprefix("file://").removeprefix("file:")
 
 
 def _text_df(spark, *lines):
@@ -138,5 +149,62 @@ def test_compact_swap_keeps_dataset_present(store, spark):
     store.compact("d/c")
     got = sorted(r["value"] for r in store.get("d/c").collect())
     assert got == ["r0", "r1", "r2", "x"]
-    parent = os.path.dirname(store._abs("d/c"))
+    parent = os.path.dirname(_local(store._abs("d/c")))
     assert not [n for n in os.listdir(parent) if n.endswith((".old", ".compacting"))]
+
+
+def test_get_del_event_callbacks_streamed(store, spark):
+    """A-row closure: on_get/on_del analogs (mock_sdfs_master.cpp:
+    35-111).  Ops write one event file each; a watched-key stream over
+    the log delivers exactly the matching callbacks."""
+    from distributed_system_spark.streaming.store_events import (
+        store_event_stream,
+        store_events_batch,
+    )
+    from distributed_system_spark.streaming.streams import run_available_now
+
+    store.put(_text_df(spark, "a"), "d/watched", metadata={"team": "ml"})
+    store.put(_text_df(spark, "b"), "d/other", metadata={"owner": "ops"})
+    store.get("d/watched")
+    store.get("d/other")
+    store.delete("d/watched")
+
+    # watched-key subscription: only 'team'-tagged files fire
+    got = run_available_now(
+        store_event_stream(
+            spark,
+            store.events_path(),
+            ops=["get", "del"],
+            watched_keys=["team"],
+        ),
+        "store_cb_events",
+        output_mode="append",
+    ).collect()
+    fired = sorted((r["op"], r["path"]) for r in got)
+    assert fired == [("del", "d/watched"), ("get", "d/watched")]
+    assert all(r["metadata"]["team"] == "ml" for r in got)
+
+    # full batch audit view sees every op type
+    ops = {
+        r["op"]
+        for r in store_events_batch(spark, store.events_path()).collect()
+    }
+    assert {"put", "get", "del"} <= ops
+
+
+def test_append_event_carries_piece_index(store, spark):
+    """Reference append callbacks receive index = num_pieces - 1."""
+    from distributed_system_spark.streaming.store_events import (
+        store_events_batch,
+    )
+
+    store.put(_text_df(spark, "x"), "d/p")
+    store.append(_text_df(spark, "y"), "d/p")
+    store.append(_text_df(spark, "z"), "d/p")
+    pieces = sorted(
+        r["piece"]
+        for r in store_events_batch(
+            spark, store.events_path(), ops=["append"]
+        ).collect()
+    )
+    assert pieces == [1, 2]
