@@ -23,15 +23,18 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
-# The driver's events.parquet stores ts as TIMESTAMP(NANOS); with
-# spark.sql.legacy.parquet.nanosAsLong (set in session.py) it arrives
-# as int64 — streams need the schema up front.
+from distributed_system_spark.sources.tables import canonical_event_time
+
+# The driver's events.parquet stores ts as TIMESTAMP(MICROS,
+# isAdjustedToUTC=false) → timestamp_ntz; streams need the schema up
+# front. canonical_event_time derives the engine's ts_ns/ts pair.
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # nanoseconds (nanosAsLong)
+        StructField("ts", TimestampNTZType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -40,16 +43,26 @@ EVENTS_SCHEMA = StructType(
 )
 
 
+def _src_tag(src: str, extra: str = "") -> str:
+    """Staging-dir cache key covering the source file's identity AND
+    its stats — a driver-side regeneration of the testdata must never
+    be served from a stale /tmp staging copy."""
+    import hashlib
+    import os
+
+    st = os.stat(src)
+    key = f"{src}:{int(st.st_mtime)}:{st.st_size}:{extra}"
+    return hashlib.md5(key.encode()).hexdigest()[:12]
+
+
 def _stage_dir(sf_dir: str) -> str:
     """The file-stream source watches a DIRECTORY (files arriving in
     it are the A19 events), but the driver ships events as one file —
     so symlink it into a per-sf staging dir under /tmp."""
-    import hashlib
     import os
 
     src = f"{sf_dir.rstrip('/')}/events.parquet"
-    tag = hashlib.md5(src.encode()).hexdigest()[:12]
-    stage = f"/tmp/dss-events-stream-{tag}"
+    stage = f"/tmp/dss-events-stream-{_src_tag(src)}"
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events-000.parquet")
     if not os.path.exists(link):
@@ -67,9 +80,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(_stage_dir(sf_dir))
     )
-    return raw.withColumnRenamed("ts", "ts_ns").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
-    )
+    return canonical_event_time(raw)
 
 
 def tumbling_counts(
@@ -146,12 +157,10 @@ def _multibatch_stage_dir(spark: SparkSession, sf_dir: str, n: int = 3) -> str:
     maxFilesPerTrigger=1 stream replays it as ``n`` microbatches —
     the multi-batch arrival pattern that actually exercises state
     carry-over (one symlinked file would collapse to a single batch)."""
-    import hashlib
     import os
 
     src = f"{sf_dir.rstrip('/')}/events.parquet"
-    tag = hashlib.md5(f"{src}:{n}".encode()).hexdigest()[:12]
-    stage = f"/tmp/dss-events-multibatch-{tag}"
+    stage = f"/tmp/dss-events-multibatch-{_src_tag(src, str(n))}"
     if not os.path.exists(os.path.join(stage, "_SUCCESS")):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         (
@@ -254,15 +263,14 @@ def _timeordered_stage_dir(sf_dir: str, n: int = 3) -> str:
     would make every batch span the full month and everything after
     batch 1 'late'). Driver-side pyarrow staging: test fixture prep,
     not a query path."""
-    import hashlib
     import os
 
+    import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     src = f"{sf_dir.rstrip('/')}/events.parquet"
-    tag = hashlib.md5(f"{src}:ordered:{n}".encode()).hexdigest()[:12]
-    stage = f"/tmp/dss-events-ordered-{tag}"
+    stage = f"/tmp/dss-events-ordered-{_src_tag(src, f'ordered:{n}')}"
     if os.path.exists(os.path.join(stage, "_DONE")):
         return stage
     os.makedirs(stage, exist_ok=True)
@@ -270,7 +278,9 @@ def _timeordered_stage_dir(sf_dir: str, n: int = 3) -> str:
     t = t.set_column(
         t.schema.get_field_index("ts"),
         "ts",
-        pc.cast(t["ts"], "int64"),  # nanos-as-long, matching EVENTS_SCHEMA
+        # normalize to microseconds, matching EVENTS_SCHEMA (exact for
+        # both the us-native and the legacy ns-encoded generations)
+        pc.cast(t["ts"], pa.timestamp("us")),
     )
     t = t.sort_by("ts")
     step = (t.num_rows + n - 1) // n
