@@ -12,7 +12,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from distributed_system_spark.queries import register
-from distributed_system_spark.sources.tables import load_table
+from distributed_system_spark.sources.tables import (
+    canonical_event_time,
+    load_table,
+)
 from distributed_system_spark.streaming.streams import (
     EVENTS_SCHEMA,
     _timeordered_stage_dir,
@@ -148,9 +151,7 @@ def stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(_timeordered_stage_dir(sf_dir))
         )
-        stream = raw.withColumnRenamed("ts", "ts_ns").withColumn(
-            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
-        )
+        stream = canonical_event_time(raw)
         joined = view_click_attribution(stream)
         return run_available_now(
             joined, "attribution_sink", output_mode="append"

@@ -46,13 +46,35 @@ EVENTS_SCHEMA = StructType(
 def _src_tag(src: str, extra: str = "") -> str:
     """Staging-dir cache key covering the source file's identity AND
     its stats — a driver-side regeneration of the testdata must never
-    be served from a stale /tmp staging copy."""
+    be served from a stale /tmp staging copy. mtime at nanosecond
+    precision: a same-second, same-size regeneration still misses."""
     import hashlib
     import os
 
     st = os.stat(src)
-    key = f"{src}:{int(st.st_mtime)}:{st.st_size}:{extra}"
+    key = f"{src}:{st.st_mtime_ns}:{st.st_size}:{extra}"
     return hashlib.md5(key.encode()).hexdigest()[:12]
+
+
+def events_stream_schema(src: str) -> StructType:
+    """Stream schema matching the source parquet's physical ``ts``
+    type. The driver has shipped events.parquet with ``ts`` as
+    TIMESTAMP(NANOS) (arrives as bigint under
+    ``spark.sql.legacy.parquet.nanosAsLong``) and as TIMESTAMP(MICROS)
+    (arrives as timestamp_ntz); a file stream needs the schema up
+    front, so probe the footer and declare the matching type —
+    ``canonical_event_time`` then normalizes either shape to the
+    engine's ts_ns/ts contract."""
+    import pyarrow.parquet as pq
+
+    ts_type = pq.read_schema(src).field("ts").type
+    if getattr(ts_type, "unit", None) == "ns" and ts_type.tz is None:
+        ts_field = StructField("ts", LongType())
+    else:
+        ts_field = StructField("ts", TimestampNTZType())
+    return StructType(
+        [ts_field if f.name == "ts" else f for f in EVENTS_SCHEMA.fields]
+    )
 
 
 def _stage_dir(sf_dir: str) -> str:
@@ -75,8 +97,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     an A19-style event batch. Derives the same ts_ns/ts columns as the
     batch loader so stream and batch plans are interchangeable."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = f"{sf_dir.rstrip('/')}/events.parquet"
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(events_stream_schema(src))
         .option("maxFilesPerTrigger", 1)
         .parquet(_stage_dir(sf_dir))
     )
@@ -275,12 +298,22 @@ def _timeordered_stage_dir(sf_dir: str, n: int = 3) -> str:
         return stage
     os.makedirs(stage, exist_ok=True)
     t = pq.read_table(src)
+    ts_col = t["ts"]
+    if getattr(ts_col.type, "unit", None) == "ns":
+        # pyarrow refuses lossy ns→us downcasts; floor-divide the raw
+        # int64 nanos to micros explicitly (truncation semantics match
+        # canonical_event_time's `ts_ns div 1000`)
+        ts_col = pc.divide(pc.cast(ts_col, pa.int64()), 1000).cast(
+            pa.timestamp("us")
+        )
+    else:
+        ts_col = pc.cast(ts_col, pa.timestamp("us"))
     t = t.set_column(
         t.schema.get_field_index("ts"),
+        # normalized to microseconds, matching EVENTS_SCHEMA, so the
+        # staged slices are the same for both driver generations
         "ts",
-        # normalize to microseconds, matching EVENTS_SCHEMA (exact for
-        # both the us-native and the legacy ns-encoded generations)
-        pc.cast(t["ts"], pa.timestamp("us")),
+        ts_col,
     )
     t = t.sort_by("ts")
     step = (t.num_rows + n - 1) // n

@@ -95,3 +95,83 @@ def test_observe_metrics_account_for_rows(spark, sf_dir):
     kept = observed.filter(F.col("l_quantity") > 25).count()
     assert obs.get["rows_seen"] == li.count()
     assert obs.get["big_qty"] == kept
+
+
+def test_canonical_event_time_both_generations(spark, tmp_path):
+    """Dual events-schema contract: the driver has shipped
+    events.parquet with ts as TIMESTAMP(NANOS) (read as bigint under
+    nanosAsLong) and as TIMESTAMP(MICROS)/ntz. canonical_event_time
+    must normalize BOTH shapes — batch and stream — to identical
+    (ts_ns, ts) output. This is the regression test for the r3
+    snapshot break (one call site left on the old bigint conversion)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_system_spark.sources.tables import canonical_event_time
+    from distributed_system_spark.streaming.streams import (
+        events_stream_schema,
+    )
+
+    base_us = 1_712_000_000_000_000
+    ids = [1, 2, 3]
+    us_vals = [base_us + k * 7_000_000 for k in ids]
+
+    def write(dirname, ts_arr):
+        d = str(tmp_path / dirname)
+        os.makedirs(d)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(ids, type=pa.int64()),
+                    "ts": ts_arr,
+                    "user_id": pa.array([1, 1, 2], type=pa.int64()),
+                    "event_type": ["view", "click", "view"],
+                    "value": [1.0, 2.0, 3.0],
+                    "props": ["{}", "{}", "{}"],
+                }
+            ),
+            f"{d}/part-000.parquet",
+        )
+        return d
+
+    d_ns = write(
+        "gen-ns",
+        pa.array([v * 1000 for v in us_vals], type=pa.timestamp("ns")),
+    )
+    d_us = write("gen-us", pa.array(us_vals, type=pa.timestamp("us")))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def batch_rows(d):
+        out = canonical_event_time(spark.read.parquet(d))
+        return sorted(
+            (r["event_id"], r["ts_ns"], r["ts"])
+            for r in out.select("event_id", "ts_ns", "ts").collect()
+        )
+
+    def stream_rows(d):
+        src = f"{d}/part-000.parquet"
+        raw = spark.readStream.schema(events_stream_schema(src)).parquet(d)
+        out = canonical_event_time(raw)
+        q = (
+            out.select("event_id", "ts_ns", "ts")
+            .writeStream.format("memory")
+            .queryName(f"gen_sink_{os.path.basename(d).replace('-', '_')}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        tbl = spark.table(q.name)
+        return sorted(
+            (r["event_id"], r["ts_ns"], r["ts"]) for r in tbl.collect()
+        )
+
+    want = [(k, v * 1000, None) for k, v in zip(ids, us_vals)]
+    got_ns, got_us = batch_rows(d_ns), batch_rows(d_us)
+    assert got_ns == got_us
+    assert [(a, b) for a, b, _ in got_ns] == [(a, b) for a, b, _ in want]
+    s_ns, s_us = stream_rows(d_ns), stream_rows(d_us)
+    assert s_ns == s_us == got_ns

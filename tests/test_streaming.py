@@ -168,39 +168,43 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     import pyarrow.parquet as pq
     import pyspark.sql.functions as F
 
+    from distributed_system_spark.sources.tables import canonical_event_time
     from distributed_system_spark.streaming.streams import EVENTS_SCHEMA
 
-    base_ns = 1_700_000_000_000_000_000  # an hour-aligned-ish anchor
-    hour_ns = 3_600_000_000_000
+    base_us = 1_700_000_000_000_000  # an hour-aligned-ish anchor
 
     def rows(*ts_offsets_min):
-        return {
-            "event_id": list(range(len(ts_offsets_min))),
-            "ts": [base_ns + m * 60_000_000_000 for m in ts_offsets_min],
-            "user_id": [1] * len(ts_offsets_min),
-            "event_type": ["view"] * len(ts_offsets_min),
-            "value": [1.0] * len(ts_offsets_min),
-            "props": ["{}"] * len(ts_offsets_min),
-        }
+        n = len(ts_offsets_min)
+        return pa.table(
+            {
+                "event_id": pa.array(list(range(n)), type=pa.int64()),
+                "ts": pa.array(
+                    [base_us + m * 60_000_000 for m in ts_offsets_min],
+                    type=pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1] * n, type=pa.int64()),
+                "event_type": ["view"] * n,
+                "value": [1.0] * n,
+                "props": ["{}"] * n,
+            }
+        )
 
     stage = str(tmp_path / "late-stage")
     os.makedirs(stage)
     # batch 0: minutes 0..120 — sets max event time to 120min
-    pq.write_table(pa.table(rows(0, 20, 50, 70, 110, 120)),
+    pq.write_table(rows(0, 20, 50, 70, 110, 120),
                    f"{stage}/slice-000.parquet")
     # batch 1: on-time row; the watermark computed from batch 0
     # (120 - 30 = 90min) takes effect from this batch on
-    pq.write_table(pa.table(rows(125)), f"{stage}/slice-500.parquet")
+    pq.write_table(rows(125), f"{stage}/slice-500.parquet")
     # batch 2: minute 15 — 75min older than the watermark → dropped
-    pq.write_table(pa.table(rows(15)), f"{stage}/slice-999.parquet")
+    pq.write_table(rows(15), f"{stage}/slice-999.parquet")
     os.utime(f"{stage}/slice-000.parquet", (1_700_000_000, 1_700_000_000))
     os.utime(f"{stage}/slice-500.parquet", (1_700_004_000, 1_700_004_000))
     os.utime(f"{stage}/slice-999.parquet", (1_700_009_000, 1_700_009_000))
 
     def windowed(df):
-        src = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        src = canonical_event_time(df)
         if src.isStreaming:
             src = src.withWatermark("ts", "30 minutes")
         return src.groupBy(F.window("ts", "1 hour").alias("w")).agg(
@@ -251,33 +255,39 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
 
     import pyarrow as pa
     import pyarrow.parquet as pq
-    import pyspark.sql.functions as F
 
+    from distributed_system_spark.sources.tables import canonical_event_time
     from distributed_system_spark.streaming.streams import EVENTS_SCHEMA
 
-    base_ns = 1_700_000_000_000_000_000
+    base_us = 1_700_000_000_000_000
 
     def rows(ids_and_mins):
-        return {
-            "event_id": [i for i, _ in ids_and_mins],
-            "ts": [base_ns + m * 60_000_000_000 for _, m in ids_and_mins],
-            "user_id": [1] * len(ids_and_mins),
-            "event_type": ["view"] * len(ids_and_mins),
-            "value": [1.0] * len(ids_and_mins),
-            "props": ["{}"] * len(ids_and_mins),
-        }
+        n = len(ids_and_mins)
+        return pa.table(
+            {
+                "event_id": pa.array(
+                    [i for i, _ in ids_and_mins], type=pa.int64()
+                ),
+                "ts": pa.array(
+                    [base_us + m * 60_000_000 for _, m in ids_and_mins],
+                    type=pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1] * n, type=pa.int64()),
+                "event_type": ["view"] * n,
+                "value": [1.0] * n,
+                "props": ["{}"] * n,
+            }
+        )
 
     stage = str(tmp_path / "dedup-stage")
     os.makedirs(stage)
     # batch 0: ids 1,2,3; batch 1 replays id 2 (inside the horizon)
     # and adds id 4
     pq.write_table(
-        pa.table(rows([(1, 0), (2, 5), (3, 10)])),
+        rows([(1, 0), (2, 5), (3, 10)]),
         f"{stage}/s0.parquet",
     )
-    pq.write_table(
-        pa.table(rows([(2, 12), (4, 15)])), f"{stage}/s1.parquet"
-    )
+    pq.write_table(rows([(2, 12), (4, 15)]), f"{stage}/s1.parquet")
     os.utime(f"{stage}/s0.parquet", (1_700_000_000,) * 2)
     os.utime(f"{stage}/s1.parquet", (1_700_000_500,) * 2)
 
@@ -288,7 +298,7 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
         .parquet(stage)
     )
     deduped = (
-        stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        canonical_event_time(stream)
         .withWatermark("ts", "30 minutes")
         .dropDuplicatesWithinWatermark(["event_id"])
     )
