@@ -71,16 +71,59 @@ def register(
     return deco
 
 
+# Queries that have already had a green row in an external harness
+# window (rounds 1–3 union).  A prefix-sampling consumer capped at N
+# queries sees the NOT-yet-verified ones first, so over successive
+# windows the whole registry accumulates verified coverage; queries
+# added after this list was frozen are automatically prioritized.
+_EXTERNALLY_VERIFIED = frozenset(
+    {
+        "agg_percentiles", "agg_stats", "ann_ivf_topk", "ann_lsh_topk",
+        "ann_topk_cosine", "argmax_order", "case_when_tiers",
+        "count_distinct", "cube_agg", "date_funcs", "dedup_exact",
+        "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+        "distinct_pairs", "filter_like", "funnel_stages", "grouping_sets",
+        "join_broadcast", "join_semi", "join_shuffle_hash",
+        "join_sortmerge", "mad_robust_spread", "math_funcs",
+        "mj_wordcount", "mm_binary_meta", "mm_feature_extract",
+        "mm_frame_sample", "multi_format_scan", "not_in_subquery",
+        "pipe_tokens", "pivot_status", "posexplode_tokens",
+        "price_histogram", "proj_filter", "q10_returned_items",
+        "q11_important_parts", "q12_priority_classes",
+        "q13_customer_distribution", "q14_promo_share", "q15_top_supplier",
+        "q16_supplier_part_counts", "q17_small_quantity",
+        "q18_large_volume", "q19_disjunctive_filter", "q1_pricing",
+        "q20_part_shippers", "q21_waiting_supplier",
+        "q2_min_cost_supplier", "q3_shipping_priority",
+        "q4_order_priority", "q5_local_supplier_volume",
+        "q6_revenue_forecast", "q7_nation_trade", "q8_market_share",
+        "q9_product_profit", "retention_cohorts", "rollup_agg",
+        "rollup_grouping_id", "sample_deterministic", "scalar_subquery",
+        "sessionize_events", "set_except", "set_except_all",
+        "set_intersect", "set_intersect_all", "set_union", "skew_report",
+        "string_funcs", "text_langid", "text_quality", "text_token_count",
+        "try_cast_tokens", "ts_gapfill_locf",
+        "ts_rollup_daily_from_hourly", "udf_grouped_agg",
+        "udf_pandas_scalar", "udf_python_row", "union_by_name",
+        "unpivot_metrics", "win_session", "win_sliding", "win_tumbling",
+        "window_lag_lead", "window_rank", "window_running",
+        "winsorize_prices", "wordcount",
+    }
+)
+
+
 def load_all() -> dict[str, Query]:
     """Import every query module (idempotent) and return the registry.
 
     The returned dict is ordered **round-robin across query families**
     (one query per source module, then the next from each, ...) rather
-    than module-by-module.  Rationale: any consumer that samples a
-    prefix of the registry — e.g. a correctness harness capped at N
-    queries — then spans joins, windows, streaming, dedup, similarity,
-    text, multimodal, time-series, and behavioral families instead of
-    seeing only whichever module happened to import first.
+    than module-by-module, with queries not yet externally verified
+    ordered before ones that are.  Rationale: any consumer that
+    samples a prefix of the registry — e.g. a correctness harness
+    capped at N queries — then spans joins, windows, streaming, dedup,
+    similarity, text, multimodal, time-series, and behavioral families
+    instead of seeing only whichever module happened to import first,
+    and rotates fresh queries into each successive window.
     """
     for mod in _MODULES:
         try:
@@ -90,7 +133,11 @@ def load_all() -> dict[str, Query]:
             # a missing third-party dep inside one should surface.
             if mod.rsplit(".", 1)[-1] not in str(exc):
                 raise
-    return _interleaved(REGISTRY)
+    fresh = {
+        n: q for n, q in REGISTRY.items() if n not in _EXTERNALLY_VERIFIED
+    }
+    seen = {n: q for n, q in REGISTRY.items() if n in _EXTERNALLY_VERIFIED}
+    return {**_interleaved(fresh), **_interleaved(seen)}
 
 
 def _interleaved(registry: dict[str, Query]) -> dict[str, Query]:
