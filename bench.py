@@ -45,16 +45,23 @@ HEADLINE = [
     "win_session",        # session windows over events
     "embedding_neardup",  # banded-LSH cosine near-dup (the fuzzy-dedup
                           # representative: bounded candidates by design)
+    "simhash_neardup",    # 64-bit simhash banded near-dup pairs (166k
+                          # true near-dups at sf0.1 — the 16-bit form
+                          # emitted 7.1M birthday-collision pairs and
+                          # was unbenchable; 64 bits fixed the output)
+    "dedup_minhash_ctrl", # MinHash+LSH on the controlled-dup-rate
+                          # derived corpus (large vocab, ~5% true dups)
 ]
-# NOT here: dedup_minhash_lsh / dedup_ngram_jaccard / simhash_neardup.
-# They are correct (oracle-green at the driver's sf0.01) but this
-# synthetic corpus has a ~31-word vocabulary, so at sf0.1 nearly every
-# doc pair is a TRUE >=0.8-Jaccard / Hamming<=3 duplicate (ngram: 3.0M
-# qualifying pairs from 5k docs, 128 s even with prefix filtering;
-# simhash_neardup: 7.1M pairs) — output-quadratic is inherent to the
-# data, not the plan. Real corpora (large vocab, few dups) keep all
-# three near-linear; embedding_neardup above measures the same
-# banded-LSH candidate machinery on data with a sane dup rate.
+# NOT here: dedup_minhash_lsh / dedup_ngram_jaccard.  They are correct
+# (oracle-green at the driver's sf0.01) but this synthetic corpus has a
+# ~31-word vocabulary, so at sf0.1 nearly every doc pair is a TRUE
+# >=0.8-Jaccard duplicate (ngram: 3.0M qualifying pairs from 5k docs,
+# 128 s even with prefix filtering) — output-quadratic is inherent to
+# the data, not the plan. Real corpora (large vocab, few dups) keep
+# both near-linear; embedding_neardup and simhash_neardup above measure
+# the same bucketed candidate machinery on data with a sane dup rate,
+# and dedup_minhash_ctrl covers MinHash-LSH on a controlled-dup-rate
+# derived corpus (queries/dedup_q.py: _ctrl_corpus).
 
 
 def main() -> int:

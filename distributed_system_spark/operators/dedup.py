@@ -234,8 +234,56 @@ def simhash16(toks: DataFrame) -> DataFrame:
     )
 
 
+def simhash64(toks: DataFrame) -> DataFrame:
+    """(id, simhash) 64-bit SimHash from the doc's token set.
+
+    Four fingerprint bits per md5 hex digit: digit d (1..16) of
+    md5(tok) contributes bits i = 4(d-1)+1 .. 4(d-1)+4, where bit i is
+    bit j = (i-1) mod 4 of the digit's value; the fingerprint sets bit
+    i when a strict majority of the doc's tokens set it.  Bits pack
+    MSB-first (bit 1 → position 63) into one signed BIGINT, so the
+    sign bit is data — xor/bit_count treat all 64 positions uniformly.
+
+    Why 64: a 16-bit fingerprint has 65,536 values, so past ~2^8 docs
+    unrelated pairs birthday-collide and Hamming<=k stops meaning
+    "near-dup"; 64 bits keep the false-collision rate negligible at
+    10^9-doc corpora (the scale the reference's SDFS corpus implies).
+
+    Cost: one explode ×16 digit rows per token — the identical row
+    blowup to :func:`simhash16` (the 4 bits per digit are derived
+    inside the aggregate, not exploded).  All md5 → bit-identical
+    across engines, so the DuckDB oracle checks values, not shape.
+    """
+    pos = F.explode(F.sequence(F.lit(1), F.lit(16))).alias("d")
+    v = F.expr(
+        "instr('0123456789abcdef', "
+        "substring(md5(cast(tok as binary)), d, 1)) - 1"
+    ).alias("v")
+    per_digit = toks.select("id", "tok", pos).select("id", "d", v)
+    aggs = [
+        F.sum(F.expr(f"shiftright(v, {j}) & 1")).alias(f"ones{j}")
+        for j in range(4)
+    ]
+    counts = per_digit.groupBy("id", "d").agg(
+        F.count(F.lit(1)).alias("n"), *aggs
+    )
+    # bit i = 4(d-1)+j+1 lands at position 64-i = (67-j) - 4d; JVM
+    # shiftleft wraps into the sign bit for position 63 (d=1, j=0)
+    contrib = F.expr(
+        " | ".join(
+            f"shiftleft(cast(ones{j} * 2 > n as bigint), {67 - j} - 4 * d)"
+            for j in range(4)
+        )
+    )
+    return (
+        counts.select("id", contrib.alias("contrib"))
+        .groupBy("id")
+        .agg(F.bit_or("contrib").alias("simhash"))
+    )
+
+
 def simhash_neardup_pairs(
-    fp: DataFrame, max_hamming: int = 3, bands: int = 4, band_bits: int = 4
+    fp: DataFrame, max_hamming: int = 3, bands: int = 8, band_bits: int = 8
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs of near-duplicate fingerprints —
     the candidate-generation step simhash16 feeds (closing the loop
@@ -244,13 +292,15 @@ def simhash_neardup_pairs(
     Banded bucketing, EXHAUSTIVE by pigeonhole: with ``bands`` bands a
     pair differing in <= bands-1 bits must agree on at least one whole
     band, so a same-(band, bucket) equi-join loses nothing for
-    ``max_hamming <= bands - 1`` (default 3 < 4).  Unlike
+    ``max_hamming <= bands - 1`` (default 3 <= 7).  Unlike
     probability-curve LSH this is a proof, so the exact all-pairs
     oracle matches by construction, not by luck.
 
-    Scale: fingerprints are 1 row/doc (16 bits); the join shuffles on
-    (band, bucket) — 64 uniform-ish buckets via md5-derived bits — and
-    touches only colliding docs, never all-pairs.
+    Scale: fingerprints are 1 row/doc; the default 8 bands × 8 bits
+    over a 64-bit fingerprint give 2048 uniform-ish buckets of
+    md5-derived bits; the join shuffles on (band, bucket) and touches
+    only colliding docs, never all-pairs.  shiftright sign-extension
+    on the top band is masked off by ``& mask``.
     """
     if max_hamming > bands - 1:
         raise ValueError(

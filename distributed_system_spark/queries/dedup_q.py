@@ -18,7 +18,7 @@ from distributed_system_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
-    simhash16,
+    simhash64,
     simhash_neardup_pairs,
 )
 from distributed_system_spark.queries import register
@@ -127,60 +127,62 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_verify(cand, toks, 0.8)
 
 
-@register(
-    "dedup_simhash",
-    oracle="""
-WITH toks AS (
-  SELECT doc_id AS id, unnest(list_distinct(str_split(text, ' '))) AS tok
-  FROM documents
-),
-bits AS (
-  SELECT id, i,
-         CASE WHEN substr(md5(tok), CAST(i AS INT), 1)
-                   IN ('8','9','a','b','c','d','e','f')
-              THEN 1 ELSE 0 END AS bit
-  FROM toks CROSS JOIN (SELECT unnest(range(1, 17)) AS i) p
-),
-maj AS (
-  SELECT id, i, CASE WHEN sum(bit) * 2 > count(*) THEN 1 ELSE 0 END AS maj
-  FROM bits GROUP BY id, i
-)
-SELECT id, CAST(sum(maj * (CAST(1 AS BIGINT) << CAST(16 - i AS INT))) AS BIGINT)
-         AS simhash
-FROM maj GROUP BY id
-""",
-    tags=("dedup", "simhash"),
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash fingerprint per document (majority bit of token
-    md5s) — near-dups differ in few bits; bucketing the fingerprint
-    gives an O(n) candidate generator at scale."""
-    toks = doc_tokens(load_table(spark, sf_dir, "documents"))
-    return simhash16(toks)
-
-
+# 64-bit SimHash CTE: 4 bits per md5 hex digit (bit j of digit d's
+# value → fingerprint bit 4(d-1)+j+1, packed MSB-first).  DuckDB
+# refuses `1 << 63` (overflow-checked), so the d=1/j=0 contribution —
+# the sign bit — is spelled as the BIGINT minimum literal; every other
+# position shifts normally.  Spark's JVM shiftleft wraps, so both
+# engines land on the identical signed-64 value.
 _SIMHASH_SQL = """
 toks AS (
   SELECT doc_id AS id, unnest(list_distinct(str_split(text, ' '))) AS tok
   FROM documents
 ),
-bits AS (
-  SELECT id, i,
-         CASE WHEN substr(md5(tok), CAST(i AS INT), 1)
-                   IN ('8','9','a','b','c','d','e','f')
-              THEN 1 ELSE 0 END AS bit
-  FROM toks CROSS JOIN (SELECT unnest(range(1, 17)) AS i) p
+digits AS (
+  SELECT id, d,
+         strpos('0123456789abcdef', substr(md5(tok), CAST(d AS INT), 1)) - 1
+           AS v
+  FROM toks CROSS JOIN (SELECT unnest(range(1, 17)) AS d) p
 ),
-maj AS (
-  SELECT id, i, CASE WHEN sum(bit) * 2 > count(*) THEN 1 ELSE 0 END AS maj
-  FROM bits GROUP BY id, i
+dmaj AS (
+  SELECT id, d,
+         CASE WHEN sum((v >> 0) & 1) * 2 > count(*) THEN 1 ELSE 0 END AS m0,
+         CASE WHEN sum((v >> 1) & 1) * 2 > count(*) THEN 1 ELSE 0 END AS m1,
+         CASE WHEN sum((v >> 2) & 1) * 2 > count(*) THEN 1 ELSE 0 END AS m2,
+         CASE WHEN sum((v >> 3) & 1) * 2 > count(*) THEN 1 ELSE 0 END AS m3
+  FROM digits GROUP BY id, d
+),
+packed AS (
+  SELECT id,
+           (CASE WHEN d = 1 AND m0 = 1
+                 THEN CAST(-9223372036854775808 AS BIGINT)
+                 ELSE CAST(m0 AS BIGINT) << CAST(67 - 4*d AS INT) END)
+         | (CAST(m1 AS BIGINT) << CAST(66 - 4*d AS INT))
+         | (CAST(m2 AS BIGINT) << CAST(65 - 4*d AS INT))
+         | (CAST(m3 AS BIGINT) << CAST(64 - 4*d AS INT)) AS contrib
+  FROM dmaj
 ),
 fp AS (
-  SELECT id,
-         CAST(sum(maj * (CAST(1 AS BIGINT) << CAST(16 - i AS INT))) AS BIGINT)
-           AS simhash
-  FROM maj GROUP BY id
+  SELECT id, bit_or(contrib) AS simhash FROM packed GROUP BY id
 )"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+WITH {_SIMHASH_SQL}
+SELECT id, simhash FROM fp
+""",
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document (per-bit majority of
+    token md5s) — near-dups differ in few bits; bucketing the
+    fingerprint gives an O(n) candidate generator at scale. 64 bits
+    (not 16): unrelated docs must not birthday-collide at real corpus
+    sizes."""
+    toks = doc_tokens(load_table(spark, sf_dir, "documents"))
+    return simhash64(toks)
 
 
 @register(
@@ -195,12 +197,91 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     tags=("dedup", "simhash"),
 )
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-duplicate pairs (Hamming <= 3 over 16-bit
-    fingerprints) via 4x4-bit banded bucketing — lossless by
-    pigeonhole (<= 3 differing bits leave >= 1 band intact), so the
+    """SimHash near-duplicate pairs (Hamming <= 3 over 64-bit
+    fingerprints) via 8x8-bit banded bucketing — lossless by
+    pigeonhole (<= 7 differing bits leave >= 1 band intact), so the
     Spark side joins only within buckets while the oracle's exhaustive
-    all-pairs form must agree exactly.  This is the consumer the
-    round-2 verdict asked for: simhash16 fingerprints -> usable dedup
-    candidates."""
+    all-pairs form must agree exactly."""
     toks = doc_tokens(load_table(spark, sf_dir, "documents"))
-    return simhash_neardup_pairs(simhash16(toks), max_hamming=3)
+    return simhash_neardup_pairs(simhash64(toks), max_hamming=3)
+
+
+# The synthetic documents table has a ~31-word vocabulary, so at any
+# SF nearly every doc pair is a true >=0.8-Jaccard duplicate — honest
+# for correctness, useless for judging fuzzy-dedup wall-time (the
+# output is inherently quadratic in the data).  This derived corpus
+# fixes the data, not the plan: namespacing every token by its doc_id
+# makes the vocabulary large (cross-doc overlap drops to zero), then a
+# controlled 5% near-dup rate is injected by cloning every 20th doc
+# with one extra token (Jaccard n/(n+1) for an n-token doc — a true
+# dup whenever n >= 4).  Both engines derive the corpus with the same
+# expressions, so the LSH pipeline stays fully oracle-checked.
+_CTRL_CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id,
+         array_to_string(list_transform(str_split(text, ' '),
+           x -> x || '_' || CAST(doc_id AS VARCHAR)), ' ') AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         array_to_string(list_transform(str_split(text, ' '),
+           x -> x || '_' || CAST(doc_id AS VARCHAR)), ' ')
+           || ' zz_' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 20 = 0
+),
+toks AS (
+  SELECT doc_id AS id, unnest(list_distinct(str_split(text, ' '))) AS tok
+  FROM corpus
+)"""
+
+
+def _ctrl_corpus(docs: DataFrame) -> DataFrame:
+    ns = F.expr(
+        "array_join(transform(split(text, ' '), "
+        "x -> concat(x, '_', cast(doc_id as string))), ' ')"
+    )
+    base = docs.select("doc_id", ns.alias("text"))
+    dups = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(ns, F.lit(" zz_"), F.col("doc_id").cast("string")).alias(
+            "text"
+        ),
+    )
+    return base.unionByName(dups)
+
+
+@register(
+    "dedup_minhash_ctrl",
+    oracle=f"""
+WITH {_CTRL_CORPUS_SQL},
+mh AS (
+  SELECT id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || tok)) AS mh
+  FROM toks CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) s
+  GROUP BY id, seed
+),
+bands AS (
+  SELECT id, CAST(seed // 2 AS INT) AS band,
+         md5(string_agg(mh, ',' ORDER BY seed)) AS sig
+  FROM mh GROUP BY id, CAST(seed // 2 AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+),
+{_VERIFY_SQL.format(thr=0.8)}
+""",
+    tags=("dedup", "lsh", "bench"),
+)
+def dedup_minhash_ctrl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH fuzzy dedup on the controlled-dup-rate derived
+    corpus (large vocabulary, ~5% injected near-dups) — the honest
+    wall-time benchmark for the LSH pipeline: the candidate count is
+    near-linear in the true-dup count, the shape a real (non-toy)
+    corpus produces, instead of the all-pairs-are-dups degeneracy of
+    the raw synthetic documents table."""
+    corpus = _ctrl_corpus(load_table(spark, sf_dir, "documents"))
+    toks = doc_tokens(corpus)
+    sigs = minhash_signatures(toks, num_hashes=8)
+    cand = lsh_candidate_pairs(lsh_band_signatures(sigs, rows_per_band=2))
+    return jaccard_verify(cand, toks, 0.8)

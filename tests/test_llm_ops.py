@@ -14,6 +14,7 @@ from distributed_system_spark.operators.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash16,
+    simhash64,
 )
 from distributed_system_spark.operators.multimodal import (
     attach_binary,
@@ -62,6 +63,63 @@ def test_simhash_identical_docs_equal_fingerprints(spark):
     assert out[1] == out[2]
     assert out[1] != out[3]
     assert all(0 <= v < 2**16 for v in out.values())
+    out64 = {
+        r["id"]: r["simhash"] for r in simhash64(doc_tokens(docs)).collect()
+    }
+    assert out64[1] == out64[2]
+    assert out64[1] != out64[3]
+
+
+def test_simhash64_collisions_only_for_near_dups_sf01(spark):
+    """The r3 scale flag: 16-bit fingerprints saturate (65,536 values)
+    so unrelated docs birthday-collide well below real corpus sizes;
+    64-bit fingerprints may collide ONLY for genuine near-duplicates.
+    Verified on the sf0.1 corpus (5,000 docs): every cross-token-set
+    64-bit exact collision must be a true near-dup (Jaccard >= 0.5),
+    while the 16-bit fingerprint demonstrably conflates unrelated
+    docs."""
+    from distributed_system_spark.operators.dedup import jaccard_verify
+
+    toks = doc_tokens(
+        load_table(spark, "/root/testdata/sf0.1", "documents")
+    ).cache()
+    try:
+        sets = toks.groupBy("id").agg(
+            F.md5(
+                F.concat_ws(",", F.sort_array(F.collect_list("tok")))
+            ).alias("sk")
+        )
+        n_sets = sets.select("sk").distinct().count()
+
+        def cross_set_collisions(fp):
+            x = fp.join(sets, "id")
+            a = x.select(
+                F.col("id").alias("id_a"), "simhash", F.col("sk").alias("ska")
+            )
+            b = x.select(
+                F.col("id").alias("id_b"), "simhash", F.col("sk").alias("skb")
+            )
+            return (
+                a.join(b, "simhash")
+                .filter("id_a < id_b AND ska != skb")
+                .select("id_a", "id_b")
+            )
+
+        fp64 = simhash64(toks).cache()
+        fp16 = simhash16(toks).cache()
+        # 16-bit: far fewer distinct fingerprints than distinct token
+        # sets (saturated), and a huge number of cross-set collisions
+        n16 = fp16.select("simhash").distinct().count()
+        assert n_sets - n16 > 1000, (n_sets, n16)
+        assert cross_set_collisions(fp16).count() > 10_000
+        # 64-bit: every cross-set collision is a genuine near-dup
+        c64 = cross_set_collisions(fp64).cache()
+        n_c64 = c64.count()
+        assert n_c64 < 5_000, n_c64
+        near = jaccard_verify(c64, toks, 0.5).count()
+        assert near == n_c64, (near, n_c64)
+    finally:
+        toks.unpersist()
 
 
 def test_brute_force_topk_shape_and_order(spark, sf_dir):
