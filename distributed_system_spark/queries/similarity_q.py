@@ -13,6 +13,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from distributed_system_spark.operators.similarity import (
+    banded_lsh_topk,
     brute_force_topk,
     ivf_topk,
     lsh_bucket_topk,
@@ -111,6 +112,80 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         vecs.filter(F.col("id") >= 10),
         k=3,
         num_planes=8,
+    )
+
+
+@register(
+    "ann_banded_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec
+           FROM embeddings),
+proj AS (
+  SELECT id, p,
+         sum((strpos('0123456789abcdef',
+                     substr(md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
+                            1, 1)) - 8.5) * vec[CAST(i AS INT)]) AS pr
+  FROM e
+  CROSS JOIN (SELECT unnest(range(0, 32)) AS p) ps
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ds
+  GROUP BY id, p
+),
+bb AS (
+  SELECT id, CAST(p // 4 AS INT) AS band,
+         CAST(sum(CASE WHEN pr > 0 THEN CAST(pow(2.0, p % 4) AS BIGINT)
+                       ELSE 0 END) AS INT) AS bucket
+  FROM proj GROUP BY id, CAST(p // 4 AS INT)
+),
+flip AS (
+  SELECT id, band, bit FROM (
+    SELECT id, CAST(p // 4 AS INT) AS band, CAST(p % 4 AS INT) AS bit,
+           row_number() OVER (PARTITION BY id, p // 4
+                              ORDER BY round(abs(pr), 6), p % 4) AS rn
+    FROM proj
+  ) WHERE rn = 1
+),
+qprobes AS (
+  SELECT id, band, bucket FROM bb WHERE id < 10
+  UNION ALL
+  SELECT b.id, b.band,
+         CAST(xor(CAST(b.bucket AS BIGINT),
+                  CAST(pow(2.0, f.bit) AS BIGINT)) AS INT) AS bucket
+  FROM bb b JOIN flip f ON f.id = b.id AND f.band = b.band
+  WHERE b.id < 10
+),
+cand AS (
+  SELECT DISTINCT q.id AS q_id, c.id AS n_id
+  FROM qprobes q
+  JOIN bb c ON c.band = q.band AND c.bucket = q.bucket AND c.id >= 10
+),
+scored AS (
+  SELECT cand.q_id, cand.n_id, {_COS_SQL} AS cos
+  FROM cand JOIN e q ON q.id = cand.q_id JOIN e c ON c.id = cand.n_id
+)
+SELECT q_id, n_id, cos, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos DESC, n_id) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+""",
+    tags=("similarity", "ann", "lsh", "multiprobe"),
+)
+def ann_banded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded multi-probe LSH top-3: 8 bands x 4 bits, queries probe
+    each band's bucket plus its lowest-margin bit flip.  The
+    recall-per-cost frontier of the ANN paths here: recall@3 = 0.97 at
+    HALF the index rows of the single-probe 3x16 config (measured; see
+    SCALE.md).  The oracle reproduces the whole pipeline — md5-derived
+    hyperplanes, rounded-margin flip choice, candidate join, rounded
+    cosine ranking — in SQL."""
+    vecs = _vecs(spark, sf_dir)
+    return banded_lsh_topk(
+        vecs.filter(F.col("id") < 10),
+        vecs.filter(F.col("id") >= 10),
+        k=3,
+        bits_per_band=4,
+        bands=8,
+        probes=2,
     )
 
 

@@ -350,3 +350,39 @@ def test_banded_lsh_topk_recall_at_sf01():
     approx = {(r["q_id"], r["n_id"]) for r in banded_lsh_topk(q, c, k=3).collect()}
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.8, recall
+
+
+def test_multiprobe_banded_lsh_recall_at_half_index_cost():
+    """Multi-probe LSH (flip the lowest-margin bit per band on the
+    query side): 4 bits x 8 bands x 2 probes must match the recall bar
+    of the single-probe 3 x 16 default while building HALF the corpus
+    index rows — the recall-per-cost booster the r3 verdict asked
+    for.  sf0.1 corpus, recall@3 vs brute force."""
+    from distributed_system_spark.operators.similarity import (
+        banded_lsh_buckets,
+        banded_lsh_topk,
+    )
+    from distributed_system_spark.queries.similarity_q import _vecs
+    from distributed_system_spark.session import get_spark
+
+    spark = get_spark("recall-test")
+    vecs = _vecs(spark, "/root/testdata/sf0.1").cache()
+    q = vecs.filter(F.col("id") < 20).cache()
+    c = vecs.filter(F.col("id") >= 20).cache()
+    exact = {
+        (r["q_id"], r["n_id"]) for r in brute_force_topk(q, c, k=3).collect()
+    }
+    approx = {
+        (r["q_id"], r["n_id"])
+        for r in banded_lsh_topk(
+            q, c, k=3, bits_per_band=4, bands=8, probes=2
+        ).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.95, recall
+    # corpus index cost: 8 bands/vector vs the default's 16
+    n = c.count()
+    assert banded_lsh_buckets(c, 4, 8).count() == n * 8
+    assert banded_lsh_buckets(c, 3, 16).count() == n * 16
+    # multi-probe emits probes x bands rows for the (small) query side
+    assert banded_lsh_buckets(q, 4, 8, probes=2).count() == q.count() * 16
