@@ -45,6 +45,40 @@ _META_NAME = "_dss_metadata.json"
 _EVENTS_DIR = "_dss_events"
 
 
+def escape_key(key: str) -> str:
+    """Escape an arbitrary string key into one filesystem-safe path
+    component — the reference's convert_path scheme exactly
+    (sdfs.cpp:34-48): ``%`` → ``%%``, ``/`` → ``%|``.
+
+    MapleJuice keys become dataset names (the reference writes one
+    intermediate file per key, mj_worker.cpp:354-365), and keys are
+    arbitrary user-exe output — spaces, slashes, percents included.
+    ``%`` must be escaped first so unescaping is unambiguous.
+    """
+    return key.replace("%", "%%").replace("/", "%|")
+
+
+def unescape_key(name: str) -> str:
+    """Inverse of :func:`escape_key` (reference deconvert_path,
+    sdfs.cpp:50-63): left-to-right, ``%%`` → ``%``, ``%|`` → ``/``."""
+    out: list[str] = []
+    i = 0
+    while i < len(name):
+        if name[i] == "%" and i + 1 < len(name):
+            nxt = name[i + 1]
+            if nxt == "%":
+                out.append("%")
+                i += 2
+                continue
+            if nxt == "|":
+                out.append("/")
+                i += 2
+                continue
+        out.append(name[i])
+        i += 1
+    return "".join(out)
+
+
 class _HadoopFs:
     """Thin shim over org.apache.hadoop.fs.FileSystem (py4j).
 

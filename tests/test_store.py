@@ -208,3 +208,40 @@ def test_append_event_carries_piece_index(store, spark):
         ).collect()
     )
     assert pieces == [1, 2]
+
+
+def test_key_escaping_reference_parity(store, spark):
+    """sdfs.cpp:34-48 convert_path parity: arbitrary string keys
+    (spaces, slashes, percents — anything a MapleJuice exe can emit)
+    escape to one filesystem-safe component, round-trip through
+    put/get/ls/delete, and unescape back to the original key."""
+    from distributed_system_spark.sources.store import (
+        escape_key,
+        unescape_key,
+    )
+
+    keys = [
+        "plain",
+        "has space",
+        "a/b/c",
+        "100%",
+        "%|already%%escaped",
+        "mix /of% every thing/",
+    ]
+    # escape is injective on this set and always slash-free
+    names = [escape_key(k) for k in keys]
+    assert len(set(names)) == len(keys)
+    for k, n in zip(keys, names):
+        assert "/" not in n
+        assert unescape_key(n) == k
+
+    for k in keys:
+        name = f"keyed/{escape_key(k)}"
+        store.put(_text_df(spark, f"v:{k}"), name)
+        got = [r["value"] for r in store.get(name).collect()]
+        assert got == [f"v:{k}"], (k, got)
+    listed = store.ls_files("keyed")
+    assert sorted(unescape_key(n) for n in listed) == sorted(keys)
+    for k in keys:
+        store.delete(f"keyed/{escape_key(k)}")
+    assert store.ls_files("keyed") == []
