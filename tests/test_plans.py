@@ -93,9 +93,12 @@ def test_no_cartesian_in_lsh_dedup(spark, sf_dir):
     O(n^2) failure mode the LSH design exists to avoid."""
     for name in (
         "dedup_minhash_lsh",
+        "dedup_minhash_ctrl",
         "ann_lsh_topk",
+        "ann_banded_topk",
         "dedup_ngram_jaccard",
         "embedding_neardup",
+        "simhash_neardup",
     ):
         plan = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, (name, plan)
