@@ -667,3 +667,37 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = F.least(F.col("n_chars").cast("double") / 4000.0, F.lit(1.0))
     return docs.filter(u < p).select("doc_id", "n_chars")
+
+
+@register(
+    "freq_heavy_hitters",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(str_split(text, ' ')) AS tok FROM documents
+),
+tot AS (SELECT count(*) AS n FROM toks)
+SELECT tok, count(*) AS cnt
+FROM toks CROSS JOIN tot
+GROUP BY tok, tot.n
+HAVING count(*) * 100 >= tot.n
+""",
+    tags=("frequency", "sketch", "heavy-hitters"),
+)
+def freq_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens occurring in >= 1% of all token positions, with EXACT
+    counts, found via a distributed Misra-Gries sketch pass + exact
+    verification (operators/frequency.py).  The oracle is a plain
+    GROUP BY + HAVING — what the comparison proves is the sketch's
+    superset guarantee: pruning candidates before the shuffle must
+    never lose a qualifying key.  At 100 TB this replaces a
+    full-cardinality groupBy exchange with one scan + a broadcast
+    semi-join over O(partitions x 100) candidates."""
+    from distributed_system_spark.operators.frequency import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split("text", " ", -1)).alias("tok")
+    )
+    return heavy_hitters(toks, "tok", support_pct=1).select(
+        F.col("key").alias("tok"), "cnt"
+    )

@@ -56,3 +56,39 @@ def test_hll_sketch_rollup_accuracy_and_merge(spark, sf_dir):
     true_global = ev.select("user_id").distinct().count()
     merged = rows["ALL"]["approx_users"]
     assert abs(merged - true_global) <= max(1, 0.05 * true_global)
+
+
+def test_misra_gries_superset_guarantee_under_skew(spark):
+    """The MG candidate pass must NEVER lose a key meeting the support
+    threshold, however the rows are partitioned.  Adversarial fixture:
+    one key exactly AT 1% support, a sea of near-unique noise keys to
+    force constant counter eviction, heavy keys spread across
+    partitions; verified over several partitionings."""
+    import pyspark.sql.functions as F
+
+    from distributed_system_spark.operators.frequency import (
+        heavy_hitters,
+        misra_gries_candidates,
+    )
+
+    n = 10_000
+    rows = (
+        [("at_threshold",)] * 100          # exactly 1.0%
+        + [("heavy_a",)] * 900             # 9%
+        + [("heavy_b",)] * 500             # 5%
+        + [(f"noise_{i}",) for i in range(n - 1500)]
+    )
+    df = spark.createDataFrame(rows, "tok string")
+    want = {("heavy_a", 900), ("heavy_b", 500), ("at_threshold", 100)}
+    for parts in (1, 4, 13):
+        src = df.repartition(parts, F.rand(seed=parts))
+        got = {
+            (r["key"], r["cnt"])
+            for r in heavy_hitters(src, "tok", support_pct=1).collect()
+        }
+        assert got == want, (parts, got)
+        # candidate set stays sketch-sized, not cardinality-sized
+        n_cand = misra_gries_candidates(
+            src.select(F.col("tok")), "tok", 100
+        ).distinct().count()
+        assert n_cand <= parts * 100, (parts, n_cand)
