@@ -330,6 +330,7 @@ def view_click_attribution(
     events: DataFrame,
     max_gap_minutes: int = 30,
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream self-join: attribute each click to the view(s) by
     the same user in the preceding ``max_gap_minutes``. Works on the
@@ -339,7 +340,25 @@ def view_click_attribution(
     stream-stream join state grows unboundedly (the 100 TB/day
     failure mode). Inner-join matches emit eagerly; the watermark only
     bounds state.
+
+    ``how="left_outer"`` additionally emits each unmatched view with null
+    click columns — in streaming, an unmatched view emits only once
+    the watermark passes the end of its match window (the state is
+    then provably complete and evictable), so tail views whose window
+    is still open when the stream drains are withheld; the batch face
+    emits all of them.  That timing difference is streaming left-outer
+    semantics, asserted in tests/test_streaming.py.
     """
+    # Watermark the SHARED source before splitting into sides: each
+    # side of a self-join re-instantiates the subtree, so a watermark
+    # applied after the event-type filter would track only that side's
+    # events — a click drought stalls the click-side watermark at the
+    # last click, the query watermark (min across nodes) stalls with
+    # it, and left-outer state is never evicted.  Watermarking first
+    # means both nodes observe the full event flow and advance
+    # together (the true source watermark).
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
     v = events.filter(F.col("event_type") == "view").select(
         "user_id",
         F.col("ts").alias("v_ts"),
@@ -350,9 +369,6 @@ def view_click_attribution(
         F.col("ts").alias("c_ts"),
         F.col("event_id").alias("click_id"),
     )
-    if events.isStreaming:
-        v = v.withWatermark("v_ts", watermark)
-        c = c.withWatermark("c_ts", watermark)
     cond = (
         (F.col("user_id") == F.col("c_user"))
         & (F.col("c_ts") > F.col("v_ts"))
@@ -361,7 +377,7 @@ def view_click_attribution(
             <= F.col("v_ts") + F.expr(f"INTERVAL {max_gap_minutes} MINUTES")
         )
     )
-    return v.join(c, cond).select(
+    return v.join(c, cond, how).select(
         "user_id",
         "view_id",
         "click_id",

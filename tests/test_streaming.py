@@ -314,3 +314,89 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
         r["event_id"] for r in spark.table("ddww_sink").collect()
     )
     assert got == [1, 2, 3, 4], got  # the replayed id 2 appears once
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(
+    spark, tmp_path
+):
+    """Stream-stream LEFT OUTER join (C9): matched pairs emit eagerly;
+    an unmatched view emits with null click columns once the watermark
+    passes the end of its match window (state provably complete →
+    evictable); views whose window is still open when the stream
+    drains are withheld — the batch face emits those too, and the
+    difference must be exactly those tail views."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_system_spark.sources.tables import canonical_event_time
+    from distributed_system_spark.streaming.streams import (
+        EVENTS_SCHEMA,
+        run_available_now,
+        view_click_attribution,
+    )
+
+    base_us = 1_700_000_000_000_000
+
+    def rows(specs):  # (event_id, minute, user, type)
+        n = len(specs)
+        return pa.table(
+            {
+                "event_id": pa.array([e for e, _, _, _ in specs], pa.int64()),
+                "ts": pa.array(
+                    [base_us + m * 60_000_000 for _, m, _, _ in specs],
+                    type=pa.timestamp("us"),
+                ),
+                "user_id": pa.array([u for _, _, u, _ in specs], pa.int64()),
+                "event_type": [t for _, _, _, t in specs],
+                "value": [1.0] * n,
+                "props": ["{}"] * n,
+            }
+        )
+
+    stage = str(tmp_path / "louter-stage")
+    os.makedirs(stage)
+    # b0: u1 view+click (match), u2 view (never clicked)
+    pq.write_table(
+        rows([(1, 0, 1, "view"), (2, 10, 1, "click"), (3, 5, 2, "view")]),
+        f"{stage}/s0.parquet",
+    )
+    # b1: sentinel advances event time to 120min -> watermark 110min
+    pq.write_table(rows([(4, 120, 9, "view")]), f"{stage}/s1.parquet")
+    # b2: watermark 110 > u2's window end (35min) -> u2 emits null-click
+    pq.write_table(rows([(5, 125, 9, "view")]), f"{stage}/s2.parquet")
+    for i, t in enumerate([1_700_000_000, 1_700_000_500, 1_700_001_000]):
+        os.utime(f"{stage}/s{i}.parquet", (t, t))
+
+    stream = canonical_event_time(
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    joined = view_click_attribution(
+        stream, watermark="10 minutes", how="left_outer"
+    )
+    got = {
+        (r["user_id"], r["view_id"], r["click_id"], r["gap_us"])
+        for r in run_available_now(
+            joined, "louter_sink", output_mode="append"
+        ).collect()
+    }
+    assert got == {
+        (1, 1, 2, 600_000_000),  # eager inner match
+        (2, 3, None, None),      # unmatched, window closed by watermark
+    }, got
+
+    # batch face: same definition emits the withheld tail views too
+    batch = canonical_event_time(
+        spark.read.schema(EVENTS_SCHEMA).parquet(stage)
+    )
+    bgot = {
+        (r["user_id"], r["view_id"], r["click_id"], r["gap_us"])
+        for r in view_click_attribution(
+            batch, watermark="10 minutes", how="left_outer"
+        ).collect()
+    }
+    assert bgot - got == {(9, 4, None, None), (9, 5, None, None)}
+    assert got <= bgot
