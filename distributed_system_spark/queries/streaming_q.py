@@ -161,6 +161,33 @@ def stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_join_outer",
+    oracle="""
+SELECT v.user_id,
+       v.event_id AS view_id,
+       c.event_id AS click_id,
+       epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON v.user_id = c.user_id
+ AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+""",
+    tags=("C9", "stream-stream-join", "outer"),
+)
+def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of the LEFT OUTER stream-stream attribution join
+    (view_click_attribution(how='left_outer')): every view, with null
+    click columns when nothing followed within 30 min.  The streaming
+    face — null emission gated on the watermark passing the match
+    window, tail views withheld — is pinned by
+    tests/test_streaming.py::
+    test_stream_stream_left_outer_emits_unmatched_after_watermark;
+    this registry entry oracle-checks the join definition itself."""
+    ev = load_table(spark, sf_dir, "events")
+    return view_click_attribution(ev, how="left_outer")
+
+
+@register(
     "stream_dedup_first",
     oracle="""
 SELECT user_id, event_type,
