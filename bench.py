@@ -51,6 +51,7 @@ HEADLINE = [
                           # was unbenchable; 64 bits fixed the output)
     "dedup_minhash_ctrl", # MinHash+LSH on the controlled-dup-rate
                           # derived corpus (large vocab, ~5% true dups)
+    "freq_heavy_hitters", # Misra-Gries sketch pass + exact verify
 ]
 # NOT here: dedup_minhash_lsh / dedup_ngram_jaccard.  They are correct
 # (oracle-green at the driver's sf0.01) but this synthetic corpus has a
