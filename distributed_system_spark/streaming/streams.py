@@ -278,6 +278,104 @@ def running_totals_stateful(
     )
 
 
+def sessionize_stateful(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_minutes: int = 30,
+    watermark: str = "30 minutes",
+    sink_name: str = "stateful_sessions_sink",
+) -> DataFrame:
+    """Custom stateful sessionizer: ``applyInPandasWithState`` with
+    **EventTimeTimeout** — the state-EVICTION primitive
+    ``running_totals_stateful`` doesn't exercise.  Per-user open
+    sessions live in the state store; a session closes (and emits)
+    either when a later in-data event arrives more than ``gap``
+    after it, or when the WATERMARK passes its end + gap and the
+    group's timeout fires.  Without the timeout, every user who
+    stops sending events parks an open session in the store forever —
+    the unbounded-state failure mode at 100 TB/day; with it, state
+    size tracks only the active-user set.
+
+    Emits one row per CLOSED session (user_id, n_events, start_us,
+    end_us, duration_us) — the same tuple the batch
+    ``sessionize_events`` query produces (minus the session ordinal).
+    Sessions still open when the stream drains are withheld; the
+    equivalence test pins streamed == batch minus exactly that tail.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60_000_000
+
+    def sessions(key, pdfs, state: GroupState):
+        def emit(start, last, n):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "start_us": [start],
+                    "end_us": [last],
+                    "duration_us": [last - start],
+                }
+            )
+
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield emit(start, last, n)
+            return
+        start, last, n = state.get if state.exists else (None, None, 0)
+        # the group's rows arrive as several Arrow chunks in partition
+        # order, not time order — gather them all before the gap walk
+        all_ts: list[int] = []
+        for pdf in pdfs:
+            all_ts.extend(int(v) for v in pdf["ts_us"])
+        for ts in sorted(all_ts):
+            if last is None:
+                start, last, n = ts, ts, 1
+            elif ts - last > gap_us:
+                yield emit(start, last, n)
+                start, last, n = ts, ts, 1
+            else:
+                last, n = ts, n + 1
+        if last is not None:
+            state.update((start, last, n))
+            # fire once the watermark passes the session's close edge;
+            # clamp above the current watermark (setting a timeout at
+            # or below it is an error for data arriving exactly late)
+            close_ms = (last + gap_us) // 1000
+            state.setTimeoutTimestamp(
+                max(close_ms, state.getCurrentWatermarkMs() + 1)
+            )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        raw = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_timeordered_stage_dir(sf_dir))
+        )
+        stream = (
+            canonical_event_time(raw)
+            .withColumn("ts_us", F.expr("ts_ns div 1000"))
+            .withWatermark("ts", watermark)
+        )
+        closed = stream.groupBy("user_id").applyInPandasWithState(
+            sessions,
+            outputStructType=(
+                "user_id long, n_events long, start_us long, "
+                "end_us long, duration_us long"
+            ),
+            stateStructType="start long, last long, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+        return run_available_now(closed, sink_name, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
 def _timeordered_stage_dir(sf_dir: str, n: int = 3) -> str:
     """Stage events as ``n`` time-ordered, non-overlapping parquet
     slices with increasing mtimes, so the file stream replays them in

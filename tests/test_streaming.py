@@ -400,3 +400,45 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(
     }
     assert bgot - got == {(9, 4, None, None), (9, 5, None, None)}
     assert got <= bgot
+
+
+def test_stateful_sessionizer_timeout_evicts_and_emits(spark, sf_dir):
+    """applyInPandasWithState + EventTimeTimeout (C9): sessions close
+    via in-data gaps OR via watermark-driven state timeout; every
+    emitted session must exactly match a batch session, and the only
+    batch sessions missing from the stream are each user's final one
+    when the watermark never passed its close edge — i.e. state was
+    evicted everywhere else."""
+    from distributed_system_spark.queries.behavior import sessionize_events
+    from distributed_system_spark.streaming.streams import (
+        sessionize_stateful,
+    )
+
+    wm_us = 30 * 60_000_000
+    gap_us = 30 * 60_000_000  # behavior.py _GAP_US, the batch face's gap
+
+    got = {
+        (r["user_id"], r["n_events"], r["start_us"], r["end_us"])
+        for r in sessionize_stateful(spark, sf_dir).collect()
+    }
+    batch_rows = sessionize_events(spark, sf_dir).collect()
+    batch = {
+        (r["user_id"], r["n_events"], r["start_us"], r["end_us"])
+        for r in batch_rows
+    }
+    assert got <= batch, got - batch
+    # withheld = sessions whose close edge the final watermark never
+    # passed: the session must be its user's last AND end within
+    # (watermark + gap) of the stream's max event time
+    max_ts = max(r["end_us"] for r in batch_rows)
+    last_end = {}
+    for r in batch_rows:
+        last_end[r["user_id"]] = max(
+            last_end.get(r["user_id"], 0), r["end_us"]
+        )
+    withheld = batch - got
+    for u, n, s, e in withheld:
+        assert e == last_end[u], (u, n, s, e)
+        assert e + gap_us > max_ts - wm_us, (u, e, max_ts)
+    # the timeout path did real work: most sessions emitted
+    assert len(got) > 0.8 * len(batch), (len(got), len(batch))
