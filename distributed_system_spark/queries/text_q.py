@@ -701,3 +701,123 @@ def freq_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(toks, "tok", support_pct=1).select(
         F.col("key").alias("tok"), "cnt"
     )
+
+
+@register(
+    "dataset_mix",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, source,
+         strpos('0123456789abcdef', substr(md5(source), 1, 1)) AS wt,
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+  FROM documents
+)
+SELECT source,
+       CAST(round(max(wt) / 16.0, 6) AS DOUBLE) AS keep_rate,
+       count(*) AS n_in,
+       CAST(sum(CASE WHEN u < wt / 16.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept
+FROM w GROUP BY source
+""",
+    tags=("llm", "sampling", "mixing"),
+)
+def dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture control: downsample each source to a target
+    rate — here derived deterministically from the source name's md5
+    (rate = digit/16, standing in for the config a real run supplies).
+    Membership is a pure function of (doc_id, source) via the md5
+    uniform, so the mixture is reproducible across engines, re-runs,
+    and corpus growth — the property that keeps a 100 TB mixing job
+    restartable and auditable.  One scan, one partial-agg groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    wt = F.expr("instr('0123456789abcdef', substring(md5(source), 1, 1))")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / 4294967296.0
+    )
+    return (
+        docs.select("source", wt.alias("wt"), u.alias("u"))
+        .groupBy("source")
+        .agg(
+            F.round(F.max("wt") / 16.0, 6)
+            .cast("double")
+            .alias("keep_rate"),
+            F.count(F.lit(1)).alias("n_in"),
+            F.sum(
+                F.when(F.col("u") < F.col("wt") / 16.0, 1).otherwise(0)
+            ).alias("n_kept"),
+        )
+    )
+
+
+@register(
+    "seq_packing",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS h,
+         len(str_split(text, ' ')) AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, toks,
+         SUM(toks) OVER (PARTITION BY shard ORDER BY h, doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+)
+SELECT shard,
+       CAST((cum - toks) // 512 AS BIGINT) AS pack_id,
+       count(*) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS pack_tokens,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM c GROUP BY shard, CAST((cum - toks) // 512 AS BIGINT)
+""",
+    tags=("llm", "packing"),
+)
+def seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: docs are concatenated into
+    512-token context budgets by a deterministic sequential fill —
+    per SHARD (first md5 hex digit of doc_id), not globally, because
+    a global cumulative sum is a single-partition sort at 100 TB
+    while per-shard packing is embarrassingly parallel (this is how
+    real pipelines pack: per output shard).  Doc order within a shard
+    is the md5 shuffle (training-order randomization that is
+    reproducible everywhere); a doc belongs to the pack its first
+    token lands in."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    d = docs.select(
+        "doc_id",
+        F.substring(h, 1, 1).alias("shard"),
+        h.alias("h"),
+        F.size(F.split("text", " ", -1)).alias("toks"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = d.withColumn("cum", F.sum("toks").over(w))
+    return (
+        c.select(
+            "shard",
+            F.expr("(cum - toks) div 512").alias("pack_id"),
+            "doc_id",
+            "toks",
+        )
+        .groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("pack_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
