@@ -112,6 +112,33 @@ _EXTERNALLY_VERIFIED = frozenset(
 )
 
 
+# The rest of the registry as of the same freeze: registered then but
+# never externally green.  Together with _EXTERNALLY_VERIFIED this is
+# the frozen 134-query registry; names in neither set are post-freeze
+# additions.
+_PENDING_AT_FREEZE = frozenset(
+    {
+        "agg_arrays", "approx_distinct", "array_funcs", "cdc_latest_per_key",
+        "cond_null_funcs", "contamination_check", "dataset_split",
+        "dedup_cc_clusters", "doc_chunking", "doc_quality_filter",
+        "embedding_neardup", "embedding_quantize_int8", "event_transitions",
+        "from_json_struct", "fuzzy_part_names", "hll_mergeable_rollup",
+        "join_anti", "join_asof", "join_full_outer", "join_left_outer",
+        "join_range_band", "join_right_outer", "join_skew_salted",
+        "kmeans_clusters", "map_json_funcs", "merge_upsert", "orderby_limit",
+        "q22_global_sales", "regex_funcs", "sample_stratified_topn",
+        "simhash_neardup", "stream_dedup_first", "stream_join_attribution",
+        "stream_static_enrich", "stream_stateful_totals", "text_bigrams",
+        "text_fingerprint", "text_tfidf_top3", "topk_per_group",
+        "ts_moving_average", "ts_ohlc_bars", "ts_similarity_topk",
+        "weighted_sample", "window_distribution", "window_ntile",
+        "window_range_frame",
+    }
+)
+
+_KNOWN_AT_FREEZE = _EXTERNALLY_VERIFIED | _PENDING_AT_FREEZE
+
+
 def load_all() -> dict[str, Query]:
     """Import every query module (idempotent) and return the registry.
 
@@ -133,11 +160,27 @@ def load_all() -> dict[str, Query]:
             # a missing third-party dep inside one should surface.
             if mod.rsplit(".", 1)[-1] not in str(exc):
                 raise
-    fresh = {
-        n: q for n, q in REGISTRY.items() if n not in _EXTERNALLY_VERIFIED
+    # three tiers: (1) queries that existed when the verified list was
+    # frozen but have never had an external green row — these MUST fit
+    # inside a 50-query prefix window to complete union coverage of
+    # the frozen registry; (2) queries added after the freeze (also
+    # unverified, but not blocking the union goal); (3) verified.
+    tier1 = {
+        n: q
+        for n, q in REGISTRY.items()
+        if n not in _EXTERNALLY_VERIFIED and n in _KNOWN_AT_FREEZE
     }
-    seen = {n: q for n, q in REGISTRY.items() if n in _EXTERNALLY_VERIFIED}
-    return {**_interleaved(fresh), **_interleaved(seen)}
+    tier2 = {
+        n: q
+        for n, q in REGISTRY.items()
+        if n not in _EXTERNALLY_VERIFIED and n not in _KNOWN_AT_FREEZE
+    }
+    tier3 = {n: q for n, q in REGISTRY.items() if n in _EXTERNALLY_VERIFIED}
+    return {
+        **_interleaved(tier1),
+        **_interleaved(tier2),
+        **_interleaved(tier3),
+    }
 
 
 def _interleaved(registry: dict[str, Query]) -> dict[str, Query]:

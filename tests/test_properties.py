@@ -125,3 +125,23 @@ def test_partitioners_preserve_rows(spark, keys):
         partition_by_range(df, 4, "k"),
     ):
         assert sorted(r["k"] for r in part.collect()) == want
+
+
+def test_registry_prefix_prioritizes_unverified_frozen_queries():
+    """A prefix-sampling correctness harness capped at 50 queries must
+    see every frozen-registry query that has never had an external
+    green row BEFORE post-freeze additions and already-verified ones —
+    this completes union coverage of the frozen registry across
+    successive windows."""
+    from distributed_system_spark.queries import (
+        _EXTERNALLY_VERIFIED,
+        _KNOWN_AT_FREEZE,
+        _PENDING_AT_FREEZE,
+        load_all,
+    )
+
+    reg = load_all()
+    assert not (_PENDING_AT_FREEZE & _EXTERNALLY_VERIFIED)
+    assert _KNOWN_AT_FREEZE <= set(reg)
+    prefix = list(reg)[: len(_PENDING_AT_FREEZE)]
+    assert set(prefix) == set(_PENDING_AT_FREEZE)
