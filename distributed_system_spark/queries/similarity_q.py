@@ -31,6 +31,11 @@ round(list_sum(list_transform(range(1, 65), i -> q.vec[i] * c.vec[i]))
       6)
 """
 
+_SQL_SQDIST = (
+    "round(list_sum(list_transform(range(1, 65), "
+    "i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), 6)"
+)
+
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -258,6 +263,113 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_kmeans",
+    oracle=f"""
+WITH eall AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec
+              FROM embeddings),
+e AS (SELECT id AS vec_id, vec AS v FROM eall WHERE id >= 10),
+c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id BETWEEN 10 AND 17),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_SQL_SQDIST}, c.cid) AS rn
+    FROM e CROSS JOIN c0 c) WHERE rn = 1
+),
+pts AS (
+  SELECT a1.cid, unnest(e.v) AS x, generate_subscripts(e.v, 1) AS pos
+  FROM a1 JOIN e USING (vec_id)
+),
+cents AS (
+  SELECT cid AS list_id, list(m ORDER BY pos) AS c_vec FROM (
+    SELECT cid, pos,
+           round(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+                 / count(*), 9) AS m
+    FROM pts GROUP BY cid, pos) GROUP BY cid
+),
+qa AS (
+  SELECT q_id, list_id FROM (
+    SELECT q.id AS q_id, c.list_id,
+           row_number() OVER (
+             PARTITION BY q.id
+             ORDER BY round(list_sum(list_transform(range(1, 65),
+                         i -> q.vec[i] * c.c_vec[i]))
+                   / (sqrt(list_sum(list_transform(range(1, 65),
+                         i -> q.vec[i] * q.vec[i])))
+                    * sqrt(list_sum(list_transform(range(1, 65),
+                         i -> c.c_vec[i] * c.c_vec[i])))), 6) DESC,
+                      c.list_id) AS pr
+    FROM eall q CROSS JOIN cents c WHERE q.id < 10
+  ) WHERE pr <= 2
+),
+ca AS (
+  SELECT n_id, list_id FROM (
+    SELECT n.id AS n_id, c.list_id,
+           row_number() OVER (
+             PARTITION BY n.id
+             ORDER BY round(list_sum(list_transform(range(1, 65),
+                         i -> n.vec[i] * c.c_vec[i]))
+                   / (sqrt(list_sum(list_transform(range(1, 65),
+                         i -> n.vec[i] * n.vec[i])))
+                    * sqrt(list_sum(list_transform(range(1, 65),
+                         i -> c.c_vec[i] * c.c_vec[i])))), 6) DESC,
+                      c.list_id) AS pr
+    FROM eall n CROSS JOIN cents c WHERE n.id >= 10
+  ) WHERE pr <= 1
+),
+cand AS (
+  SELECT DISTINCT qa.q_id, ca.n_id
+  FROM qa JOIN ca ON qa.list_id = ca.list_id
+),
+scored AS (
+  SELECT cand.q_id, cand.n_id, {_COS_SQL} AS cos
+  FROM cand JOIN eall q ON q.id = cand.q_id JOIN eall c ON c.id = cand.n_id
+)
+SELECT q_id, n_id, cos, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos DESC, n_id) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+""",
+    tags=("similarity", "ann", "ivf", "kmeans", "composition"),
+)
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with LEARNED centroids: one Lloyd re-estimation (k=8, init =
+    corpus vectors 10..17) over the corpus produces the inverted-list
+    centroids, then the standard IVF candidate equi-join runs against
+    them — the kmeans_clusters → ann_ivf_topk composition (the A22
+    job-chaining shape: output of one operator feeds the next).  Same
+    plan as ann_ivf_topk — broadcast k·d centroid literals, one corpus
+    assignment scan, equi-join on list_id — but with data-adapted
+    lists, which is what a production IVF index actually uses.  The
+    oracle reproduces the Lloyd round AND the probe pipeline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus_v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).filter(F.col("vec_id") >= 10)
+    c0 = [
+        (r["vec_id"], list(r["v"]))
+        for r in corpus_v.filter(F.col("vec_id") < 18)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    cents = _lloyd_round(corpus_v, c0)
+    spark_sess = spark
+    cents_df = spark_sess.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in cents],
+        "id long, vec array<double>",
+    )
+    vecs = _vecs(spark, sf_dir)
+    return ivf_topk(
+        vecs.filter(F.col("id") < 10),
+        vecs.filter(F.col("id") >= 10),
+        cents_df,
+        k=3,
+        nprobe=2,
+    )
+
+
+@register(
     "embedding_quantize_int8",
     oracle="""
 WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec
@@ -351,12 +463,6 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_SQDIST = (
-    "round(list_sum(list_transform(range(1, 65), "
-    "i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), 6)"
-)
-
-
 @register(
     "kmeans_clusters",
     oracle=f"""
@@ -403,35 +509,52 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = 8
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-
-    def assign(df: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
-        choices = [
-            F.struct(
-                F.round(
-                    F.aggregate(
-                        F.zip_with(
-                            "v",
-                            F.array(*[F.lit(float(x)) for x in vec]),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ),
-                    6,
-                ).alias("d"),
-                F.lit(int(cid)).cast("int").alias("cid"),
-            )
-            for cid, vec in cents
-        ]
-        return df.withColumn("cluster", F.array_min(F.array(*choices))["cid"])
-
     c0 = [
         (r["vec_id"], list(r["v"]))
         for r in e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
     ]
-    a1 = assign(e, c0)
+    c1 = _lloyd_round(e, c0)
+    return _kmeans_assign(e, c1).select(
+        "vec_id", F.col("cluster").cast("long").alias("cluster")
+    )
+
+
+def _kmeans_assign(
+    df: DataFrame, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Nearest-centroid assignment against k centroid LITERALS
+    (rounded squared distance, centroid-id tiebreak) — the
+    embarrassingly-parallel half of a Lloyd iteration."""
+    choices = [
+        F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        "v",
+                        F.array(*[F.lit(float(x)) for x in vec]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("d"),
+            F.lit(int(cid)).cast("int").alias("cid"),
+        )
+        for cid, vec in cents
+    ]
+    return df.withColumn("cluster", F.array_min(F.array(*choices))["cid"])
+
+
+def _lloyd_round(
+    e: DataFrame, cents: list[tuple[int, list[float]]]
+) -> list[tuple[int, list[float]]]:
+    """One Lloyd re-estimation: assign to ``cents``, return per-cluster
+    exact-decimal means rounded to 9 (engine-reproducible).  The
+    driver holds only k·d doubles."""
     c1_rows = (
-        a1.select("cluster", F.posexplode("v").alias("pos", "x"))
+        _kmeans_assign(e, cents)
+        .select("cluster", F.posexplode("v").alias("pos", "x"))
         .groupBy("cluster", "pos")
         .agg(
             F.round(
@@ -445,10 +568,7 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_cid: dict[int, dict[int, float]] = {}
     for r in c1_rows:
         by_cid.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
-    c1 = [
+    return [
         (cid, [dims[p] for p in sorted(dims)])
         for cid, dims in sorted(by_cid.items())
     ]
-    return assign(e, c1).select(
-        "vec_id", F.col("cluster").cast("long").alias("cluster")
-    )
