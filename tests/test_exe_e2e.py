@@ -113,3 +113,70 @@ def test_exe_wordcount_golden_flow(spark, sf_dir, tmp_path):
     )
     assert got == golden
     assert len(golden) > 0
+
+
+def test_exe_flow_with_hostile_keys_per_key_files(spark, tmp_path):
+    """Reference-parity intermediate layout: ONE DFS file per distinct
+    key, the key escaped into the filename (mj_worker.cpp:354-365
+    naming + sdfs.cpp:34-48 convert_path).  Keys here are URL-ish
+    paths full of '/' and '%' — exactly what a real map exe emits and
+    exactly what breaks a naive key-as-filename store.  (Keys with
+    spaces can't ride the line protocol — same limitation as the
+    reference's '<key> <value>' format; the store-level escaping test
+    covers them.)  The scalable path stays write_keyed_buckets; this
+    pins the small-cardinality literal layout.
+    """
+    from distributed_system_spark.sources.store import (
+        escape_key,
+        unescape_key,
+    )
+
+    store = DatasetStore(spark, str(tmp_path / "sdfs"), fmt="text")
+    hits = [
+        "/index.html", "/a/b%20c.html", "/a/b%20c.html", "/pct%%/x",
+        "/index.html", "/a/b%20c.html", "/deep/a/b/c/d.png",
+    ]
+    store.put(
+        spark.createDataFrame([(h,) for h in hits], "value string"),
+        "hits/log",
+    )
+    maple_exe = _ship_exe(
+        store, spark, "path_maple.sh", "awk '{ print $1 \" \" 1 }'", tmp_path
+    )
+    kv_lines = pipe_lines(store.get("hits/log"), f"sh {maple_exe}")
+    kv = kv_lines.select(kv_decode("line").alias("kv")).select(
+        F.col("kv.key").alias("key"), F.col("kv.value").alias("value")
+    )
+
+    # per-key files, reference layout: key -> escaped filename
+    keys = [r["key"] for r in kv.select("key").distinct().collect()]
+    for k in keys:
+        store.put(
+            kv.filter(F.col("key") == k).select(
+                F.col("value").alias("value")
+            ),
+            f"wc_inter/{escape_key(k)}",
+        )
+    listed = store.ls_files("wc_inter")
+    assert sorted(unescape_key(n) for n in listed) == sorted(keys)
+    assert all("/" not in n for n in listed)
+
+    juice_exe = _ship_exe(store, spark, "wc_juice.sh", WC_JUICE_SH, tmp_path)
+    got = {}
+    for name in listed:
+        key = unescape_key(name)
+        values = [
+            r["value"] for r in store.get(f"wc_inter/{name}").collect()
+        ]
+        out = subprocess.run(
+            ["sh", juice_exe, key],
+            input="".join(v + "\n" for v in values),
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        k, _, v = out.stdout.strip().partition(" ")
+        got[k] = int(v)
+    from collections import Counter
+
+    assert got == dict(Counter(hits))
