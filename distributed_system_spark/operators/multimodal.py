@@ -151,3 +151,51 @@ def extract_features(
             yield out
 
     return df.select(*cols).mapInPandas(run, out_schema)
+
+
+def segment_audio(
+    docs: DataFrame,
+    window_bytes: int = 120,
+    hop_bytes: int = 80,
+    bytes_per_ms: int = 4,
+) -> DataFrame:
+    """Overlapping fixed-width windows over an opaque audio payload —
+    the ASR/feature prep shape (e.g. 30 ms windows, 20 ms hop).
+
+    Segmentation is pure metadata + byte arithmetic (no codec): the
+    window/hop are expressed in BYTES (sample_rate × sample_width
+    folded into ``bytes_per_ms``), offsets stay integers, and the
+    per-segment bytes come from a JVM-side substring on the binary
+    column — one explode, no shuffle, no Python.  A real resampler
+    or feature extractor slots in as a mapInPandas stage over the
+    ``seg`` column exactly like ``extract_features``.  Docs shorter
+    than one window contribute zero segments (explicit guard — a
+    descending sequence() would throw).
+    """
+    n_segs = F.when(
+        F.col("meta.n_bytes") >= window_bytes,
+        ((F.col("meta.n_bytes") - window_bytes) / hop_bytes).cast("long")
+        + 1,
+    ).otherwise(F.lit(0))
+    segs = docs.withColumn("n_segs", n_segs).filter(
+        F.col("n_segs") > 0
+    )
+    idx = F.explode(F.sequence(F.lit(0), F.col("n_segs") - 1)).alias(
+        "seg_idx"
+    )
+    start_b = F.col("seg_idx") * hop_bytes
+    return (
+        segs.select("doc_id", "payload", idx)
+        .select(
+            "doc_id",
+            "seg_idx",
+            (start_b / bytes_per_ms).cast("long").alias("start_ms"),
+            ((start_b + window_bytes) / bytes_per_ms)
+            .cast("long")
+            .alias("end_ms"),
+            F.expr(
+                f"substring(payload, seg_idx * {hop_bytes} + 1, "
+                f"{window_bytes})"
+            ).alias("seg"),
+        )
+    )

@@ -92,3 +92,42 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = attach_binary(load_table(spark, sf_dir, "documents"))
     feats = extract_features(docs)
     return feats.withColumn("feat0", F.round("feat0", 6))
+
+
+@register(
+    "mm_audio_segments",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n_bytes FROM documents
+  WHERE length(text) >= 120
+),
+s AS (
+  SELECT doc_id, text,
+         unnest(range(0, (n_bytes - 120) // 80 + 1)) AS seg_idx
+  FROM d
+)
+SELECT doc_id, seg_idx,
+       CAST(seg_idx * 80 / 4 AS BIGINT) AS start_ms,
+       CAST((seg_idx * 80 + 120) / 4 AS BIGINT) AS end_ms,
+       md5(substr(text, CAST(seg_idx * 80 + 1 AS INT), 120)) AS seg_md5
+FROM s
+""",
+    tags=("multimodal", "audio", "segmentation"),
+)
+def mm_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio windowing over opaque payload bytes: 30 ms windows with a
+    20 ms hop at 4 bytes/ms — pure integer byte arithmetic + one
+    explode + JVM-side binary substring, so segmentation of a 100 TB
+    audio corpus is a single shuffle-free scan (the decode/feature
+    stage then rides mapInPandas per segment).  ASCII corpus means the
+    oracle's char slicing sees the identical bytes."""
+    from distributed_system_spark.operators.multimodal import (
+        segment_audio,
+    )
+
+    docs = attach_binary(load_table(spark, sf_dir, "documents"))
+    segs = segment_audio(docs, window_bytes=120, hop_bytes=80)
+    return segs.select(
+        "doc_id", "seg_idx", "start_ms", "end_ms",
+        F.md5("seg").alias("seg_md5"),
+    )
