@@ -145,3 +145,26 @@ def test_registry_prefix_prioritizes_unverified_frozen_queries():
     assert _KNOWN_AT_FREEZE <= set(reg)
     prefix = list(reg)[: len(_PENDING_AT_FREEZE)]
     assert set(prefix) == set(_PENDING_AT_FREEZE)
+
+
+@given(
+    st.lists(
+        st.text(st.characters(codec="utf-8"), max_size=40), max_size=30
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_escape_key_roundtrip_and_component_safety(keys):
+    """sdfs.cpp convert/deconvert parity as a property: escaping any
+    string yields a slash-free component, round-trips exactly, and is
+    injective (two distinct keys never collide on a filename).  Pure
+    python — no Spark job, so examples are cheap."""
+    from distributed_system_spark.sources.store import (
+        escape_key,
+        unescape_key,
+    )
+
+    names = [escape_key(k) for k in keys]
+    for k, n in zip(keys, names):
+        assert "/" not in n
+        assert unescape_key(n) == k
+    assert len(set(names)) == len(set(keys))
