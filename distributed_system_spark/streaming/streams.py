@@ -524,3 +524,78 @@ def run_available_now(
     )
     q.awaitTermination()
     return sdf.sparkSession.table(name)
+
+
+def cdc_apply_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    store,
+    target: str = "mv/latest_per_key",
+) -> DataFrame:
+    """Incremental materialized-view maintenance: a ``foreachBatch``
+    sink applies each microbatch of events as a keep-latest MERGE
+    into a :class:`DatasetStore` dataset — the streaming twin of the
+    batch ``cdc_latest_per_key`` compaction, and the A15+A5 shape
+    (append-arriving data folded into a stored table with replay
+    safety).
+
+    Per batch: reduce the batch to its latest row per (user_id,
+    event_type), union with the current stored view, keep-latest
+    again, overwrite.  Overwrite from a deterministic merge makes a
+    replayed batch a no-op (idempotent — the exactly-once story
+    without needing a transactional table format).  At 100 TB the
+    same plan works with a partitioned target: the merge shuffles
+    only (batch ∪ current-view), and the view stays compacted at one
+    row per key, so cost tracks key cardinality, not history length.
+
+    Returns the final view DataFrame read back from the store.
+    """
+    from pyspark.sql import Window
+
+    def latest(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id", "event_type").orderBy(
+            F.col("last_ts_us").desc(), F.col("last_event_id").desc()
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def as_changes(df: DataFrame) -> DataFrame:
+        return df.select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.expr("ts_ns div 1000").alias("last_ts_us"),
+            F.col("value").alias("last_value"),
+        )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        changes = latest(as_changes(batch_df))
+        if store.exists(target):
+            merged = latest(store.get(target).unionByName(changes))
+        else:
+            merged = changes
+        # localCheckpoint: the merge plan must not lazily re-read the
+        # store path we are about to overwrite
+        store.put(merged.localCheckpoint(eager=True), target)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        raw = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_timeordered_stage_dir(sf_dir))
+        )
+        stream = canonical_event_time(raw)
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return store.get(target)

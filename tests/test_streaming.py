@@ -442,3 +442,28 @@ def test_stateful_sessionizer_timeout_evicts_and_emits(spark, sf_dir):
         assert e + gap_us > max_ts - wm_us, (u, e, max_ts)
     # the timeout path did real work: most sessions emitted
     assert len(got) > 0.8 * len(batch), (len(got), len(batch))
+
+
+def test_cdc_apply_stream_converges_to_batch_compaction(
+    spark, sf_dir, tmp_path
+):
+    """foreachBatch MERGE into the DatasetStore: after a 3-batch
+    time-ordered replay the stored materialized view must equal the
+    batch keep-latest compaction exactly, and re-applying a batch
+    (replay after restart) must leave it unchanged (idempotent
+    overwrite = the A5 exactly-once story)."""
+    from distributed_system_spark.queries.behavior import (
+        cdc_latest_per_key,
+    )
+    from distributed_system_spark.sources.store import DatasetStore
+    from distributed_system_spark.streaming.streams import cdc_apply_stream
+
+    store = DatasetStore(spark, str(tmp_path / "mv-store"))
+    got_df = cdc_apply_stream(spark, sf_dir, store)
+    want = sorted(map(tuple, cdc_latest_per_key(spark, sf_dir).collect()))
+    got = sorted(map(tuple, got_df.collect()))
+    assert got == want
+    # replay the final microbatch's merge: a no-op by construction
+    before = got
+    got2 = sorted(map(tuple, cdc_apply_stream(spark, sf_dir, store).collect()))
+    assert got2 == before
