@@ -467,3 +467,89 @@ def test_cdc_apply_stream_converges_to_batch_compaction(
     before = got
     got2 = sorted(map(tuple, cdc_apply_stream(spark, sf_dir, store).collect()))
     assert got2 == before
+
+
+def test_stateful_state_survives_restart_from_checkpoint(
+    spark, sf_dir, tmp_path
+):
+    """State recovery across a query RESTART (A5/A11 streaming face):
+    run a per-user stateful count over part of the corpus, stop, add
+    the remaining files, restart from the same checkpoint — the final
+    per-user counts must equal the batch GROUP BY over everything,
+    which is only possible if the second run restored the first run's
+    state store instead of recounting from zero (it never re-reads the
+    already-committed files)."""
+    import os
+    import shutil
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from distributed_system_spark.streaming.streams import (
+        EVENTS_SCHEMA,
+        _multibatch_stage_dir,
+    )
+
+    staged = _multibatch_stage_dir(spark, sf_dir)
+    parts = sorted(
+        f for f in os.listdir(staged) if f.endswith(".parquet")
+    )
+    assert len(parts) >= 3
+    watch = str(tmp_path / "watch")
+    os.makedirs(watch)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "updates")
+
+    def counts(key, pdfs, state: GroupState):
+        (n,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            n += int(len(pdf))
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    def drain():
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(watch)
+        )
+        updates = stream.groupBy("user_id").applyInPandasWithState(
+            counts,
+            outputStructType="user_id long, n_events long",
+            stateStructType="n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+        def sink(df, batch_id):
+            df.write.mode("append").parquet(out)
+
+        q = (
+            updates.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: two of the files
+    for f in parts[:2]:
+        shutil.copy(os.path.join(staged, f), os.path.join(watch, f))
+    drain()
+    # run 2 (restart): the rest arrive; same checkpoint
+    for f in parts[2:]:
+        shutil.copy(os.path.join(staged, f), os.path.join(watch, f))
+    drain()
+
+    final = (
+        spark.read.parquet(out)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    assert _rows(final) == _rows(want)
