@@ -380,3 +380,102 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("double") / F.sum("cnt").over(norm), 6
         ).alias("p"),
     )
+
+
+@register(
+    "scd2_user_state",
+    oracle="""
+SELECT user_id,
+       value AS state_value,
+       epoch_us(ts) AS valid_from_us,
+       coalesce(lead(epoch_us(ts)) OVER w, 9223372036854775807)
+         AS valid_to_us,
+       CASE WHEN lead(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END
+         AS is_current
+FROM events
+WHERE event_type = 'view'
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+""",
+    tags=("C5", "scd2", "temporal"),
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension built from a change stream:
+    each 'view' event opens a validity interval [ts, next-change) for
+    the user's state value; the open interval carries max-long and an
+    is_current flag.  One lead() window per user — the standard
+    SCD2 build, linear and partitioned by the dimension key."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .withColumn("ts_us", F.expr("ts_ns div 1000"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    nxt = F.lead("ts_us").over(w)
+    return ev.select(
+        "user_id",
+        F.col("value").alias("state_value"),
+        F.col("ts_us").alias("valid_from_us"),
+        F.coalesce(nxt, F.lit(9223372036854775807)).alias("valid_to_us"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+@register(
+    "join_point_in_time",
+    oracle="""
+WITH scd AS (
+  SELECT user_id,
+         value AS state_value,
+         epoch_us(ts) AS valid_from_us,
+         coalesce(lead(epoch_us(ts)) OVER w, 9223372036854775807)
+           AS valid_to_us
+  FROM events
+  WHERE event_type = 'view'
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+)
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       epoch_us(p.ts) AS purchase_ts_us,
+       s.state_value,
+       s.valid_from_us
+FROM events p
+JOIN scd s
+  ON s.user_id = p.user_id
+ AND epoch_us(p.ts) >= s.valid_from_us
+ AND epoch_us(p.ts) < s.valid_to_us
+WHERE p.event_type = 'purchase'
+""",
+    tags=("C3", "temporal", "point-in-time"),
+)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: enrich each purchase with the
+    state interval valid AT its timestamp — the warehouse
+    as-of-history join that keeps training features leak-free (no
+    future state leaks into a past example).  The interval sides
+    equi-join on user_id first, so Catalyst keeps a hash join with
+    the range predicates as post-join filters — never a cartesian;
+    intervals are non-overlapping by construction so each purchase
+    matches at most one row."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    scd = scd2_user_state(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_us").alias("purchase_ts_us"),
+    )
+    return (
+        p.join(scd, "user_id")
+        .filter(
+            (F.col("purchase_ts_us") >= F.col("valid_from_us"))
+            & (F.col("purchase_ts_us") < F.col("valid_to_us"))
+        )
+        .select(
+            "user_id",
+            "purchase_id",
+            "purchase_ts_us",
+            "state_value",
+            "valid_from_us",
+        )
+    )

@@ -270,3 +270,13 @@ def test_merge_upsert_single_shuffle_join(spark, sf_dir):
     assert "FullOuter" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_point_in_time_join_stays_hash_join(spark, sf_dir):
+    """The temporal interval join must equi-join on the entity key
+    with the range predicates as join-condition filters — never a
+    BroadcastNestedLoopJoin/CartesianProduct over intervals."""
+    plan = plan_of(spark, sf_dir, "join_point_in_time")
+    assert "HashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
