@@ -280,3 +280,36 @@ def test_point_in_time_join_stays_hash_join(spark, sf_dir):
     assert "HashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """DPP: joining a partitioned fact table to a FILTERED dim must
+    prune fact partitions at runtime via a dynamic pruning subquery —
+    at 100 TB this is the difference between scanning 3 partitions
+    and scanning 3,000.  (Static pruning can't help: the partition
+    keys come out of the dim filter, known only at run time.)"""
+    import pyspark.sql.functions as F
+
+    fact = (
+        spark.range(10_000)
+        .withColumn("part", (F.col("id") % 20).cast("int"))
+        .withColumn("v", F.col("id") * 2)
+    )
+    fact_path = str(tmp_path / "fact")
+    fact.write.partitionBy("part").parquet(fact_path)
+    dim = spark.createDataFrame(
+        [(p, "keep" if p < 3 else "drop") for p in range(20)],
+        "part int, tag string",
+    )
+    dim_path = str(tmp_path / "dim")
+    dim.write.parquet(dim_path)
+
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled",
+                   "true")
+    f = spark.read.parquet(fact_path)
+    d = spark.read.parquet(dim_path).filter(F.col("tag") == "keep")
+    joined = f.join(d, "part").groupBy("part").count()
+    rows = {r["part"]: r["count"] for r in joined.collect()}
+    assert rows == {0: 500, 1: 500, 2: 500}
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
