@@ -386,3 +386,54 @@ def test_multiprobe_banded_lsh_recall_at_half_index_cost():
     assert banded_lsh_buckets(c, 3, 16).count() == n * 16
     # multi-probe emits probes x bands rows for the (small) query side
     assert banded_lsh_buckets(q, 4, 8, probes=2).count() == q.count() * 16
+
+
+def test_llm_operators_graceful_on_empty_corpus(spark, tmp_path):
+    """Every doc/embedding-based operator must yield an EMPTY result on
+    an empty corpus — never crash (the class of bug that bit
+    contamination_check's descending sequence() on short docs).  An
+    empty partition is an everyday occurrence at 100 TB; operators
+    that only work on non-empty input are not operators."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_system_spark.queries import load_all
+
+    d = str(tmp_path / "empty-sf")
+    os.makedirs(d)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+                "n_chars": pa.array([], pa.int64()),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+            }
+        ),
+        f"{d}/embeddings.parquet",
+    )
+    reg = load_all()
+    names = [
+        "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "dedup_simhash", "simhash_neardup", "dedup_minhash_ctrl",
+        "text_langid", "text_quality", "text_token_count",
+        "text_fingerprint", "doc_chunking", "dataset_split",
+        "dataset_mix", "seq_packing", "contamination_check",
+        "freq_heavy_hitters", "mm_binary_meta", "mm_frame_sample",
+        "mm_audio_segments", "embedding_neardup", "ann_topk_cosine",
+        "embedding_quantize_int8", "weighted_sample",
+    ]
+    for n in names:
+        assert reg[n].fn(spark, d).count() == 0, n
