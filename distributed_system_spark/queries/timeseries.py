@@ -387,3 +387,78 @@ def ts_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rev_ma7"),
         F.count(F.lit(1)).over(w).alias("n_days_in_window"),
     )
+
+
+@register(
+    "ts_anomaly_zscore",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS d,
+         CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+              AS DOUBLE) AS rev
+  FROM orders GROUP BY d
+),
+stats AS (
+  SELECT d, rev,
+         CAST(SUM(CAST(rev AS DECIMAL(28,4))) OVER w AS DOUBLE) AS s1,
+         CAST(SUM(CAST(rev AS DECIMAL(38,8))
+                  * CAST(rev AS DECIMAL(38,8))) OVER w AS DOUBLE) AS s2,
+         CAST(count(*) OVER w AS BIGINT) AS n
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
+)
+SELECT d, rev,
+       CASE WHEN n >= 5 AND s2 / n - (s1 / n) * (s1 / n) > 0
+            THEN round((rev - s1 / n)
+                       / sqrt(s2 / n - (s1 / n) * (s1 / n)), 4)
+            END AS z,
+       CASE WHEN n >= 5 AND s2 / n - (s1 / n) * (s1 / n) > 0
+                 AND abs((rev - s1 / n)
+                         / sqrt(s2 / n - (s1 / n) * (s1 / n))) > 2
+            THEN 1 ELSE 0 END AS is_anomaly
+FROM stats
+""",
+    tags=("timeseries", "anomaly"),
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags over the daily revenue series: a
+    15-day trailing window supplies mean/std from EXACT decimal sums
+    (s1, s2), so both engines feed identical doubles into the same
+    IEEE expression and the rounded z matches bit-for-bit.  Aggregate
+    first, window over the tiny daily series — the same inversion as
+    ts_moving_average; warm-up rows (n<5) and zero-variance windows
+    yield null z."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("d")
+    ).agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2
+        ).cast("double").alias("rev"),
+    )
+    w = Window.orderBy("d").rowsBetween(-14, 0)
+    s1 = F.sum(F.col("rev").cast("decimal(28,4)")).over(w).cast("double")
+    s2 = (
+        F.sum(
+            F.col("rev").cast("decimal(38,8)")
+            * F.col("rev").cast("decimal(38,8)")
+        )
+        .over(w)
+        .cast("double")
+    )
+    n = F.count(F.lit(1)).over(w)
+    stats = daily.select(
+        "d", "rev", s1.alias("s1"), s2.alias("s2"), n.alias("n")
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    z = F.round((F.col("rev") - mean) / F.sqrt(var), 4)
+    ok = (F.col("n") >= 5) & (var > 0)
+    return stats.select(
+        "d",
+        "rev",
+        F.when(ok, z).alias("z"),
+        F.when(ok & (F.abs((F.col("rev") - mean) / F.sqrt(var)) > 2), 1)
+        .otherwise(0)
+        .alias("is_anomaly"),
+    )
