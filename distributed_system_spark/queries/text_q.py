@@ -821,3 +821,69 @@ def seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+@register(
+    "doc_repetition_filter",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, str_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)] || ' '
+           || t[CAST(i + 2 AS INT)] AS g
+  FROM toks CROSS JOIN LATERAL (
+    SELECT unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i
+  ) s
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+       round(1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6)
+         AS dup_fraction,
+       CASE WHEN 1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*) > 0.2
+            THEN 1 ELSE 0 END AS is_repetitive
+FROM grams GROUP BY doc_id
+""",
+    tags=("text", "quality", "repetition"),
+)
+def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality gate (the Gopher/C4 family of rules):
+    the duplicate-3-gram fraction per document — boilerplate and
+    looping generations repeat runs of tokens, so
+    1 − distinct/total over word 3-grams flags them.  Docs shorter
+    than 3 tokens contribute no grams and drop out (guarded — no
+    descending sequence()).  Shuffle shape: explode + one partial-agg
+    groupBy per doc; complements doc_quality_filter's length/punct/
+    stopword signals."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ", -1)
+    d = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= 3)
+    idx = F.explode(
+        F.sequence(F.lit(1), F.size("t") - 2)
+    ).alias("i")
+    gram = F.concat_ws(
+        " ",
+        F.element_at("t", F.col("i")),
+        F.element_at("t", F.col("i") + 1),
+        F.element_at("t", F.col("i") + 2),
+    )
+    grams = d.select("doc_id", "t", idx).select(
+        "doc_id", gram.alias("g")
+    )
+    dup = 1.0 - F.col("n_distinct").cast("double") / F.col("n_grams")
+    return (
+        grams.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.countDistinct("g").alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_distinct",
+            F.round(dup, 6).alias("dup_fraction"),
+            F.when(dup > 0.2, 1).otherwise(0).alias("is_repetitive"),
+        )
+    )
