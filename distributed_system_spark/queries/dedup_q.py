@@ -285,3 +285,70 @@ def dedup_minhash_ctrl(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(toks, num_hashes=8)
     cand = lsh_candidate_pairs(lsh_band_signatures(sigs, rows_per_band=2))
     return jaccard_verify(cand, toks, 0.8)
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+WITH {_TOKS_SQL},
+mh AS (
+  SELECT id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || tok)) AS mh
+  FROM toks CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) s
+  GROUP BY id, seed
+),
+bands AS (
+  SELECT id, CAST(seed // 2 AS INT) AS band,
+         md5(string_agg(mh, ',' ORDER BY seed)) AS sig
+  FROM mh GROUP BY id, CAST(seed // 2 AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+  WHERE b.id >= 400
+),
+sizes AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN toks a ON a.id = c.id_a
+  JOIN toks b ON b.id = c.id_b AND b.tok = a.tok
+  GROUP BY c.id_a, c.id_b
+),
+dups AS (
+  SELECT DISTINCT i.id_b
+  FROM inter i
+  JOIN sizes na ON na.id = i.id_a
+  JOIN sizes nb ON nb.id = i.id_b
+  WHERE round(CAST(i.inter AS DOUBLE) / (na.n + nb.n - i.inter), 6) >= 0.8
+)
+SELECT d.doc_id, d.n_chars
+FROM documents d
+WHERE d.doc_id >= 400 AND d.doc_id NOT IN (SELECT id_b FROM dups)
+""",
+    tags=("dedup", "lsh", "incremental"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental fuzzy dedup: admit only NEW docs (doc_id >= 400 —
+    standing in for today's batch) with no >= 0.8-Jaccard match to any
+    EARLIER doc (the existing corpus, or a smaller-id new doc) — the
+    keep-first rule restricted to the increment.  The candidate join
+    touches (new × colliding) band buckets, never corpus²: at 100 TB
+    you never re-dedup history, you join the day's signatures against
+    the standing index and append the survivors.  Same md5 machinery
+    as dedup_minhash_lsh, so fully oracle-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = doc_tokens(docs)
+    sigs = minhash_signatures(toks, num_hashes=8)
+    bands = lsh_band_signatures(sigs, rows_per_band=2)
+    cand = lsh_candidate_pairs(bands).filter(F.col("id_b") >= 400)
+    dup_new = (
+        jaccard_verify(cand, toks, 0.8)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        docs.filter(F.col("doc_id") >= 400)
+        .join(dup_new, "doc_id", "left_anti")
+        .select("doc_id", "n_chars")
+    )
