@@ -313,3 +313,22 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     assert rows == {0: 500, 1: 500, 2: 500}
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_heavy_hitters_semi_join_prunes_before_aggregation(spark, sf_dir):
+    """freq_heavy_hitters: the exact-count pass must reach the token
+    rows through a broadcast LEFT SEMI join against the sketch
+    candidates (pruning before the aggregation shuffle) and never a
+    cartesian."""
+    plan = plan_of(spark, sf_dir, "freq_heavy_hitters")
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_incremental_dedup_no_cartesian(spark, sf_dir):
+    """dedup_incremental: increment-vs-index candidates stay an
+    equi-join on band signatures; the admit step is a left-anti join."""
+    plan = plan_of(spark, sf_dir, "dedup_incremental")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftAnti" in plan, plan
