@@ -437,3 +437,64 @@ def test_llm_operators_graceful_on_empty_corpus(spark, tmp_path):
     ]
     for n in names:
         assert reg[n].fn(spark, d).count() == 0, n
+
+
+def test_incremental_dedup_against_persisted_index(spark, sf_dir, tmp_path):
+    """The production decomposition of dedup_incremental: the standing
+    corpus's band signatures are PERSISTED (DatasetStore parquet), the
+    daily increment computes signatures only for its own docs, and the
+    candidate join runs new-bands vs (loaded index ∪ new bands).  The
+    survivors must equal the registered one-shot query — proving the
+    operator splits into index maintenance + increment join with no
+    recompute of history."""
+    import pyspark.sql.functions as F
+
+    from distributed_system_spark.queries import load_all
+    from distributed_system_spark.sources.store import DatasetStore
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = doc_tokens(docs).cache()
+    store = DatasetStore(spark, str(tmp_path / "index-store"))
+
+    # index maintenance: persist existing docs' band signatures
+    existing_toks = toks.join(
+        docs.filter(F.col("doc_id") < 400).select(
+            F.col("doc_id").alias("id")
+        ),
+        "id",
+    )
+    existing_bands = lsh_band_signatures(
+        minhash_signatures(existing_toks, num_hashes=8), rows_per_band=2
+    )
+    store.put(existing_bands, "index/minhash_bands")
+
+    # increment: signatures for new docs only, joined vs loaded index
+    new_toks = toks.join(
+        docs.filter(F.col("doc_id") >= 400).select(
+            F.col("doc_id").alias("id")
+        ),
+        "id",
+    )
+    new_bands = lsh_band_signatures(
+        minhash_signatures(new_toks, num_hashes=8), rows_per_band=2
+    )
+    all_bands = store.get("index/minhash_bands").unionByName(new_bands)
+    cand = lsh_candidate_pairs(all_bands).filter(F.col("id_b") >= 400)
+    dup_new = (
+        jaccard_verify(cand, toks, 0.8)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = {
+        r["doc_id"]
+        for r in docs.filter(F.col("doc_id") >= 400)
+        .join(dup_new, "doc_id", "left_anti")
+        .select("doc_id")
+        .collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in load_all()["dedup_incremental"].fn(spark, sf_dir).collect()
+    }
+    assert survivors == want
+    assert 0 < len(survivors) < docs.filter("doc_id >= 400").count()
