@@ -288,6 +288,84 @@ def dedup_minhash_ctrl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_keep_best",
+    oracle=f"""
+WITH RECURSIVE {_SIMHASH_SQL},
+edges AS (
+  SELECT a.id AS src, b.id AS dst
+  FROM fp a JOIN fp b ON a.id < b.id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+sym AS (SELECT src, dst FROM edges
+        UNION ALL SELECT dst AS src, src AS dst FROM edges),
+walk(id, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.id
+),
+cc AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+qual AS (
+  SELECT doc_id AS id, len(list_distinct(str_split(text, ' '))) AS n_unique
+  FROM documents
+),
+ranked AS (
+  SELECT cc.comp, cc.id, q.n_unique,
+         row_number() OVER (PARTITION BY cc.comp
+                            ORDER BY q.n_unique DESC, cc.id ASC) AS rn
+  FROM cc JOIN qual q ON q.id = cc.id
+)
+SELECT comp AS cluster_id,
+       max(CASE WHEN rn = 1 THEN id END) AS keep_id,
+       count(*) AS n_members
+FROM ranked GROUP BY comp
+""",
+    tags=("dedup", "simhash", "iterative"),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative SELECTION — the step after near-dup
+    detection and grouping: SimHash near-dup pairs (Hamming <= 3) →
+    connected components → keep the highest-quality member per cluster
+    (most unique tokens, doc_id ascending as the tie-break).  This is
+    the keep/drop decision a pretraining pipeline actually executes;
+    detect→cluster→select composes three operators end-to-end.
+
+    At 100 TB: the pairs and CC stages are the bucketed/iterative
+    shapes already analyzed (operators/dedup.py); the selection itself
+    is one window over clusters — partitioned by component, never
+    global.  The oracle reproduces the fixpoint with a recursive CTE
+    and the same rank rule.
+    """
+    from pyspark.sql import Window
+
+    from distributed_system_spark.operators.dedup import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = doc_tokens(docs)
+    edges = simhash_neardup_pairs(simhash64(toks), max_hamming=3).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    cc = connected_components(edges, docs.select(F.col("doc_id").alias("id")))
+    qual = docs.select(
+        F.col("doc_id").alias("id"),
+        F.size(F.array_distinct(F.split("text", " ", -1))).alias("n_unique"),
+    )
+    ranked = cc.join(qual, "id").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("comp").orderBy(
+                F.desc("n_unique"), F.asc("id")
+            )
+        ),
+    )
+    return ranked.groupBy(F.col("comp").alias("cluster_id")).agg(
+        F.max(F.when(F.col("rn") == 1, F.col("id"))).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+@register(
     "dedup_incremental",
     oracle=f"""
 WITH {_TOKS_SQL},

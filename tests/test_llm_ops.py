@@ -498,3 +498,44 @@ def test_incremental_dedup_against_persisted_index(spark, sf_dir, tmp_path):
     }
     assert survivors == want
     assert 0 < len(survivors) < docs.filter("doc_id >= 400").count()
+
+
+def test_keep_best_selects_max_quality_member(spark, sf_dir):
+    """dedup_keep_best's representative must be an actual member of
+    its cluster with the maximal unique-token count (doc_id ascending
+    as tie-break), and cluster sizes must conserve the corpus."""
+    from distributed_system_spark.operators.dedup import (
+        connected_components,
+        simhash_neardup_pairs,
+    )
+    from distributed_system_spark.queries import load_all
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = {
+        r["cluster_id"]: (r["keep_id"], r["n_members"])
+        for r in load_all()["dedup_keep_best"].fn(spark, sf_dir).collect()
+    }
+    assert sum(n for _, n in out.values()) == docs.count()
+
+    toks = doc_tokens(docs)
+    edges = simhash_neardup_pairs(simhash64(toks), max_hamming=3).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    cc = connected_components(edges, docs.select(F.col("doc_id").alias("id")))
+    qual = {
+        r["id"]: r["nu"]
+        for r in docs.select(
+            F.col("doc_id").alias("id"),
+            F.size(F.array_distinct(F.split("text", " ", -1))).alias("nu"),
+        ).collect()
+    }
+    members: dict[int, list[int]] = {}
+    for r in cc.collect():
+        members.setdefault(r["comp"], []).append(r["id"])
+    assert set(members) == set(out)
+    for comp, ids in members.items():
+        keep_id, n = out[comp]
+        assert n == len(ids)
+        assert keep_id in ids
+        best = sorted(ids, key=lambda i: (-qual[i], i))[0]
+        assert keep_id == best
