@@ -887,3 +887,101 @@ def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(dup > 0.2, 1).otherwise(0).alias("is_repetitive"),
         )
     )
+
+
+# Derived boilerplate corpus: every doc gets a 10-token per-source
+# header prepended (the same template every page of a site carries).
+# Both engines build it with the same expression, so the removal op
+# stays fully oracle-checked while actually having boilerplate to
+# remove — the raw synthetic corpus has no verbatim cross-doc spans.
+_BP_HDR_SQL = " || ' ' || ".join(
+    f"'bp{i}_' || source" for i in range(1, 11)
+)
+
+
+@register(
+    "text_remove_boilerplate",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, {_BP_HDR_SQL} || ' ' || text AS text FROM documents
+),
+tk AS (SELECT doc_id, str_split(text, ' ') AS toks FROM base),
+ch AS (
+  SELECT doc_id, p,
+         array_to_string(toks[(p*10+1):(p*10+10)], ' ') AS chunk
+  FROM tk CROSS JOIN (SELECT unnest(range(0, 32)) AS p) ps
+  WHERE p * 10 < len(toks)
+),
+bp AS (
+  SELECT md5(chunk) AS h, count(DISTINCT doc_id) AS df
+  FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) >= 5
+)
+SELECT ch.doc_id,
+       coalesce(string_agg(CASE WHEN bp.h IS NULL THEN chunk END,
+                           ' ' ORDER BY p), '') AS clean_text,
+       count(CASE WHEN bp.h IS NULL THEN 1 END) AS n_kept,
+       count(CASE WHEN bp.h IS NOT NULL THEN 1 END) AS n_dropped
+FROM ch LEFT JOIN bp ON bp.h = md5(ch.chunk)
+GROUP BY ch.doc_id
+""",
+    tags=("text", "dedup", "boilerplate"),
+)
+def text_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span (boilerplate) removal, the line-dedup shape of
+    CCNet/RefinedWeb adapted to span granularity: split each doc into
+    consecutive 10-token chunks, count each chunk's document
+    frequency, drop chunks appearing verbatim in >= 5 docs (site
+    templates, headers, licenses), and reassemble the survivors in
+    order.  Runs on a derived corpus with a per-source 10-token header
+    injected so there is real boilerplate to strip.
+
+    At 100 TB: the doc-frequency groupBy keys on md5(chunk) (16-byte
+    shuffle keys, partial agg map-side); the boilerplate table is by
+    construction tiny (only spans repeated across >= 5 docs — the
+    heavy hitters), so the keep/drop decision is a BROADCAST left
+    join, and reassembly is one shuffle keyed by doc_id.  No step is
+    ever quadratic in the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hdr = F.concat_ws(
+        " ", *[F.concat(F.lit(f"bp{i}_"), F.col("source")) for i in range(1, 11)]
+    )
+    base = docs.select(
+        "doc_id", F.concat(hdr, F.lit(" "), F.col("text")).alias("text")
+    )
+    chunks = base.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, cast(ceil(size(split(text, ' ', -1)) "
+                "/ 10.0) as int) - 1), "
+                "p -> array_join(slice(split(text, ' ', -1), p*10+1, 10), ' '))"
+            )
+        ).alias("p", "chunk"),
+    )
+    bp = (
+        chunks.groupBy(F.md5(F.col("chunk").cast("binary")).alias("h"))
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 5)
+    )
+    flagged = chunks.join(
+        F.broadcast(bp),
+        F.md5(F.col("chunk").cast("binary")) == F.col("h"),
+        "left",
+    )
+    kept = F.col("h").isNull()
+    return flagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(kept, F.struct(F.col("p"), F.col("chunk")))
+                    )
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.when(kept, 1)).alias("n_kept"),
+        F.count(F.when(~kept, 1)).alias("n_dropped"),
+    )

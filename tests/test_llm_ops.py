@@ -539,3 +539,31 @@ def test_keep_best_selects_max_quality_member(spark, sf_dir):
         assert keep_id in ids
         best = sorted(ids, key=lambda i: (-qual[i], i))[0]
         assert keep_id == best
+
+
+def test_remove_boilerplate_strips_injected_header(spark, sf_dir):
+    """Every doc carries the injected 10-token per-source header
+    chunk (25 docs/source >= the df-5 threshold), so every output must
+    have dropped at least one chunk, no header token may survive, and
+    kept+dropped must equal the doc's total chunk count."""
+    import math
+
+    from distributed_system_spark.queries import load_all
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    out = load_all()["text_remove_boilerplate"].fn(spark, sf_dir).collect()
+    assert len(out) == len(docs)
+    for r in out:
+        assert r["n_dropped"] >= 1
+        assert "bp1_" not in r["clean_text"]
+        n_tokens = len(docs[r["doc_id"]].split(" ")) + 10
+        assert r["n_kept"] + r["n_dropped"] == math.ceil(n_tokens / 10)
+        # surviving text is a subsequence of the original doc's tokens
+        assert all(
+            tok in docs[r["doc_id"]].split(" ")
+            for tok in r["clean_text"].split(" ")
+            if tok
+        )
