@@ -985,3 +985,62 @@ def text_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(kept, 1)).alias("n_kept"),
         F.count(F.when(~kept, 1)).alias("n_dropped"),
     )
+
+
+@register(
+    "vocab_oov_rate",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (
+  SELECT tok FROM (SELECT tok, count(*) AS freq FROM toks GROUP BY tok)
+  ORDER BY freq DESC, tok ASC LIMIT 20
+)
+SELECT t.doc_id, count(*) AS n_tokens,
+       count(CASE WHEN v.tok IS NULL THEN 1 END) AS n_oov,
+       round(CAST(count(CASE WHEN v.tok IS NULL THEN 1 END) AS DOUBLE)
+             / count(*), 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+GROUP BY t.doc_id
+""",
+    tags=("text", "vocab"),
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage: build the corpus top-20 token vocabulary
+    (frequency desc, token asc tie-break — deterministic), then score
+    each document's out-of-vocabulary token rate against it.  The
+    two-pass tokenizer-coverage check run before committing to a
+    vocab/tokenizer for a pretraining corpus.
+
+    At 100 TB: pass 1 aggregates token counts (partial agg map-side;
+    the result is |vocab| rows, orders of magnitude smaller than the
+    corpus) and takes the top-K with TakeOrdered — never a global sort
+    of token instances; pass 2 BROADCASTS the K-row vocab to a
+    map-side left join, so the only corpus-sized shuffle is the
+    per-doc aggregation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    # TakeOrderedAndProject: per-partition top-20 then a 20-row merge,
+    # never a global sort of the vocab table
+    vocab = (
+        freq.orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(20)
+        .select(F.col("tok").alias("vtok"))
+    )
+    oov = F.col("vtok").isNull()
+    return (
+        toks.join(F.broadcast(vocab), toks["tok"] == F.col("vtok"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(oov, 1)).alias("n_oov"),
+            F.round(
+                F.count(F.when(oov, 1)).cast("double") / F.count(F.lit(1)), 6
+            ).alias("oov_rate"),
+        )
+    )
