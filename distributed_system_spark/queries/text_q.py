@@ -1044,3 +1044,119 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+@register(
+    "doc_model_score",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, str_split(text, ' ') AS toks, length(text) AS len_chars
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_unique,
+         len(list_filter(toks, x -> list_contains(
+             ['the','a','of','and','to','is','in'], x))) AS n_stop,
+         len_chars
+  FROM t
+), f AS (
+  SELECT doc_id, n_tokens,
+         CAST(round(CAST(n_unique AS DOUBLE) / n_tokens, 6)
+              AS DECIMAL(18,6)) AS uniq_r,
+         CAST(round(CAST(n_stop AS DOUBLE) / n_tokens, 6)
+              AS DECIMAL(18,6)) AS stop_r,
+         CAST(round(CAST(len_chars - n_tokens + 1 AS DOUBLE) / n_tokens, 6)
+              AS DECIMAL(18,6)) AS awl,
+         CAST(round(CAST(least(n_tokens, 200) AS DOUBLE) / 200, 6)
+              AS DECIMAL(18,6)) AS len_r
+  FROM m
+), s AS (
+  SELECT doc_id, n_tokens,
+         CAST(round(
+             CAST(0.25 AS DECIMAL(6,3))
+           + CAST(0.40 AS DECIMAL(6,3)) * uniq_r
+           + CAST(-0.30 AS DECIMAL(6,3)) * stop_r
+           + CAST(0.02 AS DECIMAL(6,3)) * awl
+           + CAST(0.15 AS DECIMAL(6,3)) * len_r, 6) AS DOUBLE) AS score
+  FROM f
+)
+SELECT doc_id, n_tokens, score,
+       CASE WHEN score >= 0.55 THEN 'high'
+            WHEN score >= 0.45 THEN 'mid'
+            ELSE 'low' END AS tier
+FROM s
+""",
+    tags=("text", "quality", "model"),
+)
+def doc_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: a linear scorer (fixed weights
+    standing in for a trained fastText/logistic quality classifier)
+    over per-doc features — unique-token ratio, stopword ratio,
+    average word length, capped length — with a high/mid/low tier
+    decision.  The shape of learned-filter inference in a pretraining
+    pipeline: featurize per row, dot with a broadcast weight vector,
+    threshold.
+
+    Engine-portable on purpose: features are rounded to 6 decimals,
+    then the dot product runs entirely in DECIMAL (exact, associative)
+    before one final rounding — no float-summation-order dependence.
+    At 100 TB this is a pure per-row map over one scan: no shuffle, no
+    UDF, whole-stage codegen end to end; a real learned model would
+    swap in a broadcast weight vector (or an Arrow-batched Pandas UDF
+    for a non-linear one) with the identical plan shape.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.length("text").alias("len_chars"),
+        F.split("text", " ", -1).alias("toks"),
+    )
+    stop = ("the", "a", "of", "and", "to", "is", "in")
+    m = t.select(
+        "doc_id",
+        "len_chars",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_unique"),
+        F.size(F.filter("toks", lambda x: x.isin(*stop))).alias("n_stop"),
+    )
+
+    def dec6(c):  # noqa: ANN001, ANN202
+        return F.round(c, 6).cast("decimal(18,6)")
+
+    f = m.select(
+        "doc_id",
+        "n_tokens",
+        dec6(F.col("n_unique").cast("double") / F.col("n_tokens")).alias(
+            "uniq_r"
+        ),
+        dec6(F.col("n_stop").cast("double") / F.col("n_tokens")).alias(
+            "stop_r"
+        ),
+        dec6(
+            (F.col("len_chars") - F.col("n_tokens") + 1).cast("double")
+            / F.col("n_tokens")
+        ).alias("awl"),
+        dec6(
+            F.least(F.col("n_tokens"), F.lit(200)).cast("double") / F.lit(200)
+        ).alias("len_r"),
+    )
+    w = lambda x: F.expr(f"CAST({x} AS DECIMAL(6,3))")  # noqa: E731
+    score = F.round(
+        w("0.25")
+        + w("0.40") * F.col("uniq_r")
+        + w("-0.30") * F.col("stop_r")
+        + w("0.02") * F.col("awl")
+        + w("0.15") * F.col("len_r"),
+        6,
+    ).cast("double")
+    s = f.select("doc_id", "n_tokens", score.alias("score"))
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        "score",
+        F.when(F.col("score") >= 0.55, "high")
+        .when(F.col("score") >= 0.45, "mid")
+        .otherwise("low")
+        .alias("tier"),
+    )
