@@ -1160,3 +1160,69 @@ def doc_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("low")
         .alias("tier"),
     )
+
+
+@register(
+    "redact_pii",
+    oracle="""
+WITH notes AS (
+  SELECT c_custkey,
+         'contact ' || lower(replace(c_name, '#', '.')) || '@example.com'
+         || ' or 555-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+         || '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+         || ' re ' || c_mktsegment AS note
+  FROM customer
+)
+SELECT c_custkey,
+       regexp_replace(
+         regexp_replace(note, '[a-z0-9.]+@[a-z0-9.]+', '[EMAIL]', 'g'),
+         '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS redacted,
+       CAST(len(regexp_extract_all(note, '[a-z0-9.]+@[a-z0-9.]+'))
+          + len(regexp_extract_all(note, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))
+          AS INT) AS n_redactions
+FROM notes
+""",
+    tags=("text", "pii"),
+)
+def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: mask email addresses and phone numbers in free
+    text with typed placeholders, reporting the per-row redaction
+    count — the compliance-scrubbing pass a training corpus goes
+    through before tokenization.  The synthetic tables carry no real
+    contact fields, so both engines first derive a deterministic
+    contact note per customer (email from the name, phone digits from
+    the key), then redact it — the derivation is part of the oracle so
+    the masking itself is fully hash-checked.
+
+    At 100 TB: pure per-row regexp_replace over one scan — no
+    shuffle, no UDF, whole-stage codegen; the pattern set extends to
+    SSNs/IBANs/addresses without changing the plan shape.  Patterns
+    are written in the common Java-regex/RE2 subset so both engines
+    match identical spans.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    email_re = "[a-z0-9.]+@[a-z0-9.]+"
+    phone_re = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    note = F.concat(
+        F.lit("contact "),
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" re "),
+        F.col("c_mktsegment"),
+    )
+    notes = cust.select("c_custkey", note.alias("note"))
+    return notes.select(
+        "c_custkey",
+        F.regexp_replace(
+            F.regexp_replace("note", email_re, "[EMAIL]"),
+            phone_re,
+            "[PHONE]",
+        ).alias("redacted"),
+        (
+            F.size(F.regexp_extract_all("note", F.lit(email_re), 0))
+            + F.size(F.regexp_extract_all("note", F.lit(phone_re), 0))
+        ).alias("n_redactions"),
+    )
