@@ -479,3 +479,106 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             "valid_from_us",
         )
     )
+
+
+# One PageRank iteration as SQL: rank r_v' = 0.15/N + 0.85 * sum over
+# in-edges of round(r_u * w / outw_u, 12), the per-edge contribution
+# rounded so both engines sum IDENTICAL doubles (exactly, in DECIMAL).
+_PR_ITER_SQL = """
+{out} AS (
+  SELECT n.node,
+         round(0.15 / (SELECT n FROM params)
+               + 0.85 * coalesce(s.sum_c, 0), 10) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(sum(CAST(round({prev}.r * e.w / o.ow, 12)
+                         AS DECIMAL(28,12))) AS DOUBLE) AS sum_c
+    FROM edges e
+    JOIN {prev} ON {prev}.node = e.src
+    JOIN outw o ON o.src = e.src
+    GROUP BY e.dst) s ON s.node = n.node
+)"""
+
+
+@register(
+    "pagerank_transitions",
+    oracle=f"""
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS next_type
+  FROM events
+),
+edges AS (
+  SELECT event_type AS src, next_type AS dst, count(*) AS w
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+),
+nodes AS (SELECT DISTINCT event_type AS node FROM events),
+params AS (SELECT count(*) AS n FROM nodes),
+outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+r0 AS (SELECT node, round(1.0 / (SELECT n FROM params), 10) AS r FROM nodes),
+{_PR_ITER_SQL.format(out="it1", prev="r0")},
+{_PR_ITER_SQL.format(out="it2", prev="it1")},
+{_PR_ITER_SQL.format(out="it3", prev="it2")}
+SELECT node, r AS pagerank FROM it3
+""",
+    tags=("graph", "iterative", "pagerank"),
+)
+def pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (damping 0.85, 3 iterations) over the
+    event-type transition graph — the second iterative graph algorithm
+    after connected components, exercising the loop-as-repeated-joins
+    shape with a FULLY value-checked oracle (the recursive fixpoint
+    CC's oracle checks only labels; here every rank matches to 10
+    decimals because per-edge contributions are rounded then summed
+    exactly in DECIMAL, so float summation order cannot differ).
+
+    At 100 TB: edges are loop-invariant (computed once — one window +
+    one groupBy — and at real graph sizes localCheckpointed like CC's);
+    each iteration is one edge⋈rank join + one partial-agg groupBy on
+    dst, both shuffling on the same node key so a co-partitioning is
+    reused across iterations.  The driver holds only the node COUNT
+    (one scalar), never the rank vector.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_seq = Window.partitionBy("user_id").orderBy(
+        F.expr("ts_ns div 1000"), "event_id"
+    )
+    seq = ev.withColumn("next_type", F.lead("event_type").over(w_seq))
+    edges = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint()  # loop-invariant: cut lineage once
+    )
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    n = nodes.count()  # bounded driver-side scalar (node count only)
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    ranks = nodes.select(
+        "node", F.round(F.lit(1.0) / F.lit(n), 10).alias("r")
+    )
+    for _ in range(3):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(outw, "src")
+            .select(
+                "dst",
+                F.round(F.col("r") * F.col("w") / F.col("ow"), 12)
+                .cast("decimal(28,12)")
+                .alias("c"),
+            )
+        )
+        sums = contrib.groupBy(F.col("dst").alias("node")).agg(
+            F.sum("c").cast("double").alias("sum_c")
+        )
+        ranks = nodes.join(sums, "node", "left").select(
+            "node",
+            F.round(
+                F.lit(0.15) / F.lit(n)
+                + F.lit(0.85) * F.coalesce(F.col("sum_c"), F.lit(0.0)),
+                10,
+            ).alias("r"),
+        )
+    return ranks.select("node", F.col("r").alias("pagerank"))

@@ -99,3 +99,18 @@ def test_merge_upsert_one_row_per_key(spark, sf_dir):
     assert out.groupBy("custkey").count().filter("count > 1").count() == 0
     inserts = out.filter("op = 'insert'")
     assert inserts.filter("custkey >= 0").count() == 0
+
+
+def test_pagerank_is_a_probability_distribution(spark, sf_dir):
+    """With every node having out-edges (no dangling mass), the rank
+    vector must stay a probability distribution through the
+    iterations, and every rank must be positive."""
+    from distributed_system_spark.queries.behavior import (
+        pagerank_transitions,
+    )
+
+    rows = pagerank_transitions(spark, sf_dir).collect()
+    assert len(rows) == 5  # one rank per event type
+    total = sum(r["pagerank"] for r in rows)
+    assert abs(total - 1.0) < 1e-6
+    assert all(r["pagerank"] > 0 for r in rows)
