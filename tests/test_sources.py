@@ -203,3 +203,26 @@ def test_parquet_codec_roundtrip_and_size(spark, tmp_path):
     sizes = {c: write(c) for c in ("none", "snappy", "zstd")}
     assert sizes["zstd"] < sizes["none"], sizes
     assert sizes["snappy"] < sizes["none"], sizes
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC sink + source round-trip (the columnar alternative to
+    parquet Spark ships natively), including a pushed filter — lineitem
+    subset written as ORC must read back identically and the predicate
+    must reach the ORC scan."""
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    path = str(tmp_path / "orc")
+    li.write.orc(path)
+    back = spark.read.orc(path)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, li.collect())
+    )
+    plan = (
+        back.filter(F.col("l_returnflag") == "R")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan
