@@ -332,3 +332,33 @@ def test_incremental_dedup_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "LeftAnti" in plan, plan
+
+
+def test_per_row_text_ops_are_shuffle_free(spark, sf_dir):
+    """doc_model_score and redact_pii are pure per-row maps: one scan,
+    no Exchange anywhere in the plan — at 100 TB these must stream
+    through executors without a single shuffle."""
+    for name in ("doc_model_score", "redact_pii"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "Exchange" not in plan, (name, plan)
+
+
+def test_boilerplate_keep_drop_join_is_broadcast(spark, sf_dir):
+    """text_remove_boilerplate: the chunk→boilerplate membership join
+    must broadcast the (tiny, heavy-hitters-only) boilerplate table,
+    never shuffle the corpus-sized chunk stream for it; and nothing in
+    the pipeline may fall into a cartesian."""
+    plan = plan_of(spark, sf_dir, "text_remove_boilerplate")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_vocab_topk_take_ordered_and_broadcast_scoring(spark, sf_dir):
+    """vocab_oov_rate: the vocab top-K must plan as
+    TakeOrderedAndProject (per-partition top-K + K-row merge, never a
+    global sort) and the scoring join must broadcast the K-row vocab."""
+    plan = plan_of(spark, sf_dir, "vocab_oov_rate")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
