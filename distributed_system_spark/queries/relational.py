@@ -829,3 +829,87 @@ def rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("l_linestatus").cast("long").alias("g_status"),
         F.count(F.lit(1)).alias("cnt"),
     )
+
+
+@register(
+    "profile_columns",
+    oracle="""
+WITH a AS (
+  SELECT count(*) AS n_rows,
+         count(o_orderkey) AS nn_orderkey,
+         count(DISTINCT o_orderkey) AS nd_orderkey,
+         count(o_custkey) AS nn_custkey,
+         count(DISTINCT o_custkey) AS nd_custkey,
+         count(o_orderstatus) AS nn_orderstatus,
+         count(DISTINCT o_orderstatus) AS nd_orderstatus,
+         count(o_totalprice) AS nn_totalprice,
+         count(DISTINCT o_totalprice) AS nd_totalprice,
+         count(o_orderpriority) AS nn_orderpriority,
+         count(DISTINCT o_orderpriority) AS nd_orderpriority
+  FROM orders
+)
+SELECT col, n_rows, n_rows - nn AS n_nulls, nd AS n_distinct,
+       round(CAST(nd AS DOUBLE) / n_rows, 6) AS distinct_ratio
+FROM a, (VALUES ('o_orderkey'), ('o_custkey'), ('o_orderstatus'),
+                ('o_totalprice'), ('o_orderpriority')) v(col),
+LATERAL (SELECT CASE col
+                  WHEN 'o_orderkey' THEN nn_orderkey
+                  WHEN 'o_custkey' THEN nn_custkey
+                  WHEN 'o_orderstatus' THEN nn_orderstatus
+                  WHEN 'o_totalprice' THEN nn_totalprice
+                  ELSE nn_orderpriority END AS nn,
+                CASE col
+                  WHEN 'o_orderkey' THEN nd_orderkey
+                  WHEN 'o_custkey' THEN nd_custkey
+                  WHEN 'o_orderstatus' THEN nd_orderstatus
+                  WHEN 'o_totalprice' THEN nd_totalprice
+                  ELSE nd_orderpriority END AS nd) x
+""",
+    tags=("C4", "profiling"),
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling (the ANALYZE-TABLE shape): per-column null count,
+    exact distinct count, and distinct ratio for five orders columns,
+    computed in ONE scan with a multi-aggregate then unpivoted to long
+    form — the data-quality pass a pipeline runs before trusting a new
+    100 TB drop.
+
+    At scale: one pass, one aggregation; the exact multi-distinct uses
+    Spark's expand strategy (rows × #distinct-aggs before partial
+    agg) — swap `countDistinct` for `approx_count_distinct` when ±2%
+    is acceptable and the expand disappears; the query shape (and this
+    long-form output) stays identical.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cols = (
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    a = o.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(f"nn_{c}").alias("nn"),
+                F.col(f"nd_{c}").alias("nd"),
+            )
+            for c in cols
+        ]
+    )
+    e = a.select("n_rows", F.explode(per_col).alias("x"))
+    return e.select(
+        F.col("x.col").alias("col"),
+        "n_rows",
+        (F.col("n_rows") - F.col("x.nn")).alias("n_nulls"),
+        F.col("x.nd").alias("n_distinct"),
+        F.round(F.col("x.nd").cast("double") / F.col("n_rows"), 6).alias(
+            "distinct_ratio"
+        ),
+    )
