@@ -572,3 +572,61 @@ def _lloyd_round(
         (cid, [dims[p] for p in sorted(dims)])
         for cid, dims in sorted(by_cid.items())
     ]
+
+
+# Rademacher sign for (input dim i, output dim j): parity of the first
+# hex digit of md5("i:j") — an engine-portable pseudo-random ±1 matrix,
+# derived (never stored) on both sides.
+_RP_EXPR = (
+    "transform(sequence(0, 7), j -> cast(round(aggregate("
+    "  zip_with(vec, sequence(0, size(vec) - 1), (x, i) ->"
+    "    CASE WHEN position(substr(md5(concat(cast(i as string), ':',"
+    "              cast(j as string))), 1, 1) IN '0123456789abcdef') % 2 = 1"
+    "         THEN x ELSE -x END),"
+    "  cast(0 as decimal(28,9)),"
+    "  (acc, y) -> cast(acc + cast(round(y, 9) as decimal(28,9))"
+    "              as decimal(28,9))), 6) as double))"
+)
+
+
+@register(
+    "embedding_random_projection",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+x AS (
+  SELECT vec_id, unnest(e.v) AS x, generate_subscripts(e.v, 1) - 1 AS i
+  FROM e
+)
+SELECT vec_id, j,
+       CAST(round(sum(CAST(round(
+         CASE WHEN strpos('0123456789abcdef',
+                 substr(md5(CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)),
+                        1, 1)) % 2 = 1
+              THEN x ELSE -x END, 9) AS DECIMAL(38,9))), 6) AS DOUBLE) AS val
+FROM x CROSS JOIN (SELECT unnest(range(0, 8)) AS j) dims
+GROUP BY vec_id, j
+""",
+    tags=("similarity", "projection"),
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: 64-dim embeddings down
+    to 8 dims through a Rademacher ±1 matrix derived from md5 parity —
+    the dimensionality-reduction pass that makes downstream ANN / LSH
+    8× cheaper while approximately preserving pairwise distances
+    (JL lemma).  The matrix is pseudo-random but fully deterministic
+    and derived identically by the oracle, so every projected value
+    hash-matches (signed components are rounded then summed in exact
+    DECIMAL — no float-order dependence).
+
+    At 100 TB: pure per-row map — zip_with + aggregate inside one
+    projection, no shuffle, no UDF, nothing collected; a learned
+    projection (PCA) would broadcast its d×k matrix into the same
+    plan shape.  Long-form output (vec_id, j, val) keeps the oracle
+    comparison row-wise.
+    """
+    vecs = _vecs(spark, sf_dir)
+    proj = vecs.select("id", F.expr(_RP_EXPR).alias("p"))
+    return proj.select(
+        F.col("id").alias("vec_id"),
+        F.posexplode("p").alias("j", "val"),
+    ).withColumn("j", F.col("j").cast("long"))

@@ -567,3 +567,42 @@ def test_remove_boilerplate_strips_injected_header(spark, sf_dir):
             for tok in r["clean_text"].split(" ")
             if tok
         )
+
+
+def test_random_projection_distortion_bounded(spark, sf_dir):
+    """JL property: after the 1/sqrt(k) scale correction, projected
+    pairwise distances concentrate around the originals — mean ratio
+    ~1 and >= 90% of pairs within +-50% distortion (k=8 is the
+    aggressive end; the bound widens as 1/sqrt(k)).  Also pins the
+    projection plan shuffle-free."""
+    import numpy as np
+
+    from distributed_system_spark.queries import load_all
+
+    q = load_all()["embedding_random_projection"]
+    df = q.fn(spark, sf_dir)
+    df.collect()
+    assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
+
+    proj: dict[int, list[float]] = {}
+    for r in df.collect():
+        proj.setdefault(r["vec_id"], [0.0] * 8)[r["j"]] = r["val"]
+    orig = {
+        r["id"]: np.array(r["vec"])
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select(F.col("vec_id").alias("id"), vec_double("embedding").alias("vec"))
+        .collect()
+    }
+    ids = sorted(orig)
+    ratios = []
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            d_orig = np.linalg.norm(orig[ids[a]] - orig[ids[b]])
+            d_proj = np.linalg.norm(
+                np.array(proj[ids[a]]) - np.array(proj[ids[b]])
+            ) / np.sqrt(8)
+            if d_orig > 0:
+                ratios.append(d_proj / d_orig)
+    r = np.array(ratios)
+    assert 0.85 < r.mean() < 1.15, r.mean()
+    assert (np.abs(r - 1) < 0.5).mean() >= 0.9
