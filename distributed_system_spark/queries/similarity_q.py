@@ -630,3 +630,68 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("vec_id"),
         F.posexplode("p").alias("j", "val"),
     ).withColumn("j", F.col("j").cast("long"))
+
+
+@register(
+    "semdedup_pairs",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_SQL_SQDIST}, c.cid) AS rn
+    FROM e CROSS JOIN c0 c) WHERE rn = 1
+),
+m AS (SELECT a1.vec_id, a1.cid, e.v AS vec FROM a1 JOIN e USING (vec_id))
+SELECT CAST(q.cid AS BIGINT) AS cluster, q.vec_id AS id_a,
+       c.vec_id AS id_b, {_COS_SQL} AS cos
+FROM m q JOIN m c ON q.cid = c.cid AND q.vec_id < c.vec_id
+WHERE {_COS_SQL} >= 0.4
+""",
+    tags=("similarity", "dedup", "semdedup"),
+)
+def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shape semantic dedup (Abbas et al. 2023): partition the
+    embedding space by nearest centroid (k=8 deterministic centroids),
+    then find near-duplicate pairs (cosine >= 0.4) ONLY within each
+    cluster — the trick that turns an O(n²) semantic-dup scan into
+    k × O((n/k)²) with no cross-cluster comparisons at all.
+
+    At 100 TB: the assignment pass is embarrassingly parallel against
+    broadcast centroid literals; the pair search is an equi-join on
+    the cluster id, so Spark shuffles each cluster to one place and
+    never materializes the global cross product (with real k ~ 10^4+,
+    per-cluster work is tiny).  Recall is bounded by clustering
+    quality — pairs straddling a centroid boundary are missed, which
+    is SemDeDup's documented trade; the oracle reproduces assignment
+    and pair search exactly.
+    """
+    from distributed_system_spark.operators.similarity import cosine
+
+    k = 8
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    c0 = [
+        (r["vec_id"], list(r["v"]))
+        for r in e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    ]
+    m = _kmeans_assign(e, c0).select(
+        F.col("cluster").cast("long").alias("cluster"), "vec_id", "v"
+    )
+    a = m.select(
+        "cluster", F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = m.select(
+        "cluster", F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+    )
+    cos = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("cluster", "id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= 0.4)
+    )

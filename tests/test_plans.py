@@ -362,3 +362,12 @@ def test_vocab_topk_take_ordered_and_broadcast_scoring(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan
+
+
+def test_semdedup_pair_search_is_cluster_equi_join(spark, sf_dir):
+    """semdedup_pairs: the within-cluster pair search must plan as an
+    equi-join on the cluster id — never a cartesian / nested-loop over
+    the corpus (the entire point of partitioning before comparing)."""
+    plan = plan_of(spark, sf_dir, "semdedup_pairs")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
