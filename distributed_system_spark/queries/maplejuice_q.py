@@ -108,3 +108,54 @@ def pipe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("tok")
     )
+
+
+@register(
+    "kv_format_scan",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
+)
+SELECT tok AS word, count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs
+FROM toks GROUP BY tok
+""",
+    tags=("C1", "A15", "kv"),
+)
+def kv_format_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end round trip through the reference's native KV wire
+    format as a REGISTERED Spark source/sink (Python DataSource API,
+    sources/kv_datasource.py): the document tokens are written out as
+    ``"<token> <doc_id>"`` piece files (one piece per writer task —
+    the per-worker shard append of mj_worker.cpp:360-387), then read
+    back with one InputPartition per piece and aggregated.  The oracle
+    computes the same aggregate straight from the documents table, so
+    a parse/encode asymmetry anywhere in the format breaks the hash.
+
+    At 100 TB: the format carries no schema or stats, so unlike
+    parquet there is no pushdown — the honest trade of wire-format
+    parity; parallelism scales with piece count and the writer's
+    temp+rename publish keeps failed tasks invisible (A5).
+    """
+    import hashlib
+
+    from distributed_system_spark.sources.kv_datasource import (
+        register_kv_datasource,
+    )
+
+    register_kv_datasource(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    kv = docs.select(
+        F.explode(F.split("text", " ", -1)).alias("key"),
+        F.col("doc_id").cast("string").alias("value"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"/tmp/dss-kvds-{tag}"
+    kv.repartition(8).write.format("kvpieces").mode("overwrite").option(
+        "path", path
+    ).save()
+    back = spark.read.format("kvpieces").option("path", path).load()
+    return back.groupBy(F.col("key").alias("word")).agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("value").alias("n_docs"),
+    )
