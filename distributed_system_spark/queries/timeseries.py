@@ -22,6 +22,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from distributed_system_spark.queries import register
+from distributed_system_spark.queries._util import davg
 from distributed_system_spark.sources.tables import load_table
 
 _HOUR_US = 3_600_000_000
@@ -461,4 +462,122 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok & (F.abs((F.col("rev") - mean) / F.sqrt(var)) > 2), 1)
         .otherwise(0)
         .alias("is_anomaly"),
+    )
+
+
+@register(
+    "ts_interpolate_linear",
+    oracle=f"""
+WITH h AS (
+  SELECT (epoch_us(ts) // {_HOUR_US}) * {_HOUR_US} AS hour_us,
+         user_id,
+         round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+               / count(*), 6) AS v
+  FROM events WHERE user_id < 10 GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, min(hour_us) AS lo, max(hour_us) AS hi
+  FROM h GROUP BY user_id
+),
+spine AS (
+  SELECT user_id, unnest(range(lo, hi + 1, {_HOUR_US})) AS hour_us
+  FROM bounds
+),
+j AS (
+  SELECT s.user_id, s.hour_us, h.v
+  FROM spine s LEFT JOIN h ON h.user_id = s.user_id
+                          AND h.hour_us = s.hour_us
+),
+w AS (
+  SELECT user_id, hour_us, v,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY hour_us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN hour_us END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY hour_us
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+         first_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY hour_us
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN hour_us END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY hour_us
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM j
+)
+SELECT user_id, hour_us, v AS obs,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN pv IS NULL THEN nv
+            WHEN nv IS NULL THEN pv
+            ELSE round(pv + (nv - pv)
+                       * (CAST(hour_us - pt AS DOUBLE) / (nt - pt)), 6)
+       END AS interp
+FROM w
+""",
+    tags=("timeseries", "gapfill", "interpolate"),
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling by LINEAR interpolation (the numeric sibling of
+    ts_gapfill_locf): dense hour spine per user, then missing hours
+    get pv + (nv-pv)·(t-pt)/(nt-pt) between the bracketing
+    observations — the resampling a metrics/sensor pipeline applies
+    before models that can't see NULLs.  Hourly means are computed in
+    exact decimal and every interpolated value re-rounds at 6, so the
+    oracle hash-matches despite the float arithmetic.
+
+    At 100 TB: spine generation is sequence()-per-series (no driver
+    loop), the four bracketing lookups are IGNORE NULLS windows over
+    the same (user, hour) sort — one shuffle, one sort, four frame
+    scans; everything stays partitioned by series key.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    hour = (F.col("ts_us") - F.col("ts_us") % _HOUR_US).alias("hour_us")
+    h = (
+        ev.withColumn("ts_us", F.expr("ts_ns div 1000"))
+        .groupBy("user_id", hour)
+        .agg(davg("value", 4, 6).alias("v"))
+    )
+    spine = (
+        h.groupBy("user_id")
+        .agg(F.min("hour_us").alias("lo"), F.max("hour_us").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.lit(_HOUR_US))).alias(
+                "hour_us"
+            ),
+        )
+    )
+    j = spine.join(h, ["user_id", "hour_us"], "left")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_us")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    t_obs = F.when(F.col("v").isNotNull(), F.col("hour_us"))
+    w = j.select(
+        "user_id",
+        "hour_us",
+        "v",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(t_obs, ignorenulls=True).over(wb).alias("pt"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(t_obs, ignorenulls=True).over(wf).alias("nt"),
+    )
+    frac = (F.col("hour_us") - F.col("pt")).cast("double") / (
+        F.col("nt") - F.col("pt")
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.round(F.col("pv") + (F.col("nv") - F.col("pv")) * frac, 6)
+        )
+    )
+    return w.select(
+        "user_id", "hour_us", F.col("v").alias("obs"), interp.alias("interp")
     )
