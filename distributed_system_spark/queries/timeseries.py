@@ -22,7 +22,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from distributed_system_spark.queries import register
-from distributed_system_spark.queries._util import davg
+from distributed_system_spark.queries._util import davg  # noqa: F401
 from distributed_system_spark.sources.tables import load_table
 
 _HOUR_US = 3_600_000_000
@@ -508,8 +508,9 @@ SELECT user_id, hour_us, v AS obs,
        CASE WHEN v IS NOT NULL THEN v
             WHEN pv IS NULL THEN nv
             WHEN nv IS NULL THEN pv
-            ELSE round(pv + (nv - pv)
-                       * (CAST(hour_us - pt AS DOUBLE) / (nt - pt)), 6)
+            ELSE CAST(round(CAST(pv + (nv - pv)
+                       * (CAST(hour_us - pt AS DOUBLE) / (nt - pt))
+                       AS DECIMAL(28,12)), 6) AS DOUBLE)
        END AS interp
 FROM w
 """,
@@ -575,7 +576,12 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("pv").isNull(), F.col("nv"))
         .when(F.col("nv").isNull(), F.col("pv"))
         .otherwise(
-            F.round(F.col("pv") + (F.col("nv") - F.col("pv")) * frac, 6)
+            F.round(
+                (F.col("pv") + (F.col("nv") - F.col("pv")) * frac).cast(
+                    "decimal(28,12)"
+                ),
+                6,
+            ).cast("double")
         )
     )
     return w.select(
