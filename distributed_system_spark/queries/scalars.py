@@ -322,3 +322,35 @@ def cond_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.isnull(bal).alias("bal_missing"),
         (F.ifnull(F.when(bal >= 0, bal), F.lit(0.0)) >= 0).alias("nonneg"),
     )
+
+
+@register(
+    "variant_json_extract",
+    oracle="""
+SELECT event_id,
+       CAST(props ->> '$.k' AS BIGINT) AS k,
+       CAST(props ->> '$.missing' AS BIGINT) AS missing
+FROM events
+""",
+    tags=("C8", "semi-structured", "variant"),
+)
+def variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the VARIANT type (Spark 4):
+    parse the JSON props column once into the binary variant encoding,
+    then extract typed paths with try_variant_get — the
+    schema-on-read shape for ragged event payloads, where a
+    per-field from_json schema would be wrong the day a producer
+    adds a field.  Missing paths are NULL (try_ semantics), never an
+    error.
+
+    At 100 TB: variants parse once per row and store as binary
+    (shredded access beats repeated string JSON parsing per field);
+    the plan stays a shuffle-free per-row map.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("missing"),
+    )

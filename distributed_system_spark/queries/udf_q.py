@@ -168,3 +168,44 @@ def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sk").alias("approx_users"),
         "exact_users",
     ).unionByName(merged)
+
+
+@register(
+    "udtf_tokenize",
+    oracle="""
+SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[CAST(i AS INT)] AS token
+FROM (SELECT doc_id, str_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < 50),
+     LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) t
+""",
+    tags=("C10", "udtf"),
+)
+def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python user-defined TABLE function (Spark 4 `@udtf`) in a
+    LATERAL join: one input doc row fans out to one row per token with
+    its position — the C10 surface for UDFs whose output is a
+    relation, not a scalar (parsers, NER extractors, chunkers).
+
+    Like udf_python_row this exists to pin the API surface: the
+    per-row Python hop is the honest cost (the declarative equivalent
+    is posexplode, asserted equal by the oracle), so the input is
+    capped to 50 docs just as the row-UDF query caps its input.  At
+    scale prefer arrow-optimized UDTFs / mapInPandas unless the
+    fan-out logic is genuinely imperative.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos int, token string")
+    class Tokenize:
+        def eval(self, doc_id, text):  # noqa: ANN001
+            for i, tok in enumerate(text.split(" ")):
+                yield doc_id, i, tok
+
+    spark.udtf.register("dss_tokenize", Tokenize)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 50
+    ).createOrReplaceTempView("udtf_docs_in")
+    return spark.sql(
+        "SELECT t.doc_id, t.pos, t.token "
+        "FROM udtf_docs_in d, LATERAL dss_tokenize(d.doc_id, d.text) t"
+    )
