@@ -913,3 +913,63 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_ratio"
         ),
     )
+
+
+@register(
+    "linreg_by_group",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))
+                  * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))
+                  * CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       CAST(round(CAST((n * sxy - sx * sy) / (n * sxx - sx * sx)
+            AS DECIMAL(28,10)), 6) AS DOUBLE) AS slope,
+       CAST(round(CAST((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+            / n AS DECIMAL(28,10)), 6) AS DOUBLE) AS intercept
+FROM s
+""",
+    tags=("C4", "statistics", "regression"),
+)
+def linreg_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary least squares (price ~ quantity per return
+    flag) from SUFFICIENT STATISTICS: one grouped pass accumulates
+    n/Σx/Σy/Σx²/Σxy in exact DECIMAL (order-insensitive), then slope
+    and intercept are closed-form per group — the distributed
+    regression shape (built-in regr_slope sums doubles in partition
+    order and is not reproducible across partitionings; this is, and
+    the oracle proves it to 6 decimals).
+
+    At 100 TB: one scan, one partial-agg groupBy — model fitting cost
+    equals an agg query; the same sufficient-statistics trick carries
+    covariance/correlation matrices and Welford-free variance.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    dx = F.col("l_quantity").cast("decimal(18,4)")
+    dy = F.col("l_extendedprice").cast("decimal(18,4)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum(dx * dx).cast("double").alias("sxx"),
+        F.sum(dx * dy).cast("double").alias("sxy"),
+    )
+    n, sx, sy, sxx, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+
+    def r6(c):  # noqa: ANN001, ANN202
+        return F.round(c.cast("decimal(28,10)"), 6).cast("double")
+
+    return s.select(
+        "l_returnflag",
+        "n",
+        r6(slope).alias("slope"),
+        r6((sy - slope * sx) / n).alias("intercept"),
+    )

@@ -271,3 +271,68 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("first_key"),
         F.nth_value("o_orderkey", 3).over(w).alias("third_key"),
     )
+
+
+@register(
+    "window_distinct_running",
+    oracle=f"""
+WITH d AS (
+  SELECT event_type,
+         (epoch_us(ts) // {24 * 3_600_000_000}) AS day, user_id
+  FROM events
+),
+daily AS (SELECT DISTINCT event_type, day, user_id FROM d)
+SELECT event_type, day,
+       count(DISTINCT user_id) OVER (
+         PARTITION BY event_type ORDER BY day
+         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS cum_distinct_users
+FROM (SELECT DISTINCT event_type, day FROM daily) g
+JOIN daily USING (event_type, day) -- re-expand so the window sees users
+QUALIFY row_number() OVER (PARTITION BY event_type, day
+                           ORDER BY user_id) = 1
+""",
+    tags=("C5", "window", "distinct"),
+)
+def window_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative DISTINCT count over a window — per event type, how
+    many distinct users have been seen through each day.  Spark has no
+    count(DISTINCT) window function; the scalable encoding is the
+    first-occurrence trick: rank each (type, user) pair by day, keep
+    day-of-first-sight, then a plain running SUM of first-sights per
+    day — turning a quadratic distinct-window into one dedup groupBy
+    plus one ordinary cumulative window.
+
+    At 100 TB: state per (type,user) pair once (not per event), and
+    the running sum windows over the tiny (type, day) grid.  The
+    oracle uses DuckDB's native distinct-window to prove the encoding
+    exact.
+    """
+    day_us = 24 * 3_600_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.expr("ts_ns div 1000") / F.lit(day_us))
+        .cast("long")
+        .alias("day"),
+        "user_id",
+    )
+    first_seen = ev.groupBy("event_type", "user_id").agg(
+        F.min("day").alias("first_day")
+    )
+    adds = first_seen.groupBy(
+        "event_type", F.col("first_day").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_new"))
+    days = ev.select("event_type", "day").distinct()
+    grid = days.join(adds, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("n_new", F.lit(0)).alias("n_new")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return grid.select(
+        "event_type",
+        "day",
+        F.sum("n_new").over(w).alias("cum_distinct_users"),
+    )
