@@ -22,7 +22,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from distributed_system_spark.queries import register
-from distributed_system_spark.queries._util import davg  # noqa: F401
+from distributed_system_spark.queries._util import davg
 from distributed_system_spark.sources.tables import load_table
 
 _HOUR_US = 3_600_000_000
