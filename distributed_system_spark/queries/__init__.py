@@ -54,6 +54,8 @@ _MODULES = (
     "distributed_system_spark.queries.timeseries",
     "distributed_system_spark.queries.behavior",
     "distributed_system_spark.queries.udf_q",
+    "distributed_system_spark.queries.retrieval_q",
+    "distributed_system_spark.queries.quality_q",
 )
 
 

@@ -356,3 +356,53 @@ def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(supp, F.col("n_nationkey") == F.col("s_nationkey"), "right")
         .select("s_suppkey", "s_name", "n_name")
     )
+
+
+@register(
+    "join_bloom_prune",
+    oracle=f"""
+SELECT l_suppkey, count(*) AS n_items, {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem
+WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey <= 4)
+GROUP BY l_suppkey
+ORDER BY l_suppkey
+""",
+    tags=("C3", "bloom", "runtime-filter"),
+)
+def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime join pruning: fact rows that cannot match
+    the dimension subset are dropped before the join.
+
+    The explicit form of Spark's runtime row-level filtering: the
+    dimension subset (suppliers in nations 0-4 — broadcast-small by
+    construction) is collected once, hashed into a Bloom bit array
+    (`operators/bloom.py`), and probed per Arrow batch on the fact
+    side; survivors then take the exact broadcast semi-join, so false
+    positives cannot reach the output and the result is exact.  At
+    100 TB the win is that pruned rows never enter the join's hash
+    probe or any later shuffle — the scan stream shrinks at the
+    earliest possible point.
+    """
+    from distributed_system_spark.operators.bloom import bloom_prune
+
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") <= 4)
+        .select("s_suppkey")
+    )
+    keys = [r[0] for r in supp.collect()]
+    li = load_table(spark, sf_dir, "lineitem")
+    pruned = li.filter(bloom_prune("l_suppkey", keys))
+    return (
+        pruned.join(
+            F.broadcast(supp),
+            pruned["l_suppkey"] == supp["s_suppkey"],
+            "left_semi",
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+        .orderBy("l_suppkey")
+    )

@@ -1,0 +1,110 @@
+"""Data-quality expectation checks (Deequ/Great-Expectations shape):
+declarative per-column constraints evaluated in ONE scan, emitted as
+one row per check with the measured metric and a pass/fail verdict.
+
+At 100 TB this is the gate a curation pipeline runs before admitting
+a new batch: all metrics reduce in a single partial+final aggregate
+over the table — adding checks adds columns to the aggregate, never
+scans.
+
+Reference capability analog: the reference validates job output by
+diffing against goldens after the run (tests/maplejuice.cpp:249-255);
+expectation checks are the standing, production form of the same
+contract.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from distributed_system_spark.queries import register
+from distributed_system_spark.sources.tables import load_table
+
+# (check_name, metric SQL over the one-row aggregate, threshold)
+_PRIORITY_RE = "^[1-5]-[A-Z ]+$"
+
+
+@register(
+    "dq_expectations",
+    oracle=f"""
+WITH m AS (
+  SELECT
+    count(*) AS n,
+    count(o_custkey) AS n_custkey,
+    count(DISTINCT o_orderkey) AS n_uniq_key,
+    count(CASE WHEN o_totalprice >= 0 THEN 1 END) AS n_nonneg,
+    count(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 END) AS n_status,
+    count(CASE WHEN regexp_full_match(o_orderpriority, '[1-5]-[A-Z ]+')
+          THEN 1 END) AS n_prio,
+    count(CASE WHEN o_orderdate BETWEEN TIMESTAMP '1992-01-01 00:00:00'
+               AND TIMESTAMP '2005-12-31 00:00:00' THEN 1 END) AS n_date
+  FROM orders
+)
+SELECT check_name, metric, threshold, metric >= threshold AS passed
+FROM (
+  SELECT 'completeness_o_custkey' AS check_name,
+         round(CAST(n_custkey AS DOUBLE) / n, 6) AS metric,
+         1.0 AS threshold FROM m
+  UNION ALL
+  SELECT 'uniqueness_o_orderkey',
+         round(CAST(n_uniq_key AS DOUBLE) / n, 6), 1.0 FROM m
+  UNION ALL
+  SELECT 'nonneg_o_totalprice',
+         round(CAST(n_nonneg AS DOUBLE) / n, 6), 1.0 FROM m
+  UNION ALL
+  SELECT 'domain_o_orderstatus',
+         round(CAST(n_status AS DOUBLE) / n, 6), 1.0 FROM m
+  UNION ALL
+  SELECT 'pattern_o_orderpriority',
+         round(CAST(n_prio AS DOUBLE) / n, 6), 1.0 FROM m
+  UNION ALL
+  SELECT 'bounds_o_orderdate',
+         round(CAST(n_date AS DOUBLE) / n, 6), 0.99 FROM m
+)
+""",
+    tags=("C4", "quality", "expectations"),
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six expectation checks over `orders` in one aggregate scan:
+    completeness, key uniqueness, value bounds, domain membership,
+    format pattern, and date-range containment."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def rate(cond):
+        return F.count(F.when(cond, F.lit(1)))
+
+    m = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_custkey").alias("n_custkey"),
+        F.countDistinct("o_orderkey").alias("n_uniq_key"),
+        rate(F.col("o_totalprice") >= 0).alias("n_nonneg"),
+        rate(F.col("o_orderstatus").isin("O", "F", "P")).alias("n_status"),
+        rate(F.col("o_orderpriority").rlike(_PRIORITY_RE)).alias("n_prio"),
+        rate(
+            F.col("o_orderdate").between(
+                F.lit("1992-01-01 00:00:00").cast("timestamp"),
+                F.lit("2005-12-31 00:00:00").cast("timestamp"),
+            )
+        ).alias("n_date"),
+    )
+    checks = (
+        ("completeness_o_custkey", "n_custkey", 1.0),
+        ("uniqueness_o_orderkey", "n_uniq_key", 1.0),
+        ("nonneg_o_totalprice", "n_nonneg", 1.0),
+        ("domain_o_orderstatus", "n_status", 1.0),
+        ("pattern_o_orderpriority", "n_prio", 1.0),
+        ("bounds_o_orderdate", "n_date", 0.99),
+    )
+    stack_args = ", ".join(
+        f"'{name}', round(CAST({num} AS DOUBLE) / n, 6), "
+        f"CAST({thr} AS DOUBLE)"
+        for name, num, thr in checks
+    )
+    rows = m.selectExpr(
+        f"stack({len(checks)}, {stack_args})"
+        " AS (check_name, metric, threshold)"
+    )
+    return rows.withColumn(
+        "passed", F.col("metric") >= F.col("threshold")
+    )

@@ -1,0 +1,233 @@
+"""Retrieval / LM-scoring queries over `documents` (LLM-pipeline
+surface): BM25 ranked retrieval and add-one-smoothed bigram
+language-model scoring (the CCNet/KenLM-style perplexity gate, here
+with an exact in-corpus n-gram LM instead of an external model).
+
+Both are pure Column-expression pipelines.  Transcendentals (ln) are
+computed identically in Spark and DuckDB (same libm double `log` on
+the same machine — the `text_tfidf_top3` oracle established this
+parity); every per-row score is cast to DECIMAL(18,6) *before* the
+order-dependent reduction so sums are exact and order-insensitive
+(see `_util.py`).
+
+Reference capability analog: the reference's query surface is
+map+group-by-key over tokenized text (SURVEY §2.B); BM25 and LM
+scoring are the retrieval/quality extensions a training-data curation
+pipeline layers on that same tokenize→count core.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from distributed_system_spark.queries import register
+from distributed_system_spark.sources.tables import load_table
+
+# Fixed query-term set for BM25 (the synthetic corpus vocabulary is
+# operator names; any fixed set exercises the full scoring shape).
+_BM25_TERMS = ("scan", "join", "merge", "window", "sort")
+_K1 = 1.2
+_B = 0.75
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+), dl AS (
+  SELECT doc_id, len(toks) AS dl FROM d
+), stats AS (
+  SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl
+), toks AS (
+  SELECT d.doc_id, unnest(d.toks) AS term FROM d
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN {_BM25_TERMS!r}
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), contrib AS (
+  SELECT tf.doc_id,
+         CAST(
+           (ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+            * tf.tf * {_K1 + 1})
+           / (tf.tf + {_K1} * ({1 - _B} + {_B}
+              * (CAST(dl.dl AS DOUBLE)
+                 / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs))))
+           AS DECIMAL(18,6)) AS contrib
+  FROM tf
+  JOIN dft ON tf.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+), scored AS (
+  SELECT doc_id, CAST(SUM(contrib) AS DOUBLE) AS score
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, score, rnk FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+) WHERE rnk <= 20
+""",
+    tags=("text", "retrieval", "bm25"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for a fixed query-term set.
+
+    Scale shape: the term-frequency side is one groupBy on
+    (doc_id, term) *after* filtering tokens to the query terms (the
+    filter makes the exploded stream tiny — |terms| rows per doc max);
+    document frequencies and corpus stats are broadcast-joined
+    (|terms| rows and 1 row respectively).  One shuffle for tf, one
+    for the per-doc sum, one TakeOrdered for the top-k — no global
+    materialization of the posting lists.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.split("text", " ", -1).alias("toks"))
+    dl = d.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    )
+    toks = d.select("doc_id", F.explode("toks").alias("term")).filter(
+        F.col("term").isin(*_BM25_TERMS)
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    joined = (
+        tf.join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(_K1) * (
+        F.lit(1 - _B) + F.lit(_B) * (F.col("dl").cast("double") / avgdl)
+    )
+    contrib = (
+        (idf * F.col("tf") * F.lit(_K1 + 1)) / denom
+    ).cast("decimal(18,6)")
+    scored = (
+        joined.select("doc_id", contrib.alias("contrib"))
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").cast("double").alias("score"))
+    )
+    # TakeOrdered the top 20 first, then rank the 20 survivors — the
+    # global row_number window would otherwise single-partition the
+    # whole scored set.
+    top = scored.orderBy(F.col("score").desc(), "doc_id").limit(20)
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return top.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    ).select("doc_id", "score", "rnk")
+
+
+@register(
+    "text_lm_bigram_nll",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+), occ AS (
+  SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ')
+                         for i in range(1, len(toks))]) AS bg
+  FROM t
+), tfb AS (
+  SELECT doc_id, bg, count(*) AS tf_b FROM occ GROUP BY doc_id, bg
+), cb AS (
+  SELECT bg, CAST(sum(tf_b) AS BIGINT) AS cb FROM tfb GROUP BY bg
+), ch AS (
+  SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(cb) AS BIGINT) AS ch
+  FROM cb GROUP BY 1
+), v AS (
+  SELECT count(DISTINCT term) AS v
+  FROM (SELECT unnest(str_split(text, ' ')) AS term FROM documents)
+)
+SELECT tfb.doc_id,
+       CAST(sum(tfb.tf_b) AS BIGINT) AS n_bigrams,
+       round(CAST(SUM(tfb.tf_b
+               * CAST(ln(CAST(ch.ch + v.v AS DOUBLE))
+                      - ln(CAST(cb.cb + 1 AS DOUBLE))
+                      AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(sum(tfb.tf_b) AS DOUBLE), 6) AS avg_nll
+FROM tfb
+JOIN cb ON tfb.bg = cb.bg
+JOIN ch ON split_part(tfb.bg, ' ', 1) = ch.w1
+CROSS JOIN v
+GROUP BY tfb.doc_id
+""",
+    tags=("text", "lm", "quality"),
+)
+def text_lm_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average negative log-likelihood under an add-one
+    smoothed bigram LM trained on the corpus itself.
+
+    The curation analog of a KenLM perplexity gate (CCNet): documents
+    whose token sequences are improbable under the corpus LM score
+    high `avg_nll` and get filtered.  P(w2|w1) = (c(w1,w2)+1) /
+    (c(w1·)+V) where c(w1·) counts bigram occurrences headed by w1
+    (a proper conditional after smoothing) and V is the corpus
+    vocabulary size.
+
+    Scale shape: per-doc bigram counts are one groupBy; the corpus
+    bigram table (≤ V², bounded by vocabulary not corpus size) and
+    head table (≤ V) are re-aggregations of it, broadcast back.
+    Documents with fewer than two tokens have no bigrams and drop out
+    (both engines, inner semantics).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ", -1).alias("toks"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+        ),
+    )
+    # 1:1 explode barrier (materialize toks once), then flatMap grams.
+    occ = t.select(
+        "doc_id", F.explode(F.array(grams)).alias("gs")
+    ).select("doc_id", F.explode("gs").alias("bg"))
+    tfb = occ.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("tf_b"))
+    cb = tfb.groupBy("bg").agg(F.sum("tf_b").alias("cb"))
+    ch = cb.groupBy(F.split("bg", " ", -1)[0].alias("w1")).agg(
+        F.sum("cb").alias("ch")
+    )
+    # Corpus vocabulary size: a scalar (tiny), computed driver-side
+    # like n_docs in text_tfidf_top3.
+    v = (
+        docs.select(F.explode(F.split("text", " ", -1)).alias("term"))
+        .distinct()
+        .count()
+    )
+    nll = F.log((F.col("ch") + F.lit(v)).cast("double")) - F.log(
+        (F.col("cb") + F.lit(1)).cast("double")
+    )
+    joined = (
+        tfb.join(F.broadcast(cb), "bg")
+        .join(
+            F.broadcast(ch),
+            F.split(tfb["bg"], " ", -1)[0] == ch["w1"],
+        )
+    )
+    return (
+        joined.select(
+            "doc_id",
+            "tf_b",
+            (F.col("tf_b") * nll.cast("decimal(18,6)")).alias("w_nll"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf_b").alias("n_bigrams"),
+            F.round(
+                F.sum("w_nll").cast("double")
+                / F.sum("tf_b").cast("double"),
+                6,
+            ).alias("avg_nll"),
+        )
+        .select("doc_id", "n_bigrams", "avg_nll")
+    )

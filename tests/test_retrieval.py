@@ -1,0 +1,110 @@
+"""Tests for retrieval/LM scoring queries and the Bloom runtime
+filter: BM25 ranking sanity, bigram-LM probability properties, and
+the Bloom filter's no-false-negative guarantee + pruning power."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from distributed_system_spark.operators.bloom import (
+    bloom_prune,
+    build_bloom,
+    might_contain,
+)
+from distributed_system_spark.queries import load_all
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def test_bm25_topk_ranked_and_bounded(spark, sf_dir, registry):
+    rows = registry["text_bm25_topk"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    # Ranks are 1..n and scores non-increasing along them.
+    ranks = [r.rnk for r in rows]
+    assert sorted(ranks) == list(range(1, len(rows) + 1))
+    by_rank = sorted(rows, key=lambda r: r.rnk)
+    scores = [r.score for r in by_rank]
+    assert all(a >= b for a, b in zip(scores, scores[1:]))
+    assert all(r.score > 0 for r in rows)
+
+
+def test_lm_bigram_nll_is_valid_log_prob(spark, sf_dir, registry):
+    df = registry["text_lm_bigram_nll"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    # Add-one smoothing: every bigram probability is in (0, 1), so
+    # each per-doc average NLL is strictly positive and finite.
+    assert all(r.avg_nll > 0 for r in rows)
+    assert all(np.isfinite(r.avg_nll) for r in rows)
+    # Docs with >= 2 tokens all appear exactly once.
+    n_docs_with_bigrams = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.size(F.split("text", " ", -1)) >= 2)
+        .count()
+    )
+    assert len(rows) == n_docs_with_bigrams
+
+
+def test_bloom_no_false_negatives_and_low_fp_rate():
+    rng = np.random.default_rng(7)
+    members = rng.choice(10**9, size=2000, replace=False).astype(np.int64)
+    bits, m = build_bloom(members)
+    # Probe members and non-members through the same numpy path the
+    # UDF uses (call the pandas_udf's wrapped function directly).
+    import pandas as pd
+
+    udf_fn = might_contain(bits, m)
+    inner = udf_fn.func  # the underlying pandas function
+    got = inner(pd.Series(members))
+    assert bool(got.all()), "Bloom filter produced a false negative"
+    non_members = (members.max() + 1 + np.arange(20000)).astype(np.int64)
+    fp = inner(pd.Series(non_members)).to_numpy().mean()
+    assert fp < 0.02, f"false-positive rate too high: {fp}"
+
+
+def test_join_bloom_prune_exact_and_pruning(spark, sf_dir, registry):
+    # The registered query's result must equal the plain semi-join.
+    got = registry["join_bloom_prune"].fn(spark, sf_dir).collect()
+    supp = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .filter(F.col("s_nationkey") <= 4)
+        .select("s_suppkey")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    expect = {
+        (r.l_suppkey, r.n_items)
+        for r in li.join(
+            F.broadcast(supp),
+            li["l_suppkey"] == supp["s_suppkey"],
+            "left_semi",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .collect()
+    }
+    assert {(r.l_suppkey, r.n_items) for r in got} == expect
+
+    # The Bloom pre-filter actually prunes: survivors are a superset
+    # of true matches but a strict subset of the full fact table.
+    keys = [r[0] for r in supp.collect()]
+    survivors = li.filter(bloom_prune("l_suppkey", keys)).count()
+    true_matches = li.join(
+        F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"], "left_semi"
+    ).count()
+    total = li.count()
+    assert true_matches <= survivors < total
+
+
+def test_dq_expectations_pass_on_clean_data(spark, sf_dir, registry):
+    rows = registry["dq_expectations"].fn(spark, sf_dir).collect()
+    assert len(rows) == 6
+    by_name = {r.check_name: r for r in rows}
+    # The driver-generated orders table satisfies every expectation.
+    for name, r in by_name.items():
+        assert r.passed, f"{name}: metric={r.metric} < {r.threshold}"
+        assert 0.0 <= r.metric <= 1.0
