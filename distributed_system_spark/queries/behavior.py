@@ -582,3 +582,65 @@ def pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r"),
         )
     return ranks.select("node", F.col("r").alias("pagerank"))
+
+
+# {head} lets the oracle prepend its edge-derivation CTEs inside the
+# single WITH RECURSIVE list (one WITH clause per statement).
+_REACH_SQL = """
+WITH RECURSIVE {head}reach AS (
+  SELECT 'signup' AS node, CAST(0 AS BIGINT) AS hops
+  UNION ALL
+  SELECT e.to_type AS node, r.hops + 1 AS hops
+  FROM reach r JOIN {edges} e ON e.from_type = r.node
+  WHERE r.hops < 4
+)
+SELECT node, min(hops) AS hops FROM reach GROUP BY node
+"""
+
+_REACH_ORACLE_HEAD = """seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id)
+           AS next_type
+  FROM events
+), edges AS (
+  SELECT DISTINCT event_type AS from_type, next_type AS to_type
+  FROM seq
+  WHERE next_type IS NOT NULL AND next_type <> event_type
+), """
+
+
+@register(
+    "reachability_bfs",
+    oracle=_REACH_SQL.format(head=_REACH_ORACLE_HEAD, edges="edges"),
+    tags=("C3", "graph", "recursive-cte"),
+)
+def reachability_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-hop reachability from 'signup' over the observed
+    event-type transition graph, via Spark 4's WITH RECURSIVE.
+
+    Scale shape: the per-user lead() window is the only data-sized
+    shuffle; the DISTINCT collapses it to the |event_types|²-bounded
+    edge set *before* recursion, so each recursive step joins a
+    constant-size frontier against a constant-size edge list —
+    iteration depth is graph diameter (capped at 4 hops), never data
+    volume.  Self-loops are dropped: they can never shorten a path.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    edges = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(
+            F.col("next_type").isNotNull()
+            & (F.col("next_type") != F.col("event_type"))
+        )
+        .select(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .distinct()
+    )
+    edges.createOrReplaceTempView("rcte_edges")
+    return spark.sql(_REACH_SQL.format(head="", edges="rcte_edges"))

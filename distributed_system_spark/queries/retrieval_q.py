@@ -231,3 +231,64 @@ def text_lm_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_bigrams", "avg_nll")
     )
+
+
+@register(
+    "text_token_ids",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+), toks AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         unnest(range(1, len(toks) + 1)) AS pos
+  FROM d
+), counts AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), vocab AS (
+  SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS id FROM counts
+)
+SELECT t.doc_id, count(*) AS n_tokens,
+       string_agg(CAST(v.id AS VARCHAR), ',' ORDER BY t.pos) AS token_ids
+FROM toks t JOIN vocab v USING (tok)
+GROUP BY t.doc_id
+""",
+    tags=("text", "training-prep", "vocab"),
+)
+def text_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary encoding: map every token to its frequency-ranked
+    integer id and re-emit each document as its id sequence — the
+    tokenize→numericalize step of a training-data pipeline.
+
+    Scale shape: the vocabulary (|V| rows, bounded by vocabulary not
+    corpus size) is built with one groupBy and ranked with one
+    window over those |V| rows, then broadcast back to the exploded
+    token stream; per-doc sequences reassemble order via the
+    (pos, id) struct sort inside one aggregate.  The id sequence is
+    emitted comma-joined (the repo's engine-stable array encoding —
+    see `agg_arrays`).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ", -1)).alias("pos", "tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # Window over |V| rows only — bounded by vocabulary size.
+    wv = Window.orderBy(F.col("c").desc(), "tok")
+    vocab = counts.withColumn("id", F.row_number().over(wv))
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "id"))
+                    ),
+                    lambda x: x["id"].cast("string"),
+                ),
+                ",",
+            ).alias("token_ids"),
+        )
+    )

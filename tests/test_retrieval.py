@@ -108,3 +108,41 @@ def test_dq_expectations_pass_on_clean_data(spark, sf_dir, registry):
     for name, r in by_name.items():
         assert r.passed, f"{name}: metric={r.metric} < {r.threshold}"
         assert 0.0 <= r.metric <= 1.0
+
+
+def test_reachability_bfs_hops_are_bfs_distances(spark, sf_dir, registry):
+    rows = registry["reachability_bfs"].fn(spark, sf_dir).collect()
+    hops = {r.node: r.hops for r in rows}
+    assert hops.get("signup") == 0
+    assert all(0 <= h <= 4 for h in hops.values())
+    # Every reported node is a real event type.
+    types = {
+        r.event_type
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type")
+        .distinct()
+        .collect()
+    }
+    assert set(hops) <= types
+
+
+def test_token_ids_roundtrip_decode(spark, sf_dir, registry):
+    out = registry["text_token_ids"].fn(spark, sf_dir)
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    # Rebuild the frequency-ranked vocab independently and decode.
+    from collections import Counter
+
+    counts = Counter(
+        tok for text in docs.values() for tok in text.split(" ")
+    )
+    ranked = sorted(counts, key=lambda t: (-counts[t], t))
+    id2tok = {i + 1: t for i, t in enumerate(ranked)}
+    for r in out.limit(50).collect():
+        decoded = " ".join(
+            id2tok[int(i)] for i in r.token_ids.split(",")
+        )
+        assert decoded == docs[r.doc_id]
+        assert r.n_tokens == len(docs[r.doc_id].split(" "))
