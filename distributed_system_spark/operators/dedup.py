@@ -204,6 +204,57 @@ def ngram_jaccard_pairs(
     return jaccard_verify(cand, toks, threshold)
 
 
+def containment_pairs(
+    toks: DataFrame, threshold: float
+) -> DataFrame:
+    """Directional containment pairs: C(A,B) = |A∩B| / |A| >= t —
+    the sub-document / superset near-dup case (a doc mostly contained
+    in another), which symmetric Jaccard misses when |B| >> |A|.
+
+    Candidates use the containment prefix filter: C(A,B) >= t implies
+    |A∩B| >= ceil(t·|A|); if none of A's rarest |A| - ceil(t·|A|) + 1
+    tokens (canonical rarest-first order) were shared, every shared
+    token would fit in A's suffix of size ceil(t·|A|) - 1 —
+    contradiction.  So A's side joins only its prefix (the SAME
+    prefix `prefix_index` builds for Jaccard — the bound coincides),
+    while B's side must index fully (B may be any superset; only the
+    contained side prunes — Agrawal et al.'s containment-join
+    asymmetry).  Indexing A rarest-first keeps the joined posting
+    lists short exactly where they'd explode.  Verify recomputes
+    containment over the full sets, so precision is exact.
+    """
+    prefix = prefix_index(toks, threshold)
+    a = prefix.select(F.col("id").alias("id_a"), "tok")
+    b = toks.select(F.col("id").alias("id_b"), "tok")
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    ta = toks.select(F.col("id").alias("id_a"), "tok")
+    tb = toks.select(F.col("id").alias("id_b"), "tok")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    return (
+        inter.join(na, "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                (F.col("inter") / F.col("na")).cast("double"), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def simhash16(toks: DataFrame) -> DataFrame:
     """(id, simhash) 16-bit SimHash from the doc's token set.
 

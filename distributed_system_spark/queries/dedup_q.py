@@ -12,6 +12,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from distributed_system_spark.operators.dedup import (
+    containment_pairs,
     doc_tokens,
     jaccard_verify,
     lsh_band_signatures,
@@ -553,3 +554,35 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         s1.join(dups, "doc_id", "left_anti")
         .select("doc_id", split.alias("split"), "n_tokens")
     )
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+WITH {_TOKS_SQL},
+sizes AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id <> b.id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN toks a ON a.id = c.id_a
+  JOIN toks b ON b.id = c.id_b AND b.tok = a.tok
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       round(CAST(i.inter AS DOUBLE) / na.n, 6) AS containment
+FROM inter i JOIN sizes na ON na.id = i.id_a
+WHERE round(CAST(i.inter AS DOUBLE) / na.n, 6) >= 0.9
+""",
+    tags=("dedup", "containment"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment >= 0.9 pairs (sub-document dedup):
+    prefix-filtered on the contained side, full index on the
+    container side — the asymmetric variant Jaccard misses when a
+    small doc sits inside a much larger one."""
+    toks = doc_tokens(load_table(spark, sf_dir, "documents"))
+    return containment_pairs(toks, 0.9)

@@ -371,3 +371,47 @@ def test_semdedup_pair_search_is_cluster_equi_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "semdedup_pairs")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bm25_broadcasts_stats_and_takes_ordered(spark, sf_dir):
+    """text_bm25_topk: the df/corpus-stats sides are broadcast (|terms|
+    rows and 1 row), the top-20 is TakeOrderedAndProject — never a
+    global sort — and nothing degenerates into a cartesian product."""
+    plan = plan_of(spark, sf_dir, "text_bm25_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_token_ids_vocab_broadcasts(spark, sf_dir):
+    """text_token_ids: the frequency-ranked vocab (|V| rows) joins
+    broadcast back to the exploded token stream; the only sort-merge
+    or shuffled join allowed is none."""
+    plan = plan_of(spark, sf_dir, "text_token_ids")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bloom_prune_filters_before_broadcast_join(spark, sf_dir):
+    """join_bloom_prune: the Bloom membership UDF must run as a filter
+    BEFORE the broadcast semi-join (that ordering is the whole point:
+    pruned rows never reach the join), and the exact join must be a
+    broadcast, never a shuffle."""
+    plan = plan_of(spark, sf_dir, "join_bloom_prune")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # The python-UDF eval (ArrowEvalPython) sits below the join in the
+    # plan string (plans print top-down: join appears first).
+    assert "ArrowEvalPython" in plan, plan
+    assert plan.index("BroadcastHashJoin") < plan.index(
+        "ArrowEvalPython"
+    ), plan
+
+
+def test_lm_bigram_counts_broadcast(spark, sf_dir):
+    """text_lm_bigram_nll: corpus bigram and head-count tables are
+    vocabulary-bounded and must broadcast back onto the per-doc
+    stream."""
+    plan = plan_of(spark, sf_dir, "text_lm_bigram_nll")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -146,3 +146,41 @@ def test_token_ids_roundtrip_decode(spark, sf_dir, registry):
         )
         assert decoded == docs[r.doc_id]
         assert r.n_tokens == len(docs[r.doc_id].split(" "))
+
+
+def test_containment_prefix_filter_is_lossless(spark):
+    """containment_pairs must find exactly the pairs an exhaustive
+    all-pairs scan finds — the prefix filter may only prune
+    non-qualifying candidates — and containment is directional."""
+    from distributed_system_spark.operators.dedup import (
+        containment_pairs,
+        doc_tokens,
+    )
+
+    rows = [
+        (1, "a b c d e f g h i j"),          # base
+        (2, "a b c d e f g h i j k l"),      # superset of 1
+        (3, "a b c d e f g h i x"),          # 9/10 of 1's tokens
+        (4, "z y x w v u t s r q"),          # unrelated
+        (5, "a b c"),                        # tiny subset of 1 and 2
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    toks = doc_tokens(docs)
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(toks, 0.9).collect()
+    }
+    # Exhaustive reference: python sets.
+    sets = {i: set(t.split()) for i, t in rows}
+    expect = {}
+    for a in sets:
+        for b in sets:
+            if a == b:
+                continue
+            c = round(len(sets[a] & sets[b]) / len(sets[a]), 6)
+            if c >= 0.9:
+                expect[(a, b)] = c
+    assert got == expect
+    # Directionality spot-checks: 1 ⊂ 2 fully, but 2 ⊄ 1.
+    assert got[(1, 2)] == 1.0 and (2, 1) not in got
+    assert got[(5, 1)] == 1.0 and (1, 5) not in got
