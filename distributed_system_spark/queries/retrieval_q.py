@@ -31,10 +31,9 @@ _K1 = 1.2
 _B = 0.75
 
 
-@register(
-    "text_bm25_topk",
-    oracle=f"""
-WITH d AS (
+# BM25 scored-docs CTE chain (ends at `scored(doc_id, score)`) —
+# shared by text_bm25_topk and the RRF hybrid fusion oracle.
+_BM25_SCORED_SQL = f"""d AS (
   SELECT doc_id, str_split(text, ' ') AS toks FROM documents
 ), dl AS (
   SELECT doc_id, len(toks) AS dl FROM d
@@ -64,25 +63,12 @@ WITH d AS (
 ), scored AS (
   SELECT doc_id, CAST(SUM(contrib) AS DOUBLE) AS score
   FROM contrib GROUP BY doc_id
-)
-SELECT doc_id, score, rnk FROM (
-  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
-  FROM scored
-) WHERE rnk <= 20
-""",
-    tags=("text", "retrieval", "bm25"),
-)
-def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-20 documents for a fixed query-term set.
+)"""
 
-    Scale shape: the term-frequency side is one groupBy on
-    (doc_id, term) *after* filtering tokens to the query terms (the
-    filter makes the exploded stream tiny — |terms| rows per doc max);
-    document frequencies and corpus stats are broadcast-joined
-    (|terms| rows and 1 row respectively).  One shuffle for tf, one
-    for the per-doc sum, one TakeOrdered for the top-k — no global
-    materialization of the posting lists.
-    """
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score) BM25 scores for the fixed query-term set —
+    the shared core of text_bm25_topk and search_hybrid_rrf."""
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select("doc_id", F.split("text", " ", -1).alias("toks"))
     dl = d.select("doc_id", F.size("toks").cast("long").alias("dl"))
@@ -113,11 +99,36 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrib = (
         (idf * F.col("tf") * F.lit(_K1 + 1)) / denom
     ).cast("decimal(18,6)")
-    scored = (
+    return (
         joined.select("doc_id", contrib.alias("contrib"))
         .groupBy("doc_id")
         .agg(F.sum("contrib").cast("double").alias("score"))
     )
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+WITH {_BM25_SCORED_SQL}
+SELECT doc_id, score, rnk FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+) WHERE rnk <= 20
+""",
+    tags=("text", "retrieval", "bm25"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for a fixed query-term set.
+
+    Scale shape: the term-frequency side is one groupBy on
+    (doc_id, term) *after* filtering tokens to the query terms (the
+    filter makes the exploded stream tiny — |terms| rows per doc max);
+    document frequencies and corpus stats are broadcast-joined
+    (|terms| rows and 1 row respectively).  One shuffle for tf, one
+    for the per-doc sum, one TakeOrdered for the top-k — no global
+    materialization of the posting lists.
+    """
+    scored = _bm25_scored(spark, sf_dir)
     # TakeOrdered the top 20 first, then rank the 20 survivors — the
     # global row_number window would otherwise single-partition the
     # whole scored set.
@@ -292,3 +303,110 @@ def text_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token_ids"),
         )
     )
+
+
+_RRF_K = 60
+
+
+@register(
+    "search_hybrid_rrf",
+    oracle=f"""
+WITH {_BM25_SCORED_SQL},
+bm_top AS (
+  SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 50
+),
+bm_rank AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS r_text
+  FROM bm_top
+),
+e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+cos_scored AS (
+  SELECT c.id AS doc_id,
+         round(list_sum(list_transform(range(1, 65),
+                                       i -> q.vec[i] * c.vec[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65),
+                                i -> q.vec[i] * q.vec[i])))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                                i -> c.vec[i] * c.vec[i])))),
+               6) AS cos
+  FROM e q JOIN e c ON q.id = 0 AND c.id >= 10
+),
+vec_top AS (
+  SELECT doc_id, cos FROM cos_scored ORDER BY cos DESC, doc_id LIMIT 50
+),
+vec_rank AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cos DESC, doc_id) AS r_vec
+  FROM vec_top
+),
+fused AS (
+  SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
+         round(coalesce(1.0 / ({_RRF_K} + b.r_text), 0)
+               + coalesce(1.0 / ({_RRF_K} + v.r_vec), 0), 6) AS rrf
+  FROM bm_rank b FULL JOIN vec_rank v ON b.doc_id = v.doc_id
+)
+SELECT doc_id, rrf, rnk FROM (
+  SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rnk
+  FROM fused
+) WHERE rnk <= 20
+""",
+    tags=("text", "retrieval", "hybrid", "rrf"),
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 keyword
+    ranking and the dense-vector cosine ranking (query vector id 0;
+    vec_id aligns 1:1 with doc_id in the synthetic corpus) — the
+    standard lexical+semantic search combiner
+    (rrf = Σ 1/(60 + rank), Cormack et al.).
+
+    Scale shape: fusion operates on each system's top-50 LIST, never
+    the full corpus — both lists arrive via TakeOrdered, the rank
+    windows run on ≤50 rows, and the full-outer fusion join touches
+    ≤100 rows regardless of corpus size.  The two source rankings
+    inherit their own scale analyses (`text_bm25_topk`,
+    `ann_topk_cosine`).
+    """
+    from distributed_system_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from distributed_system_spark.queries.similarity_q import _vecs
+
+    bm_top = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(50)
+    )
+    wb = Window.orderBy(F.col("score").desc(), "doc_id")
+    bm_rank = bm_top.select(
+        "doc_id", F.row_number().over(wb).alias("r_text")
+    )
+
+    vecs = _vecs(spark, sf_dir)
+    vec_rank = (
+        brute_force_topk(
+            vecs.filter(F.col("id") == 0),
+            vecs.filter(F.col("id") >= 10),
+            k=50,
+        )
+        .select(F.col("n_id").alias("doc_id"), F.col("rnk").alias("r_vec"))
+    )
+
+    rrf = F.round(
+        F.coalesce(
+            F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_text")), F.lit(0.0)
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_vec")), F.lit(0.0)
+        ),
+        6,
+    )
+    fused = (
+        bm_rank.join(vec_rank, "doc_id", "full_outer")
+        .select("doc_id", rrf.alias("rrf"))
+    )
+    top = fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)
+    w = Window.orderBy(F.col("rrf").desc(), "doc_id")
+    return top.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    ).select("doc_id", "rrf", "rnk")

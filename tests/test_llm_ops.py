@@ -434,6 +434,8 @@ def test_llm_operators_graceful_on_empty_corpus(spark, tmp_path):
         "freq_heavy_hitters", "mm_binary_meta", "mm_frame_sample",
         "mm_audio_segments", "embedding_neardup", "ann_topk_cosine",
         "embedding_quantize_int8", "weighted_sample",
+        "text_bm25_topk", "text_lm_bigram_nll", "text_token_ids",
+        "dedup_containment",
     ]
     for n in names:
         assert reg[n].fn(spark, d).count() == 0, n

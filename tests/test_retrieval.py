@@ -184,3 +184,24 @@ def test_containment_prefix_filter_is_lossless(spark):
     # Directionality spot-checks: 1 ⊂ 2 fully, but 2 ⊄ 1.
     assert got[(1, 2)] == 1.0 and (2, 1) not in got
     assert got[(5, 1)] == 1.0 and (1, 5) not in got
+
+
+def test_hybrid_rrf_fuses_both_rankings(spark, sf_dir, registry):
+    rows = registry["search_hybrid_rrf"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    by_rank = sorted(rows, key=lambda r: r.rnk)
+    scores = [r.rrf for r in by_rank]
+    assert all(a >= b for a, b in zip(scores, scores[1:]))
+    # Max possible RRF = 1/61 + 1/61; docs in only one list score
+    # at most 1/61 — a doc ranked #1 in both systems must beat any
+    # single-system doc.
+    assert all(0 < s <= round(2 / 61, 6) + 1e-9 for s in scores)
+    # Fusion really uses both systems: at least one fused doc must
+    # come from each source top-50 list.
+    bm = {
+        r.doc_id
+        for r in registry["text_bm25_topk"].fn(spark, sf_dir).collect()
+    }
+    fused = {r.doc_id for r in rows}
+    assert fused & bm, "no BM25 docs survived fusion"
+    assert fused - bm, "fusion is just the BM25 list"
