@@ -52,6 +52,10 @@ HEADLINE = [
     "dedup_minhash_ctrl", # MinHash+LSH on the controlled-dup-rate
                           # derived corpus (large vocab, ~5% true dups)
     "freq_heavy_hitters", # Misra-Gries sketch pass + exact verify
+    "text_bm25_topk",     # BM25 ranked retrieval (inverted-index shape)
+    "search_hybrid_rrf",  # BM25 + dense-cosine reciprocal-rank fusion
+    "text_lm_bigram_nll", # bigram-LM perplexity gate (CCNet shape)
+    "join_bloom_prune",   # Bloom runtime filter ahead of the join
 ]
 # NOT here: dedup_minhash_lsh / dedup_ngram_jaccard.  They are correct
 # (oracle-green at the driver's sf0.01) but this synthetic corpus has a
