@@ -410,3 +410,54 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn(
         "rnk", F.row_number().over(w).cast("long")
     ).select("doc_id", "rrf", "rnk")
+
+
+@register(
+    "text_entropy",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
+), counts AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       round(ln(CAST(CAST(sum(c) AS BIGINT) AS DOUBLE))
+             - CAST(SUM(CAST(c * ln(CAST(c AS DOUBLE))
+                             AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(sum(c) AS BIGINT), 6) AS entropy
+FROM counts
+GROUP BY doc_id
+""",
+    tags=("text", "quality", "entropy"),
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy (nats) — the
+    repetitiveness signal quality filters threshold on (low entropy =
+    highly repetitive doc).  Computed as H = ln(n) - Σ c·ln(c) / n so
+    the only reduction over non-integers is the decimal-cast Σ c·ln(c)
+    (order-insensitive); one groupBy per doc over (doc, token) counts,
+    no corpus-wide state at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("tok")
+    )
+    counts = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    c_ln_c = (
+        (F.col("c") * F.log(F.col("c").cast("double")))
+        .cast("decimal(18,6)")
+    )
+    return (
+        counts.select("doc_id", "c", c_ln_c.alias("clc"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.round(
+                F.log(F.sum("c").cast("double"))
+                - F.sum("clc").cast("double") / F.sum("c"),
+                6,
+            ).alias("entropy"),
+        )
+    )

@@ -205,3 +205,32 @@ def test_hybrid_rrf_fuses_both_rankings(spark, sf_dir, registry):
     fused = {r.doc_id for r in rows}
     assert fused & bm, "no BM25 docs survived fusion"
     assert fused - bm, "fusion is just the BM25 list"
+
+
+def test_entropy_bounds_and_extremes(spark, sf_dir, registry):
+    import math
+
+    from distributed_system_spark.queries.retrieval_q import text_entropy
+
+    rows = text_entropy(spark, sf_dir).collect()
+    assert rows
+    # 0 <= H <= ln(n_tokens) for every doc.
+    for r in rows:
+        assert -1e-6 <= r.entropy <= math.log(r.n_tokens) + 1e-6  # 6-dec rounding
+    # Extremes on a synthetic pair: all-same tokens → 0; all-distinct
+    # tokens → ln(n).
+    docs = spark.createDataFrame(
+        [(1, "x x x x x x x x"), (2, "a b c d e f g h")],
+        ["doc_id", "text"],
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r.doc_id: r.entropy
+            for r in text_entropy(spark, d).collect()
+        }
+    assert got[1] == 0.0
+    assert abs(got[2] - round(math.log(8), 6)) < 1e-9
