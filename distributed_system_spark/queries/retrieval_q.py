@@ -461,3 +461,24 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("entropy"),
         )
     )
+
+
+@register(
+    "bpe_merges",
+    # No SQL oracle: k data-dependent sequential passes are not
+    # SQL-expressible (rows-only driver check). Exactness is pinned
+    # by tests/test_bpe.py against a pure-Python reference replay.
+    tags=("text", "tokenizer", "bpe", "iterative"),
+)
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 BPE merges learned from the corpus (word-pair variant):
+    each round one corpus-wide pair count + an arg-max + a JVM-side
+    fold applying the merge — tokenizer training as an iterative
+    Spark job, driver state = the 5 learned merges only."""
+    from distributed_system_spark.operators.bpe import learn_merges
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges, _ = learn_merges(docs, k=5)
+    return spark.createDataFrame(
+        merges, "rank BIGINT, w1 STRING, w2 STRING, pair_count BIGINT"
+    )
