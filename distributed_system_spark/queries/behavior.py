@@ -644,3 +644,201 @@ def reachability_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges.createOrReplaceTempView("rcte_edges")
     return spark.sql(_REACH_SQL.format(head="", edges="rcte_edges"))
+
+
+@register(
+    "rfm_segments",
+    oracle="""
+WITH cm AS (
+  SELECT o_custkey AS custkey,
+         date_diff('day', CAST(max(o_orderdate) AS DATE),
+                   DATE '2001-09-01') AS rec,
+         count(*) AS freq,
+         CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+              AS DOUBLE) AS mon
+  FROM orders GROUP BY o_custkey
+), q AS (
+  SELECT quantile_cont(rec, 0.2) AS rt20, quantile_cont(rec, 0.4) AS rt40,
+         quantile_cont(rec, 0.6) AS rt60, quantile_cont(rec, 0.8) AS rt80,
+         quantile_cont(freq, 0.2) AS ft20, quantile_cont(freq, 0.4) AS ft40,
+         quantile_cont(freq, 0.6) AS ft60, quantile_cont(freq, 0.8) AS ft80,
+         quantile_cont(mon, 0.2) AS mt20, quantile_cont(mon, 0.4) AS mt40,
+         quantile_cont(mon, 0.6) AS mt60, quantile_cont(mon, 0.8) AS mt80
+  FROM cm
+), scored AS (
+  SELECT custkey, rec, freq, mon,
+         5 - CAST(rec > rt20 AS INT) - CAST(rec > rt40 AS INT)
+           - CAST(rec > rt60 AS INT) - CAST(rec > rt80 AS INT) AS r_score,
+         1 + CAST(freq > ft20 AS INT) + CAST(freq > ft40 AS INT)
+           + CAST(freq > ft60 AS INT) + CAST(freq > ft80 AS INT) AS f_score,
+         1 + CAST(mon > mt20 AS INT) + CAST(mon > mt40 AS INT)
+           + CAST(mon > mt60 AS INT) + CAST(mon > mt80 AS INT) AS m_score
+  FROM cm, q
+)
+SELECT custkey, rec, freq, mon, r_score, f_score, m_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+              THEN 'champion'
+            WHEN f_score >= 4 THEN 'loyal'
+            WHEN m_score >= 4 THEN 'big_spender'
+            WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+            WHEN r_score <= 2 THEN 'hibernating'
+            ELSE 'casual' END AS segment
+FROM scored
+""",
+    tags=("C4", "behavioral", "rfm"),
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) customer segmentation — the
+    classic behavioral scoring shape, built scale-safe: per-customer
+    metrics are one groupBy; the 12 quintile thresholds are ONE 1-row
+    aggregate broadcast back (never a global ntile window, which
+    would single-partition all customers); scores are per-row
+    threshold comparisons; segments a deterministic CASE ladder.
+    Spark's `percentile` ≡ DuckDB's `quantile_cont` bit-for-bit
+    (established by `agg_percentiles`)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cm = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(
+            F.lit("2001-09-01").cast("date"),
+            F.max("o_orderdate").cast("date"),
+        ).cast("long").alias("rec"),
+        F.count(F.lit(1)).alias("freq"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("mon"),
+    )
+    q = cm.agg(
+        *[
+            F.expr(f"percentile({m}, {p})").alias(f"{m[0]}t{int(p * 100)}")
+            for m in ("rec", "freq", "mon")
+            for p in (0.2, 0.4, 0.6, 0.8)
+        ]
+    )
+
+    def up(m: str) -> F.Column:
+        s = F.lit(1)
+        for p in (20, 40, 60, 80):
+            s = s + (F.col(m) > F.col(f"{m[0]}t{p}")).cast("int")
+        return s
+
+    def down(m: str) -> F.Column:
+        s = F.lit(5)
+        for p in (20, 40, 60, 80):
+            s = s - (F.col(m) > F.col(f"{m[0]}t{p}")).cast("int")
+        return s
+
+    scored = cm.crossJoin(F.broadcast(q)).select(
+        "custkey",
+        "rec",
+        "freq",
+        "mon",
+        down("rec").alias("r_score"),
+        up("freq").alias("f_score"),
+        up("mon").alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4)
+            & (F.col("f_score") >= 4)
+            & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when(F.col("f_score") >= 4, "loyal")
+        .when(F.col("m_score") >= 4, "big_spender")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3), "at_risk")
+        .when(F.col("r_score") <= 2, "hibernating")
+        .otherwise("casual")
+    )
+    return scored.withColumn("segment", seg)
+
+
+@register(
+    "basket_lift_pairs",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+part_supp AS (
+  SELECT l_partkey, count(*) AS n_a FROM items GROUP BY l_partkey
+),
+pair_supp AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*) AS n_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+)
+, scored AS (
+  SELECT part_a, part_b, n_ab,
+         round((CAST(n_ab AS DOUBLE) / n.n_orders)
+               / ((CAST(sa.n_a AS DOUBLE) / n.n_orders)
+                  * (CAST(sb.n_a AS DOUBLE) / n.n_orders)), 6) AS lift
+  FROM pair_supp
+  JOIN part_supp sa ON sa.l_partkey = part_a
+  JOIN part_supp sb ON sb.l_partkey = part_b
+  CROSS JOIN n
+  WHERE n_ab >= 3
+)
+SELECT part_a, part_b, n_ab, lift, rnk FROM (
+  SELECT *, row_number() OVER (ORDER BY lift DESC, part_a, part_b) AS rnk
+  FROM scored
+) WHERE rnk <= 20
+""",
+    tags=("C4", "basket", "association"),
+)
+def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association: top-20 co-purchased part pairs by
+    lift = P(a,b) / (P(a)·P(b)), min support 3 orders.
+
+    Scale shape: the within-order self-join is bounded by basket size
+    (a handful of lines per order — pairs per order grow with
+    basket², never corpus²); per-part supports and the order count
+    are small aggregates broadcast back; the top-20 is TakeOrdered on
+    the rounded lift with a (part_a, part_b) tiebreak.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    part_supp = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    a = items.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_b")
+    )
+    pair_supp = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    sa = part_supp.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_a").alias("supp_a")
+    )
+    sb = part_supp.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_a").alias("supp_b")
+    )
+    lift = F.round(
+        (F.col("n_ab").cast("double") / F.col("n_orders"))
+        / (
+            (F.col("supp_a").cast("double") / F.col("n_orders"))
+            * (F.col("supp_b").cast("double") / F.col("n_orders"))
+        ),
+        6,
+    )
+    scored = (
+        pair_supp.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select("part_a", "part_b", "n_ab", lift.alias("lift"))
+    )
+    top = scored.orderBy(
+        F.col("lift").desc(), "part_a", "part_b"
+    ).limit(20)
+    w = Window.orderBy(F.col("lift").desc(), "part_a", "part_b")
+    return top.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    ).select("part_a", "part_b", "n_ab", "lift", "rnk")
