@@ -415,3 +415,21 @@ def test_lm_bigram_counts_broadcast(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "text_lm_bigram_nll")
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_rfm_thresholds_broadcast_not_windowed(spark, sf_dir):
+    """rfm_segments: quintile scoring must come from a broadcast 1-row
+    threshold aggregate — never a global ntile/row_number window over
+    all customers (Window/Sort over the full customer set would
+    single-partition at scale)."""
+    plan = plan_of(spark, sf_dir, "rfm_segments")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" not in plan, plan
+
+
+def test_basket_lift_takes_ordered_and_broadcasts_supports(spark, sf_dir):
+    """basket_lift_pairs: per-part supports and the order count join
+    broadcast; the top-20 is TakeOrderedAndProject."""
+    plan = plan_of(spark, sf_dir, "basket_lift_pairs")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
