@@ -256,3 +256,34 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+@register(
+    "stream_docs_quality_gate",
+    oracle="""
+WITH q AS (
+  SELECT doc_id,
+         len(str_split(text, ' ')) AS n_tokens,
+         len(list_distinct(str_split(text, ' '))) AS n_unique,
+         length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+         length(text) AS len_chars
+  FROM documents
+)
+SELECT doc_id, n_tokens FROM q
+WHERE n_tokens BETWEEN 5 AND 1000
+  AND CAST(n_unique AS DOUBLE) / n_tokens > 0.1
+  AND CAST(n_punct AS DOUBLE) / len_chars < 0.2
+""",
+    tags=("C9", "streaming", "quality", "ingest"),
+)
+def stream_docs_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion curation: documents replayed as
+    microbatches through the stateless heuristic quality gate into a
+    checkpointed piece-file sink (exactly-once across re-runs) — the
+    incremental face of `curation_pipeline`'s first stage, and
+    oracle-equal to the batch filter because the gate is per-row."""
+    from distributed_system_spark.streaming.streams import (
+        docs_quality_gate_stream,
+    )
+
+    return docs_quality_gate_stream(spark, sf_dir)

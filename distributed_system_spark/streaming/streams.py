@@ -599,3 +599,73 @@ def cdc_apply_stream(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return store.get(target)
+
+
+DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def _docs_stage_dir(spark: SparkSession, sf_dir: str, n: int = 3) -> str:
+    """Stage documents as ``n`` parquet files for a multi-microbatch
+    replay (same pattern as `_multibatch_stage_dir`)."""
+    import os
+
+    src = f"{sf_dir.rstrip('/')}/documents.parquet"
+    stage = f"/tmp/dss-docs-multibatch-{_src_tag(src, str(n))}"
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        (
+            spark.read.parquet(src)
+            .repartition(n)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+    return stage
+
+
+def docs_quality_gate_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming ingestion curation: documents arrive as microbatches,
+    the (stateless, per-row) heuristic quality gate drops junk, and
+    survivors append to a piece-file sink with a checkpoint — the
+    incremental face of `curation_pipeline`'s first stage.  Because
+    the gate is stateless, the drained sink equals the batch filter
+    exactly (the oracle); the checkpoint makes re-runs exactly-once
+    (replayed batch_ids are skipped), so the query is idempotent.
+    """
+    import os
+
+    src = f"{sf_dir.rstrip('/')}/documents.parquet"
+    root = f"/tmp/dss-docs-gate-{_src_tag(src)}"
+    out_dir, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
+
+    raw = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_docs_stage_dir(spark, sf_dir))
+    )
+    t = F.split("text", " ", -1)
+    gated = raw.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_unique"),
+        F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).alias(
+            "n_punct"
+        ),
+        F.length("text").alias("len_chars"),
+    ).filter(
+        F.col("n_tokens").between(5, 1000)
+        & (F.col("n_unique").cast("double") / F.col("n_tokens") > 0.1)
+        & (F.col("n_punct").cast("double") / F.col("len_chars") < 0.2)
+    ).select("doc_id", "n_tokens")
+    pieces_sink(gated, out_dir, ckpt)
+    return spark.read.schema(
+        "doc_id BIGINT, n_tokens BIGINT"
+    ).parquet(out_dir)
