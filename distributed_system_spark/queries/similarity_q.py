@@ -695,3 +695,130 @@ def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster", "id_a", "id_b", cos.alias("cos"))
         .filter(F.col("cos") >= 0.4)
     )
+
+
+@register(
+    "embedding_centroid_by_lang",
+    oracle="""
+WITH j AS (
+  SELECT d.lang, e.embedding::DOUBLE[] AS vec
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+), flat AS (
+  SELECT lang, unnest(vec) AS x, generate_subscripts(vec, 1) AS i
+  FROM j
+)
+SELECT lang, CAST(i AS BIGINT) AS dim,
+       round(CAST(SUM(CAST(x AS DECIMAL(25,10))) AS DOUBLE)
+             / count(*), 6) AS centroid
+FROM flat GROUP BY lang, i
+""",
+    tags=("similarity", "vector-agg", "centroid"),
+)
+def embedding_centroid_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-language embedding centroids — the vector-aggregation
+    primitive behind IVF list training and SemDeDup cluster seeds,
+    as a declarative groupBy: explode each vector by position, sum
+    per (group, dim) in exact decimal (order-insensitive — a plain
+    double sum would vary with partitioning), divide by the group
+    count.  Output is |groups|·d rows — bounded by groups, not
+    corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    j = emb.join(docs, "vec_id").select(
+        "lang", vec_double("embedding").alias("vec")
+    )
+    flat = j.select(
+        "lang", F.posexplode("vec").alias("pos", "x")
+    ).select("lang", (F.col("pos") + 1).cast("long").alias("dim"), "x")
+    return flat.groupBy("lang", "dim").agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(25,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("centroid")
+    )
+
+
+@register(
+    "ann_recall_report",
+    oracle=f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec
+           FROM embeddings),
+exact_scored AS (
+  SELECT q.id AS q_id, c.id AS n_id, {_COS_SQL} AS cos
+  FROM e q JOIN e c ON q.id < 10 AND c.id >= 10
+),
+exact_top AS (
+  SELECT q_id, n_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cos DESC, n_id) AS rnk
+    FROM exact_scored
+  ) WHERE rnk <= 3
+),
+proj AS (
+  SELECT id, p,
+         sum((strpos('0123456789abcdef',
+                     substr(md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
+                            1, 1)) - 8.5) * vec[CAST(i AS INT)]) AS pr
+  FROM e
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS p) ps
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ds
+  GROUP BY id, p
+),
+buckets AS (
+  SELECT id, CAST(sum(CASE WHEN pr > 0 THEN CAST(pow(2.0, p) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY id
+),
+lsh_scored AS (
+  SELECT q.id AS q_id, c.id AS n_id, {_COS_SQL} AS cos
+  FROM (SELECT e.id, e.vec, b.bucket FROM e JOIN buckets b ON b.id = e.id
+        WHERE e.id < 10) q
+  JOIN (SELECT e.id, e.vec, b.bucket FROM e JOIN buckets b ON b.id = e.id
+        WHERE e.id >= 10) c
+    ON q.bucket = c.bucket
+),
+lsh_top AS (
+  SELECT q_id, n_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cos DESC, n_id) AS rnk
+    FROM lsh_scored
+  ) WHERE rnk <= 3
+)
+SELECT count(*) AS n_exact,
+       count(l.n_id) AS n_hit,
+       round(CAST(count(l.n_id) AS DOUBLE) / count(*), 6) AS recall_at_3
+FROM exact_top x
+LEFT JOIN lsh_top l ON x.q_id = l.q_id AND x.n_id = l.n_id
+""",
+    tags=("similarity", "ann", "evaluation"),
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of single-bucket LSH ANN vs the exact baseline, AS A
+    QUERY — the measure-don't-guess evaluation a pipeline runs before
+    trusting an approximate index.  Left-joins the exact top-3 set to
+    the LSH top-3 set and counts hits; both sides reuse the exact
+    operators already registered (`ann_topk_cosine`, `ann_lsh_topk`),
+    so the report inherits their scale shapes."""
+    vecs = _vecs(spark, sf_dir)
+    q, c = vecs.filter(F.col("id") < 10), vecs.filter(F.col("id") >= 10)
+    exact = brute_force_topk(q, c, k=3).select("q_id", "n_id")
+    lsh = lsh_bucket_topk(q, c, k=3, num_planes=8).select(
+        F.col("q_id").alias("l_q"), F.col("n_id").alias("l_n")
+    )
+    joined = exact.join(
+        lsh,
+        (F.col("q_id") == F.col("l_q")) & (F.col("n_id") == F.col("l_n")),
+        "left",
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("l_n").alias("n_hit"),
+        F.round(
+            F.count("l_n").cast("double") / F.count(F.lit(1)), 6
+        ).alias("recall_at_3"),
+    )
