@@ -140,6 +140,34 @@ _PENDING_AT_FREEZE = frozenset(
 
 _KNOWN_AT_FREEZE = _EXTERNALLY_VERIFIED | _PENDING_AT_FREEZE
 
+# Green rows from the round-4 external window (CORRECTNESS_r04.json).
+# Folding them into the verified set pushes the 43 queries that have
+# never had an external green row (round-4 additions plus the two
+# rows-only sketches and the quantize fix) to the front of the
+# round-5 prefix window — the rotation VERDICT r4 item #3 asks for.
+_R4_VERIFIED = frozenset(
+    {
+        "agg_arrays", "array_funcs", "cdc_latest_per_key",
+        "cond_null_funcs", "contamination_check", "dataset_split",
+        "dedup_cc_clusters", "dedup_minhash_ctrl", "doc_chunking",
+        "doc_quality_filter", "embedding_neardup", "event_transitions",
+        "from_json_struct", "fuzzy_part_names", "join_anti", "join_asof",
+        "join_bloom_prune", "join_full_outer", "join_left_outer",
+        "join_range_band", "join_right_outer", "join_skew_salted",
+        "kmeans_clusters", "kv_format_scan", "map_json_funcs",
+        "merge_upsert", "orderby_limit", "q22_global_sales",
+        "regex_funcs", "sample_stratified_topn", "scd2_user_state",
+        "simhash_neardup", "stream_dedup_first",
+        "stream_join_attribution", "stream_stateful_totals",
+        "stream_static_enrich", "text_bigrams", "text_fingerprint",
+        "text_tfidf_top3", "topk_per_group", "ts_moving_average",
+        "ts_ohlc_bars", "ts_similarity_topk", "weighted_sample",
+        "window_distribution", "window_ntile", "window_range_frame",
+    }
+)
+
+_EXTERNALLY_VERIFIED = _EXTERNALLY_VERIFIED | _R4_VERIFIED
+
 
 def load_all() -> dict[str, Query]:
     """Import every query module (idempotent) and return the registry.

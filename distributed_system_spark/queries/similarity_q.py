@@ -378,8 +378,9 @@ m AS (SELECT id, vec,
              list_max(list_transform(vec, x -> abs(x))) AS amax
       FROM e)
 SELECT id, amax AS scale,
-       list_transform(vec, x -> CAST(floor(x * 127.0 / amax + 0.5)
-                                     AS INTEGER)) AS q
+       array_to_string(
+         list_transform(vec, x -> CAST(floor(x * 127.0 / amax + 0.5)
+                                       AS INTEGER)), ',') AS q
 FROM m
 """,
     tags=("similarity", "quantization"),
@@ -387,8 +388,19 @@ FROM m
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector symmetric int8 quantization of the embedding column
     (see operators/similarity.py::quantize_int8). max is exact on
-    doubles so even `scale` hash-matches without rounding."""
-    return quantize_int8(_vecs(spark, sf_dir))
+    doubles so even `scale` hash-matches without rounding.  The int8
+    code array is emitted as the repo's engine-stable comma-joined
+    string encoding (the agg_arrays / text_token_ids convention) so
+    the driver's pandas canonicalizer can sort it — raw top-level
+    array columns are banned by tests/test_contract.py."""
+    codes = quantize_int8(_vecs(spark, sf_dir))
+    return codes.select(
+        "id",
+        "scale",
+        F.array_join(
+            F.transform("q", lambda x: x.cast("string")), ","
+        ).alias("q"),
+    )
 
 
 @register(
