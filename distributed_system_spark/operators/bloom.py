@@ -73,7 +73,14 @@ def might_contain(bits: np.ndarray, m: int, k: int = 6):
 
     @F.pandas_udf("boolean")
     def _might(s: pd.Series) -> pd.Series:
-        x = s.to_numpy(dtype=np.int64).view(np.uint64)
+        # NULL keys probe as False instead of crashing the task: a
+        # nullable join key is the common case for a runtime filter,
+        # and NaN -> int64 raises in numpy.  (A null never equi-joins
+        # anyway, so False is also the semantically-pruning answer.)
+        null = s.isna().to_numpy()
+        x = (
+            s.fillna(0).to_numpy(dtype=np.int64).view(np.uint64)
+        )
         h1 = _splitmix64(x, _SEED_A)
         h2 = _splitmix64(x, _SEED_B) | np.uint64(1)
         ok = np.ones(x.size, dtype=bool)
@@ -83,6 +90,7 @@ def might_contain(bits: np.ndarray, m: int, k: int = 6):
                     np.int64
                 )
                 ok &= bits[idx]
+        ok &= ~null
         return pd.Series(ok)
 
     return _might

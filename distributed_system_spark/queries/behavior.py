@@ -792,9 +792,13 @@ def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the within-order self-join is bounded by basket size
     (a handful of lines per order — pairs per order grow with
-    basket², never corpus²); per-part supports and the order count
-    are small aggregates broadcast back; the top-20 is TakeOrdered on
-    the rounded lift with a (part_a, part_b) tiebreak.
+    basket², never corpus²); the per-part support table scales with
+    |parts| (~200k/SF — multi-GB at 100 TB), so it is NOT
+    force-broadcast: the threshold/AQE decides, and past it the
+    support joins become shuffles on the same part keys the pair
+    table is already hashed on.  Only the 1-row order count keeps an
+    explicit broadcast hint.  The top-20 is TakeOrdered on the
+    rounded lift with a (part_a, part_b) tiebreak.
     """
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
@@ -830,8 +834,8 @@ def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     scored = (
-        pair_supp.join(F.broadcast(sa), "part_a")
-        .join(F.broadcast(sb), "part_b")
+        pair_supp.join(sa, "part_a")
+        .join(sb, "part_b")
         .crossJoin(F.broadcast(n))
         .select("part_a", "part_b", "n_ab", lift.alias("lift"))
     )

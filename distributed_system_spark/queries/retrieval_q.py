@@ -192,7 +192,14 @@ def text_lm_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     (both engines, inner semantics).
     """
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", F.split("text", " ", -1).alias("toks"))
+    # size >= 2 guard (same hazard bpe.pair_counts filters): a 1-token
+    # doc makes sequence(1, size-1) descend to [1, 0] and element_at
+    # throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT.  The oracle's unnest
+    # of an empty gram list drops such docs silently; the filter keeps
+    # both engines on inner semantics.
+    t = docs.select(
+        "doc_id", F.split("text", " ", -1).alias("toks")
+    ).filter(F.size("toks") >= 2)
     grams = F.transform(
         F.sequence(F.lit(1), F.size("toks") - 1),
         lambda i: F.concat_ws(

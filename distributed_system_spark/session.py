@@ -112,4 +112,21 @@ def get_spark(
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # spark.driver.memory only takes effect when THIS call launches the
+    # JVM; getOrCreate against an already-running session silently
+    # ignores it.  Detect the miss so a bench run inside a foreign
+    # session (e.g. an external verify driver) is loud about running
+    # at a different heap than the measured 4g sizing.
+    requested = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g")
+    actual = spark.sparkContext.getConf().get("spark.driver.memory", "")
+    if actual != requested:
+        import warnings
+
+        warnings.warn(
+            f"spark.driver.memory is {actual or 'JVM default'!s}, not the "
+            f"requested {requested}: getOrCreate reused an existing JVM, "
+            "so heap-dependent measurements may not match SCALE.md",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return tune_session(spark)

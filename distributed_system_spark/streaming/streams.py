@@ -490,14 +490,23 @@ def pieces_sink(
     the streaming face of SDFS append (A15, mock_sdfs_client.cpp:
     218-257: each append adds a numbered piece; readers concatenate).
 
-    The checkpoint gives exactly-once piece commits across restarts
-    (A5's committed-pair dedup): a batch replayed after a crash is
-    recognized by its batch_id and not re-appended. Drain with the
-    available-now trigger.
+    Exactly-once across restarts AND mid-batch crashes (A5's
+    committed-pair dedup): the checkpoint skips batch_ids already
+    committed, and each piece lands at a deterministic per-batch path
+    (``piece=<batch_id>``, overwrite mode) so a batch replayed after
+    a crash *between* the data write and the checkpoint commit simply
+    rewrites the same piece instead of duplicating it — foreachBatch
+    with a plain append is only at-least-once under that window.
+    Readers see the pieces as a partitioned parquet layout; the
+    ``piece`` discovery column is the piece number (mock_sdfs_client
+    .cpp numbered-piece analog).  Drain with the available-now
+    trigger.
     """
 
     def write_piece(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_dir)
+        batch_df.write.mode("overwrite").parquet(
+            f"{out_dir}/piece={batch_id}"
+        )
 
     q = (
         stream_df.writeStream.foreachBatch(write_piece)
@@ -666,6 +675,8 @@ def docs_quality_gate_stream(
         & (F.col("n_punct").cast("double") / F.col("len_chars") < 0.2)
     ).select("doc_id", "n_tokens")
     pieces_sink(gated, out_dir, ckpt)
-    return spark.read.schema(
-        "doc_id BIGINT, n_tokens BIGINT"
-    ).parquet(out_dir)
+    return (
+        spark.read.schema("doc_id BIGINT, n_tokens BIGINT")
+        .parquet(out_dir)
+        .select("doc_id", "n_tokens")  # drop the piece discovery col
+    )

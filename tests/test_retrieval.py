@@ -50,6 +50,30 @@ def test_lm_bigram_nll_is_valid_log_prob(spark, sf_dir, registry):
     assert len(rows) == n_docs_with_bigrams
 
 
+def test_lm_bigram_nll_tolerates_one_token_docs(spark, tmp_path):
+    """Regression (ADVICE r4): a 1-token doc made sequence(1, size-1)
+    descend to [1, 0], and element_at(toks, 0) threw
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT, killing the whole query.  Such
+    docs must instead drop out (no bigrams), matching the oracle's
+    silent unnest-of-empty behavior."""
+    registry = load_all()
+    docs = spark.createDataFrame(
+        [
+            (1, "one", "en", "web", 3),
+            (2, "", "en", "web", 0),
+            (3, "two tokens here", "en", "web", 15),
+            (4, "a b a b", "en", "web", 7),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = registry["text_lm_bigram_nll"].fn(spark, str(tmp_path)).collect()
+    assert sorted(r.doc_id for r in rows) == [3, 4]
+    assert all(np.isfinite(r.avg_nll) and r.avg_nll > 0 for r in rows)
+
+
 def test_bloom_no_false_negatives_and_low_fp_rate():
     rng = np.random.default_rng(7)
     members = rng.choice(10**9, size=2000, replace=False).astype(np.int64)
@@ -65,6 +89,11 @@ def test_bloom_no_false_negatives_and_low_fp_rate():
     non_members = (members.max() + 1 + np.arange(20000)).astype(np.int64)
     fp = inner(pd.Series(non_members)).to_numpy().mean()
     assert fp < 0.02, f"false-positive rate too high: {fp}"
+    # NULL keys (ADVICE r4): must return False, not crash the batch —
+    # a nullable join key is the common case for a runtime filter.
+    mixed = pd.Series([float(members[0]), None, float(members[1]), None])
+    got_mixed = inner(mixed).to_numpy()
+    assert got_mixed.tolist() == [True, False, True, False]
 
 
 def test_join_bloom_prune_exact_and_pruning(spark, sf_dir, registry):

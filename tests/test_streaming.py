@@ -97,6 +97,20 @@ def test_pieces_sink_appends_batches_exactly_once(spark, sf_dir, tmp_path):
     assert (
         spark.read.parquet(out).select("event_id").distinct().count() == want
     )
+    # Mid-batch crash window (ADVICE r4): data written but checkpoint
+    # commit lost.  Simulate by deleting the last commit marker and
+    # re-draining — the replayed batch must overwrite its own piece,
+    # not append a duplicate.
+    import os
+
+    commits = sorted(os.listdir(os.path.join(ckpt, "commits")))
+    last = [c for c in commits if not c.startswith(".")][-1]
+    os.remove(os.path.join(ckpt, "commits", last))
+    crc = os.path.join(ckpt, "commits", f".{last}.crc")
+    if os.path.exists(crc):  # stale Hadoop checksum blocks the rewrite
+        os.remove(crc)
+    drain()
+    assert spark.read.parquet(out).count() == want
 
 
 def test_stream_stream_join_equals_batch(spark, sf_dir):
