@@ -56,6 +56,14 @@ HEADLINE = [
     "search_hybrid_rrf",  # BM25 + dense-cosine reciprocal-rank fusion
     "text_lm_bigram_nll", # bigram-LM perplexity gate (CCNet shape)
     "join_bloom_prune",   # Bloom runtime filter ahead of the join
+    "curation_pipeline",  # FLAGSHIP: the end-to-end gate→exact-dedup→
+                          # fuzzy-dedup→split composition — the one
+                          # number that answers "what does a curation
+                          # pass cost" (reference analog: the 5-node
+                          # E2E budget, tests/maplejuice.cpp:208-210)
+    "dedup_incremental",  # new-batch-vs-signature-index dedup (the
+                          # steady-state ingestion shape: never
+                          # re-dedups history)
 ]
 # NOT here: dedup_minhash_lsh / dedup_ngram_jaccard.  They are correct
 # (oracle-green at the driver's sf0.01) but this synthetic corpus has a
