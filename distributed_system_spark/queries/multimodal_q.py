@@ -1,9 +1,12 @@
-"""Multimodal-column queries: binary payload + metadata plumbing and
-the Arrow-batched feature-extraction path (deterministic fake decode;
-real codecs are stubbed — see operators/multimodal.py).
+"""Multimodal-column queries: binary payload + metadata plumbing, the
+Arrow-batched feature-extraction path, and REAL codec round-trips —
+stdlib-WAV audio and pure-numpy PPM image decode run end-to-end under
+Spark (see operators/multimodal.py; only compressed image formats
+remain PIL-gated).
 
 The oracle replicates the byte arithmetic in SQL (documents text is
-ASCII, so ord == byte value), which checks that the pandas-UDF hop
+ASCII, so ord == byte value), which checks that the pandas-UDF hop —
+and for the codec queries the encode→container→decode chain —
 preserves bytes exactly.
 """
 
@@ -92,6 +95,100 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = attach_binary(load_table(spark, sf_dir, "documents"))
     feats = extract_features(docs)
     return feats.withColumn("feat0", F.round("feat0", 6))
+
+
+@register(
+    "mm_audio_wav_decode",
+    oracle="""
+WITH ch AS (
+  SELECT doc_id, unnest(str_split(text, '')) AS c FROM documents
+), v AS (
+  SELECT doc_id, unicode(c) - 128 AS v FROM ch
+)
+SELECT doc_id,
+       count(*) AS n_samples,
+       count(*) * 1000 // 8000 AS duration_ms,
+       round(sqrt(avg(CAST(v * v AS DOUBLE))), 6) AS rms,
+       CAST(max(abs(v)) AS BIGINT) AS peak
+FROM v GROUP BY doc_id
+""",
+    tags=("multimodal", "audio", "codec"),
+)
+def mm_audio_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec round-trip under Spark: each document's bytes
+    become 8-bit PCM samples in a genuine WAV container (stdlib
+    ``wave`` writer, mapInPandas), then ``audio_features`` decodes
+    the WAV with the stdlib codec and computes sample count /
+    duration / RMS / peak.  The oracle computes the same stats
+    straight from the character codes (ASCII corpus: sample = byte -
+    128), so a green row certifies the encode→container→decode chain
+    is byte-exact — the codec itself, not a fake.  Two Arrow hops,
+    zero shuffles."""
+    from distributed_system_spark.operators.multimodal import (
+        audio_features,
+        wav_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = audio_features(wav_payloads(docs))
+    return feats.select(
+        "doc_id",
+        "n_samples",
+        "duration_ms",
+        F.round("rms", 6).alias("rms"),
+        "peak",
+    )
+
+
+@register(
+    "mm_image_ppm_decode",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text, length(text) // 24 AS h FROM documents
+  WHERE length(text) >= 24
+), px AS (
+  SELECT doc_id, h, i,
+         unicode(substr(text, CAST(i AS INT), 1)) AS v
+  FROM (SELECT doc_id, text, h,
+               unnest(range(1, h * 24 + 1)) AS i
+        FROM d)
+)
+SELECT doc_id,
+       CAST(8 AS BIGINT) AS width,
+       h AS height,
+       round(avg(CASE WHEN (i - 1) % 3 = 0 THEN v END), 6) AS mean_r,
+       round(avg(CASE WHEN (i - 1) % 3 = 1 THEN v END), 6) AS mean_g,
+       round(avg(CASE WHEN (i - 1) % 3 = 2 THEN v END), 6) AS mean_b
+FROM px GROUP BY doc_id, h
+""",
+    tags=("multimodal", "image", "codec"),
+)
+def mm_image_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec round-trip under Spark: document bytes become
+    8-px-wide RGB rasters in genuine binary-PPM containers
+    (mapInPandas encode), then ``image_features`` decodes them with
+    the pure-numpy PPM decoder and emits dimensions + channel means.
+    The oracle recomputes the means from character codes at the
+    r/g/b byte offsets, so a green row certifies real container
+    parsing, not byte-passthrough.  (Compressed formats ride the same
+    stage via the PIL-gated branch of ``decode_image``.)"""
+    from distributed_system_spark.operators.multimodal import (
+        image_features,
+        ppm_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 24
+    )
+    feats = image_features(ppm_payloads(docs))
+    return feats.select(
+        "doc_id",
+        F.col("width").cast("long").alias("width"),
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
 
 
 @register(

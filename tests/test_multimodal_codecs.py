@@ -1,0 +1,159 @@
+"""Real codec paths for the multimodal surface: stdlib-WAV audio
+decode, pure-numpy PPM/BMP image decode, nearest-neighbor resize —
+all runnable in this container (no PIL/soundfile needed), each also
+exercised end-to-end through the Arrow-batched mapInPandas stages.
+PIL-dependent compressed-format decode is covered by a skip-if-absent
+test so the suite stays honest either way."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from distributed_system_spark.operators.multimodal import (
+    audio_features,
+    decode_bmp,
+    decode_image,
+    decode_ppm,
+    decode_wav,
+    encode_ppm,
+    encode_wav,
+    image_features,
+    resize_image,
+    resize_nearest,
+)
+
+
+def _bmp_bytes(img: np.ndarray) -> bytes:
+    """Minimal 24-bit uncompressed BMP writer (bottom-up, BGR,
+    4-byte-padded rows) for decoder tests."""
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    rows = b""
+    for y in range(h - 1, -1, -1):
+        row = img[y, :, ::-1].astype(np.uint8).tobytes()
+        rows += row + b"\x00" * (stride - len(row))
+    data_off = 14 + 40
+    header = struct.pack(
+        "<2sIHHI", b"BM", data_off + len(rows), 0, 0, data_off
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0
+    )
+    return header + info + rows
+
+
+def _img(h: int, w: int, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_ppm_roundtrip_exact():
+    img = _img(5, 7)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+
+
+def test_ppm_with_comment_and_whitespace_header():
+    img = _img(2, 3, seed=1)
+    raw = b"P6\n# a comment\n3 2\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(raw), img)
+
+
+def test_bmp_decode_matches_source_pixels():
+    img = _img(4, 5, seed=2)  # width 5: exercises row padding
+    assert np.array_equal(decode_bmp(_bmp_bytes(img)), img)
+
+
+def test_decode_image_dispatches_on_magic_bytes():
+    img = _img(3, 3, seed=3)
+    assert np.array_equal(decode_image(encode_ppm(img)), img)
+    assert np.array_equal(decode_image(_bmp_bytes(img)), img)
+
+
+def test_decode_image_compressed_without_pil_raises():
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present: compressed decode would succeed")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_decode_image_png_with_pil():
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io
+
+    from PIL import Image
+
+    img = _img(3, 4, seed=4)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "PNG")
+    assert np.array_equal(decode_image(buf.getvalue()), img)
+
+
+def test_resize_nearest_identity_and_downscale():
+    img = _img(8, 8, seed=5)
+    assert np.array_equal(resize_nearest(img, 8, 8), img)
+    half = resize_nearest(img, 4, 4)
+    assert half.shape == (4, 4, 3)
+    # (i + 0.5) * 2 pixel-center map picks source pixels 1, 3, 5, 7.
+    assert np.array_equal(half, img[1::2, 1::2])
+
+
+def test_resize_image_payload_roundtrip():
+    img = _img(6, 6, seed=6)
+    out = resize_image(encode_ppm(img), 3, 3)
+    assert decode_ppm(out).shape == (3, 3, 3)
+
+
+def test_wav_roundtrip_8_and_16_bit():
+    samples = np.array([0, 127, -128, 5, -5], dtype=np.int64)
+    for width in (1, 2):
+        nch, rate, got = decode_wav(
+            encode_wav(samples, sample_rate=8000, sample_width=width)
+        )
+        assert (nch, rate) == (1, 8000)
+        assert np.array_equal(got[:, 0], samples)
+
+
+def test_image_features_under_spark(spark):
+    imgs = [(1, _img(4, 6, seed=7)), (2, _img(2, 2, seed=8))]
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_ppm(a))) for i, a in imgs],
+        "doc_id bigint, payload binary",
+    )
+    rows = {r.doc_id: r for r in image_features(df).collect()}
+    for i, a in imgs:
+        r = rows[i]
+        assert (r.width, r.height) == (a.shape[1], a.shape[0])
+        m = a.reshape(-1, 3).mean(axis=0)
+        assert r.mean_r == pytest.approx(m[0])
+        assert r.mean_b == pytest.approx(m[2])
+
+
+def test_audio_features_under_spark(spark):
+    rng = np.random.default_rng(9)
+    clips = {
+        1: rng.integers(-100, 100, size=800),
+        2: rng.integers(-20, 20, size=1600),
+    }
+    df = spark.createDataFrame(
+        [
+            (i, bytearray(encode_wav(s, sample_rate=8000, sample_width=2)))
+            for i, s in clips.items()
+        ],
+        "doc_id bigint, payload binary",
+    )
+    rows = {r.doc_id: r for r in audio_features(df).collect()}
+    for i, s in clips.items():
+        r = rows[i]
+        assert r.n_samples == len(s)
+        assert r.duration_ms == len(s) * 1000 // 8000
+        assert r.rms == pytest.approx(
+            float(np.sqrt(np.mean(s.astype(np.float64) ** 2)))
+        )
+        assert r.peak == int(np.abs(s).max())
