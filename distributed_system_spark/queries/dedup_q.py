@@ -586,3 +586,79 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     small doc sits inside a much larger one."""
     toks = doc_tokens(load_table(spark, sf_dir, "documents"))
     return containment_pairs(toks, 0.9)
+
+
+@register(
+    "dedup_substring_spans",
+    oracle="""
+WITH sp AS (
+  SELECT doc_id,
+         unnest(range(1, length(text) - 48 + 2, 16)) AS pos,
+         text
+  FROM documents
+  WHERE length(text) >= 48
+), h AS (
+  SELECT doc_id, pos, md5(substr(text, CAST(pos AS INT), 48)) AS span_md5
+  FROM sp
+), rep AS (
+  SELECT span_md5,
+         count(DISTINCT doc_id) AS n_docs,
+         count(*) AS n_occurrences
+  FROM h GROUP BY span_md5
+  HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT h.doc_id, h.pos, h.span_md5, r.n_docs, r.n_occurrences
+FROM h JOIN rep r USING (span_md5)
+""",
+    tags=("dedup", "substring", "spans"),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring-span dedup — the within-document repeated-text
+    family (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better"): find 48-char spans that occur verbatim in two or
+    more documents, and report every occurrence with its position, so
+    a downstream pass can excise the repeated span while keeping the
+    host docs.  Doc-level dedup (exact/minhash/simhash) misses this
+    case entirely: boilerplate headers, license blocks, and templated
+    paragraphs repeat across otherwise-distinct documents.
+
+    Shingling is stride-16-aligned (W=48, S=16), the hash-grouped
+    approximation of the paper's suffix-array approach: any repeated
+    region >= W+S-1 chars long is guaranteed to contain at least one
+    matching aligned shingle pair when repeats are aligned to the
+    stride; stride 1 is the full-recall setting at W/S x the rows
+    (still linear in corpus size — NOT quadratic, unlike pair
+    enumeration).  At 100 TB: one explode (bounded by chars/S per
+    doc), one groupBy on 16-byte hashes with partial aggregation, one
+    broadcast-or-shuffle join back on the (tiny) repeated-hash set.
+    Spans hash with md5 so the oracle is engine-portable.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 48
+    )
+    spans = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.length("text") - 48 + 1, F.lit(16)
+            )
+        ).alias("pos"),
+        "text",
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.md5(
+            F.expr("substring(text, pos, 48)").cast("binary")
+        ).alias("span_md5"),
+    )
+    rep = (
+        spans.groupBy("span_md5")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    return spans.join(rep, "span_md5").select(
+        "doc_id", "pos", "span_md5", "n_docs", "n_occurrences"
+    )

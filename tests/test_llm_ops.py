@@ -608,3 +608,29 @@ def test_random_projection_distortion_bounded(spark, sf_dir):
     r = np.array(ratios)
     assert 0.85 < r.mean() < 1.15, r.mean()
     assert (np.abs(r - 1) < 0.5).mean() >= 0.9
+
+
+def test_pq_topk_approximates_brute_force(spark, sf_dir):
+    """PQ (16x4 subspaces, ADC top-50 shortlist, exact rerank) must
+    recover >= 80% of the true top-3 cosine neighbors and return
+    exactly 3 ranked rows per query."""
+    from distributed_system_spark.queries import load_all
+
+    registry = load_all()
+    pq = registry["ann_pq_topk"].fn(spark, sf_dir).collect()
+    brute = registry["ann_topk_cosine"].fn(spark, sf_dir).collect()
+    pq_by_q: dict[int, set[int]] = {}
+    for r in pq:
+        pq_by_q.setdefault(r.q_id, set()).add(r.n_id)
+    true_by_q: dict[int, set[int]] = {}
+    for r in brute:
+        if r.rnk <= 3:
+            true_by_q.setdefault(r.q_id, set()).add(r.n_id)
+    assert set(pq_by_q) == set(true_by_q)
+    overlaps = [
+        len(pq_by_q[q] & true_by_q[q]) for q in sorted(true_by_q)
+    ]
+    assert all(len(v) == 3 for v in pq_by_q.values())
+    # ADC shortlist + exact rerank: measured recall@3 is 0.97-1.0 on
+    # this corpus (see pq_topk docstring); 0.8 is the alarm floor.
+    assert sum(overlaps) / (3 * len(overlaps)) >= 0.8, overlaps

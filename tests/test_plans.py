@@ -433,3 +433,22 @@ def test_basket_lift_takes_ordered_and_broadcasts_supports(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "basket_lift_pairs")
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_pq_adc_join_is_equi_join_on_codes(spark, sf_dir):
+    """ann_pq_topk: the ADC scoring join must be an equi-join of the
+    corpus code table against the broadcast distance table on
+    (m, cid) — full vectors must never meet candidates at query time
+    (that would defeat the 128x index compression).  The only
+    nested-loop joins allowed are the broadcast 4-row subspace
+    explode and the broadcast codebook."""
+    plan = plan_of(spark, sf_dir, "ann_pq_topk")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_substring_span_join_is_hash_on_md5(spark, sf_dir):
+    """dedup_substring_spans: the span join-back must be a shuffle or
+    broadcast HASH join on span_md5 — never nested-loop."""
+    plan = plan_of(spark, sf_dir, "dedup_substring_spans")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
