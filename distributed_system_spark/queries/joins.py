@@ -406,3 +406,75 @@ def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_suppkey")
     )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, event_type,
+         min(epoch_us(ts)) AS s, max(epoch_us(ts)) AS e
+  FROM events GROUP BY user_id, event_type
+)
+SELECT a.user_id,
+       a.event_type AS type_a, b.event_type AS type_b,
+       greatest(a.s, b.s) AS ov_start_us,
+       least(a.e, b.e) AS ov_end_us,
+       least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+FROM iv a JOIN iv b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+WHERE a.s <= b.e AND b.s <= a.e
+""",
+    tags=("join", "interval", "overlap"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: per (user, event_type) activity
+    span [first, last], report every overlapping span pair within a
+    user — the third interval-join shape next to join_range_band
+    (key-distance band) and join_point_in_time (as-of).
+
+    Scale shape: the overlap predicate NEVER runs as a standalone
+    theta-join (the quadratic trap interval joins fall into) — it is
+    a residual filter on a hash equi-join keyed by user_id, so work
+    is SUM(intervals-per-user²) with intervals-per-user bounded by
+    |event_type| (~6), not corpus².  The generic no-shared-key
+    variant at 100 TB buckets intervals by coarse time range and
+    equi-joins on (bucket) the same way — same plan family as
+    join_range_band.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    iv = (
+        ev.withColumn("ts_us", F.expr("ts_ns div 1000"))
+        .groupBy("user_id", "event_type")
+        .agg(F.min("ts_us").alias("s"), F.max("ts_us").alias("e"))
+    )
+    a = iv.select(
+        "user_id",
+        F.col("event_type").alias("type_a"),
+        F.col("s").alias("s_a"),
+        F.col("e").alias("e_a"),
+    )
+    b = iv.select(
+        "user_id",
+        F.col("event_type").alias("type_b"),
+        F.col("s").alias("s_b"),
+        F.col("e").alias("e_b"),
+    )
+    return (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("type_a") < F.col("type_b"))
+            & (F.col("s_a") <= F.col("e_b"))
+            & (F.col("s_b") <= F.col("e_a"))
+        )
+        .select(
+            "user_id",
+            "type_a",
+            "type_b",
+            F.greatest("s_a", "s_b").alias("ov_start_us"),
+            F.least("e_a", "e_b").alias("ov_end_us"),
+            (F.least("e_a", "e_b") - F.greatest("s_a", "s_b")).alias(
+                "overlap_us"
+            ),
+        )
+    )

@@ -587,3 +587,139 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.select(
         "user_id", "hour_us", F.col("v").alias("obs"), interp.alias("interp")
     )
+
+
+@register(
+    "ts_seasonal_decompose",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS d, count(*) AS n
+  FROM orders GROUP BY d
+),
+tr AS (
+  SELECT d, n,
+         CASE WHEN count(*) OVER w = 7 THEN
+           CAST(round(CAST(CAST(SUM(CAST(n AS DECIMAL(28,4))) OVER w
+                                AS DOUBLE) / 7 AS DECIMAL(28,12)), 9)
+                AS DOUBLE)
+         END AS trend,
+         CAST(epoch(d) // 86400 AS BIGINT) % 7 AS wd
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+sw AS (
+  SELECT wd,
+         CAST(round(CAST(CAST(SUM(CAST(n - trend AS DECIMAL(28,9)))
+                               AS DOUBLE) / count(*)
+                         AS DECIMAL(28,12)), 9) AS DOUBLE) AS s_raw
+  FROM tr WHERE trend IS NOT NULL GROUP BY wd
+),
+sc AS (
+  SELECT wd,
+         CAST(round(CAST(s_raw AS DECIMAL(28,9))
+               - (SELECT CAST(round(CAST(CAST(SUM(CAST(s_raw AS
+                      DECIMAL(28,9))) AS DOUBLE) / 7 AS DECIMAL(28,12)),
+                      9) AS DECIMAL(28,9)) FROM sw), 9)
+              AS DOUBLE) AS seasonal
+  FROM sw
+)
+SELECT tr.d, tr.n, tr.trend, sc.seasonal,
+       CAST(round(CAST(tr.n AS DECIMAL(28,9))
+             - CAST(tr.trend AS DECIMAL(28,9))
+             - CAST(sc.seasonal AS DECIMAL(28,9)), 9) AS DOUBLE)
+         AS resid
+FROM tr JOIN sc ON sc.wd = tr.wd
+WHERE tr.trend IS NOT NULL
+""",
+    tags=("timeseries", "decomposition"),
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily order
+    series: trend = centered 7-day moving average (full windows
+    only), seasonal = mean-centered weekday effect of the detrended
+    series, residual = observed - trend - seasonal.  The anomaly
+    detector's missing half: ts_anomaly_zscore flags deviations from
+    a rolling mean, this separates the deviation into recurring
+    weekday structure vs true surprise.
+
+    Scale shape: aggregate-then-window like ts_moving_average (the
+    window runs over |days| rows, never raw facts); the weekday
+    effect table is 7 rows, broadcast back.  Weekday indexes via
+    epoch-days % 7 (engine-neutral — no dayofweek() origin
+    mismatch); every intermediate is rounded then summed in DECIMAL
+    so float association cannot flip the 9th digit across engines.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    trend = F.when(
+        F.count(F.lit(1)).over(w) == 7,
+        F.round(
+            (
+                F.sum(F.col("n").cast("decimal(28,4)"))
+                .over(w)
+                .cast("double")
+                / 7
+            ).cast("decimal(28,12)"),
+            9,
+        ).cast("double"),
+    )
+    tr = daily.select(
+        "d",
+        "n",
+        trend.alias("trend"),
+        (
+            (F.unix_timestamp("d").cast("long") / F.lit(86400)).cast(
+                "long"
+            )
+            % 7
+        ).alias("wd"),
+    ).filter(F.col("trend").isNotNull())
+    sw = tr.groupBy("wd").agg(
+        F.round(
+            (
+                F.sum(
+                    (F.col("n") - F.col("trend")).cast("decimal(28,9)")
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).cast("decimal(28,12)"),
+            9,
+        )
+        .cast("double")
+        .alias("s_raw")
+    )
+    mean_s = sw.agg(
+        F.round(
+            (
+                F.sum(F.col("s_raw").cast("decimal(28,9)")).cast("double")
+                / 7
+            ).cast("decimal(28,12)"),
+            9,
+        )
+        .cast("decimal(28,9)")
+        .alias("ms")
+    )
+    sc = sw.crossJoin(F.broadcast(mean_s)).select(
+        "wd",
+        F.round(
+            F.col("s_raw").cast("decimal(28,9)") - F.col("ms"), 9
+        )
+        .cast("double")
+        .alias("seasonal"),
+    )
+    return tr.join(F.broadcast(sc), "wd").select(
+        "d",
+        "n",
+        "trend",
+        "seasonal",
+        F.round(
+            F.col("n").cast("decimal(28,9)")
+            - F.col("trend").cast("decimal(28,9)")
+            - F.col("seasonal").cast("decimal(28,9)"),
+            9,
+        )
+        .cast("double")
+        .alias("resid"),
+    )

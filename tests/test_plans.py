@@ -452,3 +452,13 @@ def test_substring_span_join_is_hash_on_md5(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_substring_spans")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_interval_overlap_is_equi_join_on_user(spark, sf_dir):
+    """join_interval_overlap: the overlap predicate must ride a hash
+    equi-join on user_id as a residual condition — a standalone
+    theta-join (BroadcastNestedLoopJoin/CartesianProduct) is the
+    quadratic interval-join trap."""
+    plan = plan_of(spark, sf_dir, "join_interval_overlap")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
