@@ -846,3 +846,64 @@ def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn(
         "rnk", F.row_number().over(w).cast("long")
     ).select("part_a", "part_b", "n_ab", "lift", "rnk")
+
+
+@register(
+    "event_path_topk",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+paths AS (
+  SELECT event_type || ' > ' || t2 || ' > ' || t3 AS path,
+         count(*) AS n_paths,
+         count(DISTINCT user_id) AS n_users
+  FROM seq WHERE t3 IS NOT NULL
+  GROUP BY 1
+)
+SELECT path, n_paths, n_users, rnk FROM (
+  SELECT *, row_number() OVER (ORDER BY n_paths DESC, path) AS rnk
+  FROM paths
+) WHERE rnk <= 20
+""",
+    tags=("behavior", "paths", "topk"),
+)
+def event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step user journeys ('view > click > purchase')
+    by occurrence count — the path-analysis extension of
+    event_transitions' first-order matrix (second-order structure:
+    which PAIRS of steps lead where).
+
+    Scale shape: two lead() windows ride ONE shuffle on user_id
+    (same partition spec); path counting is a partial-agg groupBy on
+    a key space bounded by |event_type|³ (~216), and the final
+    ranking window runs over those ≤216 aggregate rows, never raw
+    events.  The rank tiebreak is the path string so top-20 edges
+    cannot flip between engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.expr("ts_ns div 1000"), "event_id"
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    paths = seq.groupBy(
+        F.concat_ws(" > ", "event_type", "t2", "t3").alias("path")
+    ).agg(
+        F.count(F.lit(1)).alias("n_paths"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    wr = Window.orderBy(F.col("n_paths").desc(), "path")
+    return (
+        paths.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= 20)
+        .select("path", "n_paths", "n_users", "rnk")
+    )

@@ -973,3 +973,61 @@ def linreg_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(slope).alias("slope"),
         r6((sy - slope * sx) / n).alias("intercept"),
     )
+
+
+@register(
+    "orc_partitioned_scan",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+            AS DOUBLE) AS revenue
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+""",
+    tags=("C1", "orc", "partitioned"),
+)
+def orc_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 sink+source coverage for the ORC columnar format: orders is
+    staged as ORC *partitioned by o_orderstatus* (hive-style layout),
+    read back, and aggregated with a partition filter — the result
+    must equal the parquet-only oracle.  The 'F' predicate must be
+    answered by partition PRUNING (only the o_orderstatus=F directory
+    is listed, enforced by tests/test_plans.py), which is the layout
+    decision that matters most at 100 TB: a status-partitioned sink
+    turns a full scan into a 1-of-3 directory read.  Same staging/
+    cache-key discipline as multi_format_scan."""
+    import hashlib
+    import os
+
+    p = os.path.join(sf_dir, "orders.parquet")
+    paths = (
+        sorted(
+            os.path.join(p, f)
+            for f in os.listdir(p)
+            if not f.startswith(".")
+        )
+        if os.path.isdir(p)
+        else [p]
+    )
+    sig = ";".join(
+        f"{q}:{int(os.path.getmtime(q))}:{os.path.getsize(q)}"
+        for q in paths
+        if os.path.exists(q)
+    )
+    tag = hashlib.md5(f"{sf_dir}:orc:{sig}".encode()).hexdigest()[:12]
+    stage = f"/tmp/dss-orc-{tag}/orders_orc"
+    if not os.path.exists(f"{stage}/_SUCCESS"):
+        load_table(spark, sf_dir, "orders").write.mode(
+            "overwrite"
+        ).partitionBy("o_orderstatus").orc(stage)
+    orders = spark.read.orc(stage)
+    return (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )

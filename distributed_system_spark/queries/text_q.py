@@ -1226,3 +1226,148 @@ def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.size(F.regexp_extract_all("note", F.lit(phone_re), 0))
         ).alias("n_redactions"),
     )
+
+
+@register(
+    "text_readability",
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         len(str_split(text, ' ')) AS n_words,
+         len(regexp_extract_all(text, '[aeiou]+')) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_syllables,
+       CAST(round(CAST(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE))
+             - 84.6 * (CAST(n_syllables AS DOUBLE)
+                       / CAST(n_words AS DOUBLE))
+             AS DECIMAL(18,6)), 4) AS DOUBLE) AS flesch
+FROM m
+""",
+    tags=("text", "quality", "readability"),
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease heuristic per document, with vowel-group
+    runs as the classic syllable proxy and the whole doc as one
+    sentence (this corpus carries no sentence punctuation).  Another
+    shuffle-free per-row quality signal for the curation gate family:
+    at 100 TB it pipelines inside the same scan as text_quality /
+    text_entropy (one pass, no Python).  Rounded while DECIMAL per
+    the _util convention."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " ", -1))
+    n_syll = F.size(F.regexp_extract_all("text", F.lit("[aeiou]+"), 0))
+    m = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_syll.alias("n_syllables"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * F.col("n_words").cast("double")
+        - F.lit(84.6)
+        * (
+            F.col("n_syllables").cast("double")
+            / F.col("n_words").cast("double")
+        )
+    )
+    return m.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_syllables").cast("long").alias("n_syllables"),
+        F.round(flesch.cast("decimal(18,6)"), 4)
+        .cast("double")
+        .alias("flesch"),
+    )
+
+
+@register(
+    "corpus_zipf_slope",
+    oracle="""
+WITH tf AS (
+  SELECT tok, count(*) AS freq
+  FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+),
+ranked AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, tok) AS DOUBLE))
+           AS x,
+         ln(CAST(freq AS DOUBLE)) AS y
+  FROM tf
+),
+s AS (
+  SELECT count(*) AS n,
+         SUM(CAST(round(CAST(x AS DECIMAL(18,12)), 12)
+                  AS DECIMAL(28,12))) AS sx,
+         SUM(CAST(round(CAST(y AS DECIMAL(18,12)), 12)
+                  AS DECIMAL(28,12))) AS sy,
+         SUM(CAST(round(CAST(x * y AS DECIMAL(18,12)), 12)
+                  AS DECIMAL(28,12))) AS sxy,
+         SUM(CAST(round(CAST(x * x AS DECIMAL(18,12)), 12)
+                  AS DECIMAL(28,12))) AS sxx
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       CAST(round(CAST(
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         AS DECIMAL(18,6)), 4) AS DOUBLE) AS zipf_slope
+FROM s
+""",
+    tags=("text", "corpus-stats", "regression"),
+)
+def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law exponent of the corpus: OLS slope of ln(freq) on
+    ln(rank) over the term-frequency table (natural language ≈ -1;
+    synthetic/templated corpora deviate — a drifting slope between
+    crawl snapshots is a cheap corpus-health monitor).
+
+    Scale shape: one token groupBy builds the frequency table (size
+    = |vocab|, bounded by language not corpus); the rank window and
+    the regression sums run over vocab rows only; the driver never
+    holds anything but the final scalar row.  Per-term log products
+    are rounded to 12 then summed in DECIMAL (order-insensitive), so
+    both engines reduce identical values — the same trick as
+    linreg_by_group.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split("text", " ", -1)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), "tok")
+    ranked = tf.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+
+    def d12(c):
+        return F.sum(
+            F.round(c.cast("decimal(18,12)"), 12).cast("decimal(28,12)")
+        )
+
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        d12(F.col("x")).alias("sx"),
+        d12(F.col("y")).alias("sy"),
+        d12(F.col("x") * F.col("y")).alias("sxy"),
+        d12(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    slope = (
+        n * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        n * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope.cast("decimal(18,6)"), 4)
+        .cast("double")
+        .alias("zipf_slope"),
+    )

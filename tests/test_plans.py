@@ -462,3 +462,15 @@ def test_interval_overlap_is_equi_join_on_user(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "join_interval_overlap")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_orc_scan_prunes_partitions(spark, sf_dir):
+    """orc_partitioned_scan: the o_orderstatus = 'F' predicate must
+    land in the ORC scan's PartitionFilters (directory pruning), not
+    as a post-scan row filter over all three status partitions."""
+    plan = plan_of(spark, sf_dir, "orc_partitioned_scan")
+    assert "orc" in plan.lower(), plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_orderstatus" in m.group(1), plan
