@@ -168,6 +168,50 @@ _R4_VERIFIED = frozenset(
 
 _EXTERNALLY_VERIFIED = _EXTERNALLY_VERIFIED | _R4_VERIFIED
 
+# Names added to the registry during round 5 (after the r4 window was
+# drawn).  Their tier is BELOW the r4-era unverified queries: the r5
+# window must first finish union coverage of the 178-query r4
+# registry (43 never-green names, all of which fit a 50-query
+# window); these newcomers take the remaining slots and roll into
+# the r6 window otherwise.
+_ADDED_R5 = frozenset(
+    {
+        "ann_pq_topk", "corpus_zipf_slope", "dedup_substring_spans",
+        "event_path_topk", "join_interval_overlap",
+        "mm_audio_wav_decode", "mm_image_ppm_decode",
+        "orc_partitioned_scan", "text_readability",
+        "ts_seasonal_decompose",
+    }
+)
+
+_KNOWN_AT_FREEZE = _KNOWN_AT_FREEZE | (
+    frozenset(_R4_VERIFIED)
+    | frozenset(
+        {
+            # r4 additions never sampled by an external window (the
+            # rest of the 178-query r4 registry).
+            "mm_audio_segments", "dq_expectations", "profile_columns",
+            "text_bm25_topk", "variant_json_extract", "ann_banded_topk",
+            "stream_join_outer", "freq_heavy_hitters",
+            "ts_anomaly_zscore", "udtf_tokenize",
+            "window_distinct_running", "join_point_in_time",
+            "dedup_keep_best", "linreg_by_group", "text_lm_bigram_nll",
+            "ann_ivf_kmeans", "stream_docs_quality_gate", "dataset_mix",
+            "ts_interpolate_linear", "pagerank_transitions",
+            "dedup_incremental", "text_token_ids",
+            "embedding_random_projection", "seq_packing",
+            "reachability_bfs", "curation_pipeline", "search_hybrid_rrf",
+            "semdedup_pairs", "doc_repetition_filter", "rfm_segments",
+            "dedup_containment", "text_entropy",
+            "embedding_centroid_by_lang", "text_remove_boilerplate",
+            "basket_lift_pairs", "bpe_merges", "ann_recall_report",
+            "vocab_oov_rate", "doc_model_score", "redact_pii",
+            "kv_format_scan", "scd2_user_state", "dedup_minhash_ctrl",
+            "join_bloom_prune",
+        }
+    )
+)
+
 
 def load_all() -> dict[str, Query]:
     """Import every query module (idempotent) and return the registry.
