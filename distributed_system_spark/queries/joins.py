@@ -478,3 +478,72 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+  WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, epoch_us(ts) AS c_us FROM events
+  WHERE event_type = 'click'
+),
+scored AS (
+  SELECT p.event_id, p.user_id, p.ts_us, c.c_us,
+         abs(p.ts_us - c.c_us) AS gap
+  FROM p JOIN c ON p.user_id = c.user_id
+)
+SELECT event_id, user_id, ts_us, nearest_click_us, gap_us FROM (
+  SELECT event_id, user_id, ts_us, c_us AS nearest_click_us,
+         gap AS gap_us,
+         row_number() OVER (PARTITION BY event_id
+                            ORDER BY gap, c_us) AS rn
+  FROM scored
+) WHERE rn = 1
+""",
+    tags=("join", "asof", "nearest"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-match as-of join: each purchase pairs with the user's
+    closest click in EITHER direction (ties -> earlier click) —
+    completing the as-of family next to join_asof (backward) and
+    join_point_in_time (backward, versioned).  Nearest is the
+    sensor-fusion/mark-to-market variant backward-only misses when
+    the closest reading lands just after the probe.
+
+    Scale shape: per-user candidates via one hash equi-join on
+    user_id (clicks-per-user bounded), then a per-event argmin window
+    — never a global sort, never a theta-join.  The oracle mirrors
+    argmin-by-(gap, ts) exactly.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_us").alias("c_us")
+    )
+    scored = p.join(c, "user_id").select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "c_us",
+        F.abs(F.col("ts_us") - F.col("c_us")).alias("gap"),
+    )
+    w = Window.partitionBy("event_id").orderBy("gap", "c_us")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            F.col("c_us").alias("nearest_click_us"),
+            F.col("gap").alias("gap_us"),
+        )
+    )

@@ -932,3 +932,94 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("l_n").cast("double") / F.count(F.lit(1)), 6
         ).alias("recall_at_3"),
     )
+
+
+@register(
+    "embedding_pca_project",
+    oracle=None,  # eigendecomposition is not SQL-expressible; accuracy
+    # is pinned by tests/test_llm_ops.py (variance ordering + match
+    # vs numpy's eigh up to sign at sf0.001)
+    tags=("similarity", "pca", "projection"),
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embedding corpus onto its top-2 principal
+    components — the dimensionality-reduction face of the embedding
+    toolkit next to embedding_random_projection (data-oblivious JL)
+    and embedding_quantize_int8 (precision reduction): PCA is what
+    you run FIRST on a new embedding corpus (drift monitoring,
+    visualization, whitening before clustering).
+
+    Scale shape — the X'X pattern: the d x d scatter matrix (d=64 →
+    4096 entries) is computed as ONE distributed groupBy over
+    exploded (i, j, xi*xj) products with exact DECIMAL sums; the
+    driver holds only d² + d + 1 scalars (bounded by dims, never
+    rows — same contract as k-means' k·d), runs numpy's 64x64 eigh,
+    and broadcasts the top-2 eigenvectors back as literals for a
+    shuffle-free projection scan.  Eigenvector sign is canonicalized
+    (first nonzero component positive) so output is deterministic.
+    """
+    import numpy as np
+
+    d = 64
+    vecs = _vecs(spark, sf_dir)
+    pairs = (
+        vecs.select(
+            F.explode(F.sequence(F.lit(1), F.lit(d))).alias("i"), "vec"
+        )
+        .select(
+            "i",
+            F.explode(F.sequence(F.lit(1), F.lit(d))).alias("j"),
+            "vec",
+        )
+        .filter(F.col("i") <= F.col("j"))  # symmetric: upper triangle
+        .select(
+            "i",
+            "j",
+            (
+                F.element_at("vec", F.col("i"))
+                * F.element_at("vec", F.col("j"))
+            )
+            .cast("decimal(28,12)")
+            .alias("xx"),
+        )
+    )
+    xtx = pairs.groupBy("i", "j").agg(F.sum("xx").alias("s"))
+    sums = vecs.select(
+        F.explode(F.sequence(F.lit(1), F.lit(d))).alias("i"),
+        "vec",
+    ).select(
+        "i",
+        F.element_at("vec", F.col("i")).cast("decimal(28,12)").alias("x"),
+    ).groupBy("i").agg(F.sum("x").alias("s"))
+    n = vecs.count()
+    S = np.zeros((d, d))
+    for r in xtx.collect():  # d*(d+1)/2 = 2080 scalars — bounded by dims
+        S[r["i"] - 1, r["j"] - 1] = float(r["s"])
+        S[r["j"] - 1, r["i"] - 1] = float(r["s"])
+    mu = np.zeros(d)
+    for r in sums.collect():  # d scalars
+        mu[r["i"] - 1] = float(r["s"]) / n
+    cov = S / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)
+    top = evecs[:, np.argsort(evals)[::-1][:2]]
+    for k in range(2):  # canonical sign: first |component|>1e-12 > 0
+        nz = np.nonzero(np.abs(top[:, k]) > 1e-12)[0]
+        if len(nz) and top[nz[0], k] < 0:
+            top[:, k] = -top[:, k]
+    pc = [
+        F.aggregate(
+            F.zip_with(
+                "vec",
+                F.array(*[F.lit(float(w)) for w in top[:, k]]),
+                lambda x, w: (x - F.lit(0.0)) * w,
+            ),
+            F.lit(float(-(mu @ top[:, k]))),  # center via constant shift
+            lambda acc, t: acc + t,
+        )
+        for k in range(2)
+    ]
+    return vecs.select(
+        "id",
+        F.round(pc[0], 6).alias("pc1"),
+        F.round(pc[1], 6).alias("pc2"),
+    )

@@ -336,3 +336,46 @@ def window_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         F.sum("n_new").over(w).alias("cum_distinct_users"),
     )
+
+
+@register(
+    "window_first_last",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       first_value(o_orderkey) OVER w AS first_order,
+       last_value(o_orderkey) OVER w AS latest_order,
+       nth_value(o_orderkey, 2) OVER w AS second_order,
+       CAST(round(CAST(o_totalprice AS DECIMAL(18,4))
+             - first_value(CAST(o_totalprice AS DECIMAL(18,4))) OVER w,
+             2) AS DOUBLE) AS delta_vs_first
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    tags=("C5", "window", "first-last"),
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over an explicit
+    unbounded frame — the frame-navigation trio completing the window
+    family (lag/lead, rank, running, range, ntile, distribution,
+    distinct-running are separate entries).  The UNBOUNDED FOLLOWING
+    frame is the part naive ports get wrong: last_value under the
+    default frame is just the current row.  One shuffle on
+    o_custkey; price deltas subtract in DECIMAL before rounding."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    price_dec = F.col("o_totalprice").cast("decimal(18,4)")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("latest_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+        F.round(price_dec - F.first(price_dec).over(w), 2)
+        .cast("double")
+        .alias("delta_vs_first"),
+    )

@@ -634,3 +634,40 @@ def test_pq_topk_approximates_brute_force(spark, sf_dir):
     # ADC shortlist + exact rerank: measured recall@3 is 0.97-1.0 on
     # this corpus (see pq_topk docstring); 0.8 is the alarm floor.
     assert sum(overlaps) / (3 * len(overlaps)) >= 0.8, overlaps
+
+
+def test_pca_projection_matches_numpy(spark, sf_dir):
+    """embedding_pca_project must reproduce numpy's full-precision PCA
+    (projection onto top-2 eigenvectors of the covariance, canonical
+    sign) to 1e-4, and PC1 must carry >= PC2 variance."""
+    import numpy as np
+
+    from distributed_system_spark.queries import load_all
+
+    got = {
+        r.id: (r.pc1, r.pc2)
+        for r in load_all()["embedding_pca_project"].fn(spark, sf_dir).collect()
+    }
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = [r.vec_id for r in emb]
+    X = np.array([list(r.embedding) for r in emb], dtype=np.float64)
+    mu = X.mean(axis=0)
+    cov = np.cov(X.T, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:2]
+    top = evecs[:, order]
+    for k in range(2):
+        nz = np.nonzero(np.abs(top[:, k]) > 1e-12)[0]
+        if len(nz) and top[nz[0], k] < 0:
+            top[:, k] = -top[:, k]
+    want = (X - mu) @ top
+    for i, vid in enumerate(ids):
+        assert got[vid][0] == pytest.approx(want[i, 0], abs=1e-4)
+        assert got[vid][1] == pytest.approx(want[i, 1], abs=1e-4)
+    # Variance ordering: PC1 explains at least as much as PC2.
+    arr = np.array([got[v] for v in ids])
+    assert arr[:, 0].var() >= arr[:, 1].var() - 1e-9
