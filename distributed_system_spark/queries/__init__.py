@@ -180,7 +180,7 @@ _ADDED_R5 = frozenset(
         "event_path_topk", "join_interval_overlap",
         "mm_audio_wav_decode", "mm_image_ppm_decode",
         "orc_partitioned_scan", "text_readability",
-        "ts_seasonal_decompose", "join_asof_nearest",
+        "ts_seasonal_decompose", "join_asof_nearest", "stream_dedup_sig_index",
         "window_first_last", "embedding_pca_project",
     }
 )

@@ -287,3 +287,64 @@ def stream_docs_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return docs_quality_gate_stream(spark, sf_dir)
+
+
+@register(
+    "stream_dedup_sig_index",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id AS id, unnest(list_distinct(str_split(text, ' '))) AS tok
+  FROM documents
+),
+mh AS (
+  SELECT id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || tok)) AS mh
+  FROM toks CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) s
+  GROUP BY id, seed
+),
+bands AS (
+  SELECT id, CAST(seed // 2 AS INT) AS band,
+         md5(string_agg(mh, ',' ORDER BY seed)) AS sig
+  FROM mh GROUP BY id, CAST(seed // 2 AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+),
+sizes AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN toks a ON a.id = c.id_a
+  JOIN toks b ON b.id = c.id_b AND b.tok = a.tok
+  GROUP BY c.id_a, c.id_b
+),
+dups AS (
+  SELECT DISTINCT i.id_b
+  FROM inter i
+  JOIN sizes na ON na.id = i.id_a
+  JOIN sizes nb ON nb.id = i.id_b
+  WHERE round(CAST(i.inter AS DOUBLE) / (na.n + nb.n - i.inter), 6) >= 0.8
+)
+SELECT d.doc_id, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT id_b FROM dups)
+""",
+    tags=("C9", "streaming", "dedup", "lsh", "incremental"),
+)
+def stream_dedup_sig_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental MinHash-LSH dedup with a persisted
+    signature index: id-ordered microbatches join the standing
+    band-signature index (signatures + token sets only — history's
+    TEXTS are never re-read), survivors append to the output, and the
+    batch's signatures extend the index — exactly-once via
+    checkpoint + per-batch overwrite pieces.  The drained result must
+    equal the batch keep-first rule over the whole corpus (the
+    oracle), which holds because the index keeps every processed
+    doc's signature, kept or dropped — see streaming/streams.py::
+    signature_index_stream for the scale analysis."""
+    from distributed_system_spark.streaming.streams import (
+        signature_index_stream,
+    )
+
+    return signature_index_stream(spark, sf_dir)

@@ -680,3 +680,156 @@ def docs_quality_gate_stream(
         .parquet(out_dir)
         .select("doc_id", "n_tokens")  # drop the piece discovery col
     )
+
+
+def _docs_idordered_stage_dir(sf_dir: str, n: int = 3) -> str:
+    """Stage documents as ``n`` doc_id-ordered, non-overlapping slices
+    with increasing mtimes so the file stream replays them as the
+    id-ordered arrival the incremental dedup contract assumes (new
+    batches carry higher ids than everything already indexed — the
+    ingestion reality the keep-FIRST rule encodes).  Same pyarrow
+    staging discipline as _timeordered_stage_dir."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    src = f"{sf_dir.rstrip('/')}/documents.parquet"
+    stage = f"/tmp/dss-docs-idordered-{_src_tag(src, f'ids:{n}')}"
+    if os.path.exists(os.path.join(stage, "_DONE")):
+        return stage
+    os.makedirs(stage, exist_ok=True)
+    t = pq.read_table(src).sort_by("doc_id")
+    step = (t.num_rows + n - 1) // n
+    base = 1_700_000_000
+    for k in range(n):
+        path = os.path.join(stage, f"slice-{k:03d}.parquet")
+        pq.write_table(t.slice(k * step, step), path)
+        os.utime(path, (base + k, base + k))
+    open(os.path.join(stage, "_DONE"), "w").close()
+    return stage
+
+
+def signature_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental MinHash-LSH dedup against a PERSISTED
+    signature index — the streaming face of `dedup_incremental`, and
+    the shape a 100 TB ingestion pipeline actually runs: documents
+    arrive as id-ordered microbatches; each batch's band signatures
+    join the standing index (signatures only — NEVER the historical
+    texts), candidates verify by exact Jaccard over stored token
+    sets, survivors append to the output, and the batch's signatures
+    + token sets append to the index.  History is never re-deduped;
+    per-batch work is (batch x colliding-buckets), not corpus².
+
+    Exactly-once: the checkpoint skips committed batch_ids and every
+    per-batch write (output piece, index pieces) lands at a
+    deterministic ``piece=<batch_id>`` path with overwrite, so a
+    mid-batch crash replay rewrites instead of duplicating (the
+    pieces_sink discipline).
+
+    The drained output equals the batch keep-first rule (doc kept
+    iff no smaller-id LSH-candidate with Jaccard >= 0.8) because the
+    index stores ALL processed docs' signatures — kept and dropped
+    alike — exactly like the batch pair rule; that equality is the
+    registered oracle.
+    """
+    import os
+
+    from distributed_system_spark.operators.dedup import (
+        doc_tokens,
+        lsh_band_signatures,
+        minhash_signatures,
+    )
+
+    src = f"{sf_dir.rstrip('/')}/documents.parquet"
+    root = f"/tmp/dss-sigidx-{_src_tag(src)}"
+    out_dir = os.path.join(root, "out")
+    bands_dir = os.path.join(root, "index_bands")
+    toks_dir = os.path.join(root, "index_toks")
+    ckpt = os.path.join(root, "ckpt")
+
+    bands_schema = "id BIGINT, band INT, sig STRING"
+    toks_schema = "id BIGINT, ts ARRAY<STRING>"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        docs = batch_df.localCheckpoint(eager=True)
+        toks = doc_tokens(docs)
+        bands = lsh_band_signatures(
+            minhash_signatures(toks, num_hashes=8), rows_per_band=2
+        )
+        tsets = toks.groupBy("id").agg(
+            F.sort_array(F.collect_set("tok")).alias("ts")
+        )
+        have_index = os.path.exists(bands_dir) and any(
+            not f.startswith(("_", "."))
+            for f in os.listdir(bands_dir)
+        )
+        if have_index:
+            idx_bands = s.read.schema(bands_schema).parquet(bands_dir)
+            idx_toks = s.read.schema(toks_schema).parquet(toks_dir)
+            all_bands = idx_bands.select("id", "band", "sig").unionByName(
+                bands
+            )
+            all_tsets = idx_toks.select("id", "ts").unionByName(tsets)
+        else:
+            all_bands, all_tsets = bands, tsets
+        probe = bands.select(
+            F.col("id").alias("id_b"), "band", "sig"
+        )
+        cand = (
+            all_bands.select(F.col("id").alias("id_a"), "band", "sig")
+            .join(probe, ["band", "sig"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        sa = all_tsets.select(
+            F.col("id").alias("id_a"), F.col("ts").alias("ts_a")
+        )
+        sb = tsets.select(
+            F.col("id").alias("id_b"), F.col("ts").alias("ts_b")
+        )
+        inter = F.size(F.array_intersect("ts_a", "ts_b"))
+        jac = inter / (F.size("ts_a") + F.size("ts_b") - inter)
+        dups = (
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .filter(F.round(jac.cast("double"), 6) >= 0.8)
+            .select(F.col("id_b").alias("doc_id"))
+            .distinct()
+        )
+        kept = docs.join(dups, "doc_id", "left_anti").select(
+            "doc_id", "n_chars"
+        )
+        kept.write.mode("overwrite").parquet(
+            f"{out_dir}/piece={batch_id}"
+        )
+        bands.write.mode("overwrite").parquet(
+            f"{bands_dir}/piece={batch_id}"
+        )
+        tsets.write.mode("overwrite").parquet(
+            f"{toks_dir}/piece={batch_id}"
+        )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        raw = (
+            spark.readStream.schema(DOCS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_docs_idordered_stage_dir(sf_dir))
+        )
+        q = (
+            raw.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.read.schema("doc_id BIGINT, n_chars BIGINT")
+        .parquet(out_dir)
+        .select("doc_id", "n_chars")
+    )

@@ -567,3 +567,66 @@ def test_stateful_state_survives_restart_from_checkpoint(
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     assert _rows(final) == _rows(want)
+
+
+def test_signature_index_stream_incremental_and_idempotent(spark, sf_dir):
+    """Streaming fuzzy dedup against the persisted signature index:
+    (1) the drained output equals the batch keep-first rule, (2) a
+    re-run against the same checkpoint replays nothing (output
+    unchanged — exactly-once), (3) the index holds one piece per
+    microbatch with ALL processed doc ids (kept and dropped), which
+    is what makes per-batch decisions equal the batch pair rule."""
+    import os
+
+    from distributed_system_spark.operators.dedup import (
+        doc_tokens,
+        jaccard_verify,
+        lsh_band_signatures,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from distributed_system_spark.streaming.streams import (
+        _src_tag,
+        signature_index_stream,
+    )
+
+    got1 = {
+        (r.doc_id, r.n_chars)
+        for r in signature_index_stream(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    toks = doc_tokens(docs)
+    cand = lsh_candidate_pairs(
+        lsh_band_signatures(minhash_signatures(toks, 8), 2)
+    )
+    dup_ids = {
+        r.id_b for r in jaccard_verify(cand, toks, 0.8).collect()
+    }
+    want = {
+        (r.doc_id, r.n_chars)
+        for r in docs.filter(~F.col("doc_id").isin(dup_ids)).collect()
+    }
+    assert got1 == want
+    got2 = {
+        (r.doc_id, r.n_chars)
+        for r in signature_index_stream(spark, sf_dir).collect()
+    }
+    assert got2 == got1
+    root = (
+        f"/tmp/dss-sigidx-{_src_tag(f'{sf_dir}/documents.parquet')}"
+    )
+    pieces = [
+        d
+        for d in os.listdir(os.path.join(root, "index_bands"))
+        if d.startswith("piece=")
+    ]
+    assert len(pieces) == 3
+    idx_ids = {
+        r.id
+        for r in spark.read.schema("id BIGINT, band INT, sig STRING")
+        .parquet(os.path.join(root, "index_bands"))
+        .select("id")
+        .distinct()
+        .collect()
+    }
+    assert idx_ids == {r.doc_id for r in docs.select("doc_id").collect()}
