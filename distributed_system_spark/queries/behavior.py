@@ -907,3 +907,63 @@ def event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 20)
         .select("path", "n_paths", "n_users", "rnk")
     )
+
+
+@register(
+    "attribution_models",
+    oracle="""
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS p_us FROM events
+  WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, epoch_us(ts) AS c_us FROM events
+  WHERE event_type = 'click'
+),
+pc AS (
+  SELECT p.event_id, p.user_id, p.p_us, c.c_us
+  FROM p JOIN c ON p.user_id = c.user_id AND c.c_us <= p.p_us
+)
+SELECT event_id, user_id,
+       min(c_us) AS first_touch_us,
+       max(c_us) AS last_touch_us,
+       count(*) AS n_touches,
+       CAST(round(CAST(1.0 AS DECIMAL(18,9))
+             / count(*), 6) AS DOUBLE) AS linear_credit
+FROM pc GROUP BY event_id, user_id, p_us
+""",
+    tags=("behavior", "attribution"),
+)
+def attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three marketing-attribution models in one pass: for each
+    purchase, the first-touch click, the last-touch click, and the
+    per-touch linear credit (1/n over all preceding clicks by the
+    same user).  The multi-model generalization of
+    stream_join_attribution's single-window last-touch.
+
+    Scale shape: one hash equi-join on user_id with the time
+    predicate as residual (clicks-per-user bounded), one grouped
+    aggregate — min/max/count are all partial-agg friendly, so the
+    join output never re-shuffles more than once.  Credit division
+    is exact DECIMAL then rounded.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts_us").alias("p_us")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_us").alias("c_us")
+    )
+    pc = p.join(c, "user_id").filter(F.col("c_us") <= F.col("p_us"))
+    return pc.groupBy("event_id", "user_id", "p_us").agg(
+        F.min("c_us").alias("first_touch_us"),
+        F.max("c_us").alias("last_touch_us"),
+        F.count(F.lit(1)).alias("n_touches"),
+        F.round(
+            F.lit(1.0).cast("decimal(18,9)") / F.count(F.lit(1)), 6
+        )
+        .cast("double")
+        .alias("linear_credit"),
+    ).drop("p_us")

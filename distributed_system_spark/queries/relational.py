@@ -1031,3 +1031,46 @@ def orc_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("revenue"),
         )
     )
+
+
+@register(
+    "agg_skew_twophase",
+    oracle="""
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2)
+            AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("C4", "skew", "two-phase"),
+)
+def agg_skew_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLICIT two-phase (salted) aggregation for pathologically hot
+    group keys: phase 1 aggregates on (key, salt) — spreading each
+    hot key over 16 reducers — phase 2 re-aggregates on the key.
+    Result must equal the plain GROUP BY (the oracle).
+
+    l_returnflag has ~3 values, so EVERY key is a hot key: the plain
+    plan funnels the whole fact table's partial aggregates into 3
+    reducers, while this plan bounds any reducer's input to
+    rows/16-per-key.  Spark's partial aggregation usually hides this
+    — until high-cardinality-but-skewed keys blow the partial-agg
+    hash map and rows stream through unaggregated; the salt is the
+    insurance that keeps the shuffle balanced regardless.  Decimal
+    sums keep the re-aggregation exact (associative), which is what
+    makes the two-phase rewrite legal for sums/counts (NOT for
+    count-distinct — that needs the first-occurrence encoding of
+    window_distinct_running).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = li.withColumn(
+        "_salt", (F.crc32(F.col("l_orderkey").cast("string")) % 16)
+    )
+    phase1 = salted.groupBy("l_returnflag", "_salt").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("s"),
+    )
+    return phase1.groupBy("l_returnflag").agg(
+        F.sum("c").alias("n_rows"),
+        F.round(F.sum("s"), 2).cast("double").alias("sum_qty"),
+    )

@@ -1371,3 +1371,42 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("zipf_slope"),
     )
+
+
+@register(
+    "dataset_kfold",
+    oracle="""
+WITH f AS (
+  SELECT doc_id,
+         CAST(strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+              AS BIGINT) % 5 AS fold
+  FROM documents
+)
+SELECT fold, count(*) AS n_docs,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM f GROUP BY fold
+""",
+    tags=("text", "training-prep", "kfold"),
+)
+def dataset_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment: fold =
+    first md5 hex digit of doc_id mod 5 — reproducible on any
+    engine, no stored fold table, shuffle-free per-row assignment
+    (the same md5-bucket discipline as dataset_split/dataset_mix).
+    Emits per-fold counts as the balance report; a training run
+    filters `fold != k` inline."""
+    docs = load_table(spark, sf_dir, "documents")
+    hexd = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+    fold = (
+        (F.instr(F.lit("0123456789abcdef"), hexd) - 1).cast("long") % 5
+    )
+    return (
+        docs.select("doc_id", fold.alias("fold"))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
