@@ -209,3 +209,54 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT t.doc_id, t.pos, t.token "
         "FROM udtf_docs_in d, LATERAL dss_tokenize(d.doc_id, d.text) t"
     )
+
+
+@register(
+    "udf_arrow_map",
+    oracle="""
+SELECT doc_id,
+       length(text) AS n_chars_py,
+       len(str_split(text, ' ')) AS n_tokens_py,
+       md5(text) AS text_md5
+FROM documents
+""",
+    tags=("C10", "udf", "arrow"),
+)
+def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: the zero-copy end of the Python UDF spectrum —
+    the batch arrives as a ``pyarrow.RecordBatch`` and the compute
+    runs on Arrow arrays directly, skipping even the pandas
+    conversion that pandas_udf/mapInPandas pay.  The right surface
+    when the Python side is itself Arrow-native (vectorized token
+    counting here via pyarrow.compute; in production: Arrow-native
+    tokenizers, DataFusion kernels, GPU libraries via the Arrow CUDA
+    interface).  Completes the C10 ladder: row UDF → pandas_udf →
+    mapInPandas/applyInPandas → mapInArrow.  One linear scan, no
+    shuffle; md5 proves byte-exact passage through the Arrow hop."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def arrow_stats(batches):
+        for batch in batches:
+            text = batch.column("text")
+            toks = pc.split_pattern(text, " ")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(pc.list_value_length(toks), pa.int64()),
+                ],
+                ["doc_id", "n_chars_py", "n_tokens_py"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.select("doc_id", "text").mapInArrow(
+        arrow_stats,
+        "doc_id bigint, n_chars_py bigint, n_tokens_py bigint",
+    )
+    # md5 stays JVM-side; join back on doc_id (broadcast at this SF,
+    # co-partitioned at scale).
+    return stats.join(
+        docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("text_md5")),
+        "doc_id",
+    )

@@ -833,3 +833,103 @@ def signature_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out_dir)
         .select("doc_id", "n_chars")
     )
+
+
+def user_totals_tws(
+    spark: SparkSession, sf_dir: str, sink_name: str = "tws_totals_sink"
+) -> DataFrame:
+    """Per-user running totals on Spark 4's ``transformWithStateInPandas``
+    — the successor stateful API to ``applyInPandasWithState`` (which
+    `running_totals_stateful` demonstrates): a ``StatefulProcessor``
+    class with typed, named state handles (ValueState here; the API
+    also offers ListState/MapState and per-key timers) instead of a
+    single opaque state tuple.  Same contract as its predecessor:
+    totals accumulate in integer ten-thousandths (exact,
+    order-insensitive across batch schedules), and the final per-user
+    snapshot equals the batch GROUP BY.  State is O(distinct users).
+
+    DEPENDENCY GATE: Spark's transformWithState Python runner talks
+    protobuf to the JVM state server, so it needs the ``protobuf``
+    package — absent in this container (the applyInPandasWithState
+    path needs no extra deps and stays the tested default).  Raises
+    NotImplementedError with that explanation when protobuf is
+    missing; tests/test_streaming.py runs the full equivalence check
+    whenever the dep IS present (pytest.importorskip).
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(Spark's Python state-server protocol); use "
+            "running_totals_stateful (applyInPandasWithState) in this "
+            "container"
+        ) from exc
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n BIGINT, ten_thousandths BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, tt = (
+                self._state.get() if self._state.exists() else (0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                tt += int(round(float(pdf["value"].sum()) * 10_000))
+            self._state.update((n, tt))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(tt / 10_000, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        raw = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_multibatch_stage_dir(spark, sf_dir))
+        )
+        stream = canonical_event_time(raw)
+        updates = stream.groupBy("user_id").transformWithStateInPandas(
+            Totals(),
+            outputStructType=(
+                "user_id long, n_events long, total_value double"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+        snap = run_available_now(
+            updates, sink_name, output_mode="update"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # Final snapshot per user = the update row with the highest count.
+    from pyspark.sql import Window
+
+    return (
+        snap.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("n_events").desc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )

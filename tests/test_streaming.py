@@ -630,3 +630,29 @@ def test_signature_index_stream_incremental_and_idempotent(spark, sf_dir):
         .collect()
     }
     assert idx_ids == {r.doc_id for r in docs.select("doc_id").collect()}
+
+
+def test_transform_with_state_totals(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas equivalence: the final
+    per-user snapshot must equal the batch GROUP BY.  Skips when the
+    protobuf dep (Spark's Python state-server protocol) is absent;
+    the gate itself must then raise a clear NotImplementedError."""
+    import pytest
+
+    from distributed_system_spark.streaming.streams import user_totals_tws
+
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            user_totals_tws(spark, sf_dir)
+        pytest.skip("protobuf absent: transformWithState runner unavailable")
+    got = user_totals_tws(spark, sf_dir, sink_name="t_tws")
+    ev = load_table(spark, sf_dir, "events")
+    want = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total_value"),
+    )
+    assert _rows(got) == _rows(want)
