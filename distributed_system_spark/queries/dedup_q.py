@@ -662,3 +662,51 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spans.join(rep, "span_md5").select(
         "doc_id", "pos", "span_md5", "n_docs", "n_occurrences"
     )
+
+
+@register(
+    "dedup_canonical_exact",
+    oracle="""
+WITH c AS (
+  SELECT doc_id, n_chars,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]| +',
+                                 ' ', 'g'))) AS canon_fp
+  FROM documents
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM c GROUP BY canon_fp)
+SELECT c.doc_id, c.n_chars, c.canon_fp,
+       CASE WHEN k.doc_id IS NULL THEN FALSE ELSE TRUE END AS is_kept
+FROM c LEFT JOIN keep k ON k.doc_id = c.doc_id
+""",
+    tags=("dedup", "canonical", "exact"),
+)
+def dedup_canonical_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-exact dedup via canonicalization: lowercase, strip
+    non-alphanumerics, collapse whitespace, THEN hash — catching the
+    'same document, different formatting' duplicates (case changes,
+    punctuation edits, double spaces) that byte-exact dedup_exact
+    misses and fuzzy MinHash wastes candidate bandwidth on.  The
+    standard first rung of the dedup ladder: exact → canonical →
+    fuzzy → semantic, each rung feeding fewer docs to the next.
+
+    Shuffle profile identical to dedup_exact: per-row canonical md5,
+    one groupBy on 16-byte fingerprints with partial agg, keep-first
+    by min doc_id, broadcast-or-shuffle join back.  The regex runs
+    JVM-side inside codegen — no Python.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    canon = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.lower("text"), "[^a-z0-9 ]| +", " "
+            )
+        ).cast("binary")
+    )
+    c = docs.select("doc_id", "n_chars", canon.alias("canon_fp"))
+    keep = c.groupBy("canon_fp").agg(F.min("doc_id").alias("keep_id"))
+    return c.join(keep, "canon_fp").select(
+        "doc_id",
+        "n_chars",
+        "canon_fp",
+        (F.col("doc_id") == F.col("keep_id")).alias("is_kept"),
+    )

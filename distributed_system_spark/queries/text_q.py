@@ -1410,3 +1410,94 @@ def dataset_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_id"),
         )
     )
+
+
+@register(
+    "langid_confusion_matrix",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, str_split(text, ' ') AS toks FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+         len(list_filter(toks, x -> list_contains({list(_LANG_WORDS['en'])}, x))) AS score_en,
+         len(list_filter(toks, x -> list_contains({list(_LANG_WORDS['de'])}, x))) AS score_de,
+         len(list_filter(toks, x -> list_contains({list(_LANG_WORDS['es'])}, x))) AS score_es,
+         len(list_filter(toks, x -> list_contains({list(_LANG_WORDS['fr'])}, x))) AS score_fr
+  FROM t
+), pred AS (
+  SELECT lang AS true_lang,
+         CASE WHEN score_en >= score_de AND score_en >= score_es
+                   AND score_en >= score_fr THEN 'en'
+              WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+              WHEN score_es >= score_fr THEN 'es'
+              ELSE 'fr' END AS pred_lang
+  FROM scored
+),
+cm AS (
+  SELECT true_lang, pred_lang, count(*) AS n
+  FROM pred GROUP BY true_lang, pred_lang
+),
+tot AS (SELECT true_lang, sum(n) AS row_n FROM cm GROUP BY true_lang)
+SELECT cm.true_lang, cm.pred_lang, cm.n,
+       CAST(round(CAST(CAST(cm.n AS DOUBLE) / tot.row_n
+                       AS DECIMAL(18,9)), 6) AS DOUBLE) AS row_rate
+FROM cm JOIN tot USING (true_lang)
+""",
+    tags=("text", "langid", "evaluation"),
+)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation matrix for the langid heuristic: counts
+    and row-normalized rates per (true lang, predicted lang) — the
+    eval face of text_langid (which emits per-doc predictions).  The
+    model-quality report every curation pipeline publishes before
+    trusting a gate at 100 TB: one scan + one groupBy over a
+    |langs|²-bounded key space, row totals joined back from a tiny
+    re-aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array(F.split("text", " ", -1))).alias("toks"),
+    )
+
+    def score(words):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(
+            F.filter("toks", lambda x: F.array_contains(arr, x))
+        ).cast("long")
+
+    scored = t.select(
+        "lang",
+        *[
+            score(w).alias(f"score_{lang}")
+            for lang, w in _LANG_WORDS.items()
+        ],
+    )
+    e, d, s, fr = (F.col(f"score_{x}") for x in ("en", "de", "es", "fr"))
+    pred = (
+        F.when((e >= d) & (e >= s) & (e >= fr), "en")
+        .when((d >= s) & (d >= fr), "de")
+        .when(s >= fr, "es")
+        .otherwise("fr")
+    )
+    cm = (
+        scored.select(
+            F.col("lang").alias("true_lang"), pred.alias("pred_lang")
+        )
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cm.groupBy("true_lang").agg(F.sum("n").alias("row_n"))
+    return cm.join(F.broadcast(tot), "true_lang").select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        F.round(
+            (F.col("n").cast("double") / F.col("row_n")).cast(
+                "decimal(18,9)"
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("row_rate"),
+    )
