@@ -630,6 +630,25 @@ def test_signature_index_stream_incremental_and_idempotent(spark, sf_dir):
         .collect()
     }
     assert idx_ids == {r.doc_id for r in docs.select("doc_id").collect()}
+    # Mid-batch crash replay: index piece written but checkpoint commit
+    # lost.  The replayed batch then sees ITS OWN signatures already in
+    # the index — the decision must be unchanged (self-pairs are
+    # filtered by id_a < id_b and the union dedups), and the piece is
+    # overwritten, not duplicated.
+    commits = sorted(
+        c
+        for c in os.listdir(os.path.join(root, "ckpt", "commits"))
+        if not c.startswith(".")
+    )
+    os.remove(os.path.join(root, "ckpt", "commits", commits[-1]))
+    crc = os.path.join(root, "ckpt", "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    got3 = {
+        (r.doc_id, r.n_chars)
+        for r in signature_index_stream(spark, sf_dir).collect()
+    }
+    assert got3 == want
 
 
 def test_transform_with_state_totals(spark, sf_dir):
