@@ -64,6 +64,12 @@ HEADLINE = [
     "dedup_incremental",  # new-batch-vs-signature-index dedup (the
                           # steady-state ingestion shape: never
                           # re-dedups history)
+    "curation_pipeline_ctrl",  # the flagship on the controlled-dup
+                          # corpus: the honest wall-time of a full
+                          # curation pass (the raw-corpus flagship
+                          # above measures the output-quadratic
+                          # degeneracy of the synthetic table as much
+                          # as the plan — keep both numbers)
 ]
 # NOT here: dedup_minhash_lsh / dedup_ngram_jaccard.  They are correct
 # (oracle-green at the driver's sf0.01) but this synthetic corpus has a

@@ -710,3 +710,119 @@ def dedup_canonical_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canon_fp",
         (F.col("doc_id") == F.col("keep_id")).alias("is_kept"),
     )
+
+
+@register(
+    "curation_pipeline_ctrl",
+    oracle=f"""
+WITH {_CTRL_CORPUS_SQL},
+q AS (
+  SELECT doc_id, text,
+         len(str_split(text, ' ')) AS n_tokens,
+         len(list_distinct(str_split(text, ' '))) AS n_unique,
+         length(regexp_replace(text, '[a-zA-Z0-9_ ]', '', 'g')) AS n_punct,
+         length(text) AS len_chars
+  FROM corpus
+),
+keepq AS (
+  SELECT doc_id, text, n_tokens FROM q
+  WHERE n_tokens BETWEEN 5 AND 1000
+    AND CAST(n_unique AS DOUBLE) / n_tokens > 0.1
+    AND CAST(n_punct AS DOUBLE) / len_chars < 0.2
+),
+ex AS (SELECT min(doc_id) AS doc_id FROM keepq GROUP BY md5(text)),
+s1 AS (SELECT k.doc_id, k.text, k.n_tokens
+       FROM keepq k JOIN ex USING (doc_id)),
+stoks AS (
+  SELECT doc_id AS id, unnest(list_distinct(str_split(text, ' '))) AS tok
+  FROM s1
+),
+mh AS (
+  SELECT id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || tok)) AS mh
+  FROM stoks CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) s
+  GROUP BY id, seed
+),
+bands AS (
+  SELECT id, CAST(seed // 2 AS INT) AS band,
+         md5(string_agg(mh, ',' ORDER BY seed)) AS sig
+  FROM mh GROUP BY id, CAST(seed // 2 AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+),
+sizes AS (SELECT id, count(*) AS n FROM stoks GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN stoks a ON a.id = c.id_a
+  JOIN stoks b ON b.id = c.id_b AND b.tok = a.tok
+  GROUP BY c.id_a, c.id_b
+),
+dups AS (
+  SELECT DISTINCT i.id_b
+  FROM inter i
+  JOIN sizes na ON na.id = i.id_a
+  JOIN sizes nb ON nb.id = i.id_b
+  WHERE round(CAST(i.inter AS DOUBLE) / (na.n + nb.n - i.inter), 6) >= 0.8
+)
+SELECT s1.doc_id,
+       CASE WHEN substr(md5(CAST(s1.doc_id AS VARCHAR)), 1, 2) < 'cd'
+            THEN 'train'
+            WHEN substr(md5(CAST(s1.doc_id AS VARCHAR)), 1, 2) < 'e6'
+            THEN 'val' ELSE 'test' END AS split,
+       s1.n_tokens
+FROM s1 WHERE s1.doc_id NOT IN (SELECT id_b FROM dups)
+""",
+    tags=("dedup", "pipeline", "flagship", "bench"),
+)
+def curation_pipeline_ctrl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation flagship on the CONTROLLED-dup-rate corpus (large
+    namespaced vocabulary, ~5% injected near-dups) — the honest
+    wall-time of a full curation pass, the way dedup_minhash_ctrl is
+    for the LSH stage alone: on the raw synthetic table nearly every
+    pair is a true duplicate, so `curation_pipeline`'s cost there
+    measures the corpus, not the plan.  Same four stages (gate →
+    exact → fuzzy → split), same plan shapes; the gate's punct class
+    admits the namespacing underscore.
+    """
+    corpus = _ctrl_corpus(load_table(spark, sf_dir, "documents"))
+    t = F.split("text", " ", -1)
+    q = corpus.select(
+        "doc_id",
+        "text",
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_unique"),
+        F.length(F.regexp_replace("text", "[a-zA-Z0-9_ ]", "")).alias(
+            "n_punct"
+        ),
+        F.length("text").alias("len_chars"),
+    )
+    keepq = q.filter(
+        F.col("n_tokens").between(5, 1000)
+        & (F.col("n_unique").cast("double") / F.col("n_tokens") > 0.1)
+        & (F.col("n_punct").cast("double") / F.col("len_chars") < 0.2)
+    ).select("doc_id", "text", "n_tokens")
+    ex = (
+        keepq.groupBy(F.md5(F.col("text").cast("binary")).alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s1 = keepq.join(ex, "doc_id")
+    toks = doc_tokens(s1.select("doc_id", "text"))
+    sigs = minhash_signatures(toks, num_hashes=8)
+    cand = lsh_candidate_pairs(lsh_band_signatures(sigs, rows_per_band=2))
+    dups = (
+        jaccard_verify(cand, toks, 0.8)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    b = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+    )
+    split = F.when(b < "cd", "train").when(b < "e6", "val").otherwise("test")
+    return (
+        s1.join(dups, "doc_id", "left_anti")
+        .select("doc_id", split.alias("split"), "n_tokens")
+    )
