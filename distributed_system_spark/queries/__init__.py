@@ -182,6 +182,8 @@ _ADDED_R5 = frozenset(
         "orc_partitioned_scan", "text_readability",
         "ts_seasonal_decompose", "join_asof_nearest", "stream_dedup_sig_index",
         "window_first_last", "embedding_pca_project", "attribution_models", "agg_skew_twophase", "dataset_kfold", "udf_arrow_map", "langid_confusion_matrix", "dedup_canonical_exact", "curation_pipeline_ctrl",
+        "snapshot_state_diff", "ri_orphan_audit",
+        "dataset_split_stratified", "corr_matrix",
     }
 )
 

@@ -967,3 +967,105 @@ def attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("linear_credit"),
     ).drop("p_us")
+
+
+# (T - 1 day, T] activity windows for the two state snapshots, as
+# integer epoch-microsecond bounds so both engines compare the SAME
+# value the canonical ts carries (ts_ns div 1000) with no timestamp-
+# literal truncation hazards at the nanos boundary.
+_SNAP_T1_LO_US = 1_705_622_400_000_000  # 2024-01-19 00:00:00 UTC
+_SNAP_T1_HI_US = 1_705_708_800_000_000  # 2024-01-20 00:00:00 UTC
+_SNAP_T2_LO_US = 1_706_486_400_000_000  # 2024-01-29 00:00:00 UTC
+_SNAP_T2_HI_US = 1_706_572_800_000_000  # 2024-01-30 00:00:00 UTC
+
+
+def _snap_sql(lo: int, hi: int) -> str:
+    return f"""
+  SELECT user_id, event_id, value FROM (
+    SELECT user_id, event_id, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts) DESC, event_id DESC)
+             AS rn
+    FROM events
+    WHERE epoch_us(ts) > {lo} AND epoch_us(ts) <= {hi}
+  ) WHERE rn = 1"""
+
+
+@register(
+    "snapshot_state_diff",
+    oracle=f"""
+WITH s1 AS ({_snap_sql(_SNAP_T1_LO_US, _SNAP_T1_HI_US)}),
+s2 AS ({_snap_sql(_SNAP_T2_LO_US, _SNAP_T2_HI_US)})
+SELECT coalesce(s1.user_id, s2.user_id) AS user_id,
+       CASE WHEN s1.user_id IS NULL THEN 'added'
+            WHEN s2.user_id IS NULL THEN 'removed'
+            WHEN s1.event_id <> s2.event_id THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       s1.event_id AS old_event_id, s2.event_id AS new_event_id,
+       s1.value AS old_value, s2.value AS new_value
+FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+""",
+    tags=("C3", "cdc", "versioning"),
+)
+def snapshot_state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff between two point-in-time state snapshots
+    — the audit a pipeline runs between table versions ("what changed
+    since the last publish?").  A snapshot at T is the per-user
+    latest (event_id, value) among events in the (T - 1 day, T]
+    activity window; the diff is one full-outer join on the entity
+    key classifying each user as added / removed / changed /
+    unchanged.
+
+    Reference capability analog: version tracking per SDFS write
+    (sdfs.hpp stores per-key version counters; SURVEY.md §2.A18) —
+    this is the same "what moved between versions" question asked
+    relationally over a whole table.
+
+    At 100 TB: each snapshot is one predicate-pruned scan (the
+    activity window prunes partitions when the table is date-
+    partitioned, as events tables are) plus a keep-latest window on
+    the natural key — the cdc_latest_per_key shape — and the diff
+    joins two user-cardinality frames on their shared key, so the
+    expensive inputs never leave their key partitioning.  Snapshot
+    states would normally be the already-materialized output of the
+    CDC compaction, making the diff itself dimension-cheap."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+
+    def snap(lo: int, hi: int, pfx: str) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts_us").desc(), F.col("event_id").desc()
+        )
+        return (
+            ev.filter((F.col("ts_us") > lo) & (F.col("ts_us") <= hi))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                F.col("event_id").alias(f"{pfx}_event_id"),
+                F.col("value").alias(f"{pfx}_value"),
+            )
+        )
+
+    s1 = snap(_SNAP_T1_LO_US, _SNAP_T1_HI_US, "old")
+    s2 = snap(_SNAP_T2_LO_US, _SNAP_T2_HI_US, "new")
+    j = s1.withColumnRenamed("user_id", "u1").join(
+        s2.withColumnRenamed("user_id", "u2"),
+        F.col("u1") == F.col("u2"),
+        "full_outer",
+    )
+    status = (
+        F.when(F.col("u1").isNull(), "added")
+        .when(F.col("u2").isNull(), "removed")
+        .when(F.col("old_event_id") != F.col("new_event_id"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.select(
+        F.coalesce("u1", "u2").alias("user_id"),
+        status.alias("status"),
+        "old_event_id",
+        "new_event_id",
+        "old_value",
+        "new_value",
+    )

@@ -108,3 +108,100 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.withColumn(
         "passed", F.col("metric") >= F.col("threshold")
     )
+
+
+@register(
+    "ri_orphan_audit",
+    oracle="""
+WITH l AS (
+  SELECT count(*) AS n,
+         CAST(count(*) FILTER (o.o_orderkey IS NULL) AS BIGINT) AS o_orph,
+         CAST(count(*) FILTER (p.p_partkey  IS NULL) AS BIGINT) AS p_orph,
+         CAST(count(*) FILTER (s.s_suppkey  IS NULL) AS BIGINT) AS s_orph
+  FROM lineitem li
+  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+         ON li.l_orderkey = o.o_orderkey
+  LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+         ON li.l_partkey = p.p_partkey
+  LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+         ON li.l_suppkey = s.s_suppkey
+), o2 AS (
+  SELECT count(*) AS n,
+         CAST(count(*) FILTER (c.c_custkey IS NULL) AS BIGINT) AS c_orph
+  FROM orders o
+  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+         ON o.o_custkey = c.c_custkey
+)
+SELECT 'lineitem.l_orderkey -> orders' AS fk, l.n AS child_rows,
+       l.o_orph AS orphan_rows FROM l
+UNION ALL SELECT 'lineitem.l_partkey -> part', l.n, l.p_orph FROM l
+UNION ALL SELECT 'lineitem.l_suppkey -> supplier', l.n, l.s_orph FROM l
+UNION ALL SELECT 'orders.o_custkey -> customer', o2.n, o2.c_orph FROM o2
+""",
+    tags=("C3", "C4", "data-quality", "referential-integrity"),
+)
+def ri_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for every foreign-key
+    edge of the star schema (lineitem→orders/part/supplier,
+    orders→customer), one row per edge.  The companion to
+    dq_expectations: expectations gate single-table invariants, this
+    gates the CROSS-table ones a curation pipeline must hold before
+    publishing (a join key pointing nowhere silently drops rows from
+    every downstream inner join).
+
+    At 100 TB: all three lineitem edges are audited in ONE fact scan —
+    each parent contributes only its distinct key column (dimension
+    keys broadcast; the orders key column shuffles on the join key
+    like any fact-fact equi-join), and the verdict reduces in a single
+    partial+final aggregate.  Adding an edge adds a join of one key
+    column, never another fact scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    okeys = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .distinct()
+    )
+    pkeys = (
+        load_table(spark, sf_dir, "part").select("p_partkey").distinct()
+    )
+    skeys = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey")
+        .distinct()
+    )
+    lagg = (
+        li.join(okeys, li.l_orderkey == okeys.o_orderkey, "left")
+        .join(F.broadcast(pkeys), li.l_partkey == pkeys.p_partkey, "left")
+        .join(F.broadcast(skeys), li.l_suppkey == skeys.s_suppkey, "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("o_orderkey").isNull()).alias("o_orph"),
+            F.count_if(F.col("p_partkey").isNull()).alias("p_orph"),
+            F.count_if(F.col("s_suppkey").isNull()).alias("s_orph"),
+        )
+    )
+    ckeys = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .distinct()
+    )
+    oagg = (
+        load_table(spark, sf_dir, "orders")
+        .join(ckeys, F.col("o_custkey") == ckeys.c_custkey, "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("c_custkey").isNull()).alias("c_orph"),
+        )
+    )
+    lrows = lagg.selectExpr(
+        "stack(3,"
+        " 'lineitem.l_orderkey -> orders', n, o_orph,"
+        " 'lineitem.l_partkey -> part', n, p_orph,"
+        " 'lineitem.l_suppkey -> supplier', n, s_orph"
+        ") AS (fk, child_rows, orphan_rows)"
+    )
+    orows = oagg.selectExpr(
+        "stack(1, 'orders.o_custkey -> customer', n, c_orph)"
+        " AS (fk, child_rows, orphan_rows)"
+    )
+    return lrows.unionByName(orows)

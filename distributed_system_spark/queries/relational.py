@@ -1074,3 +1074,95 @@ def agg_skew_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("n_rows"),
         F.round(F.sum("s"), 2).cast("double").alias("sum_qty"),
     )
+
+
+_CORR_COLS = (
+    ("l_quantity", "q"),
+    ("l_extendedprice", "e"),
+    ("l_discount", "d"),
+    ("l_tax", "t"),
+)
+_CORR_PAIRS = tuple(
+    (_CORR_COLS[i], _CORR_COLS[j])
+    for i in range(len(_CORR_COLS))
+    for j in range(i + 1, len(_CORR_COLS))
+)
+
+
+def _corr_oracle() -> str:
+    sums = ",\n         ".join(
+        f"CAST(SUM(CAST({c} AS DECIMAL(18,4))) AS DOUBLE) AS s_{a},\n"
+        # first factor widened to DECIMAL(22,4): DuckDB multiplies in
+        # the wider operand's physical type and price*price overflows
+        # an 18-digit intermediate; the product is exact either way,
+        # so the value still matches Spark's (18,4)x(18,4) decimal.
+        f"         CAST(SUM(CAST({c} AS DECIMAL(22,4))"
+        f" * CAST({c} AS DECIMAL(18,4))) AS DOUBLE) AS s_{a}{a}"
+        for c, a in _CORR_COLS
+    )
+    xsums = ",\n         ".join(
+        f"CAST(SUM(CAST({ca} AS DECIMAL(22,4))"
+        f" * CAST({cb} AS DECIMAL(18,4))) AS DOUBLE) AS s_{aa}{ab}"
+        for (ca, aa), (cb, ab) in _CORR_PAIRS
+    )
+    branches = "\n  UNION ALL ".join(
+        f"SELECT '{ca}' AS col_a, '{cb}' AS col_b, n,\n"
+        f"    CAST(round(CAST((n * s_{aa}{ab} - s_{aa} * s_{ab})"
+        f" / sqrt((n * s_{aa}{aa} - s_{aa} * s_{aa})"
+        f" * (n * s_{ab}{ab} - s_{ab} * s_{ab}))"
+        f" AS DECIMAL(28,10)), 6) AS DOUBLE) AS corr FROM s"
+        for (ca, aa), (cb, ab) in _CORR_PAIRS
+    )
+    return (
+        f"WITH s AS (\n  SELECT count(*) AS n,\n         {sums},"
+        f"\n         {xsums}\n  FROM lineitem\n)\n{branches}"
+    )
+
+
+@register(
+    "corr_matrix",
+    oracle=_corr_oracle(),
+    tags=("C4", "statistics", "profiling"),
+)
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the lineitem measures
+    (quantity, extendedprice, discount, tax) — all 6 pairs from ONE
+    scan of exact-DECIMAL sufficient statistics (n, Σx, Σx², Σxy),
+    then the closed form r = (nΣxy−ΣxΣy)/√((nΣx²−Σx²)(nΣy²−Σy²)) per
+    pair.  The multivariate extension of linreg_by_group, and the
+    data-profiling step feature selection runs before training.
+
+    Built-in corr() sums doubles in partition order and is not
+    reproducible across partitionings; decimal sums are exact and
+    order-insensitive, so the oracle matches to 6 decimals.
+
+    At 100 TB: one partial+final aggregate — d columns need
+    d(d+3)/2 + 1 accumulators, never a second scan; the stack() that
+    fans the one-row aggregate into pair rows is driver-trivial."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = {a: F.col(c).cast("decimal(18,4)") for c, a in _CORR_COLS}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for _, a in _CORR_COLS:
+        aggs.append(F.sum(dec[a]).cast("double").alias(f"s_{a}"))
+        aggs.append(
+            F.sum(dec[a] * dec[a]).cast("double").alias(f"s_{a}{a}")
+        )
+    for (_, aa), (_, ab) in _CORR_PAIRS:
+        aggs.append(
+            F.sum(dec[aa] * dec[ab]).cast("double").alias(f"s_{aa}{ab}")
+        )
+    s = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{ca}', '{cb}',"
+        f" CAST(round(CAST((n * s_{aa}{ab} - s_{aa} * s_{ab})"
+        f" / sqrt((n * s_{aa}{aa} - s_{aa} * s_{aa})"
+        f" * (n * s_{ab}{ab} - s_{ab} * s_{ab}))"
+        f" AS DECIMAL(28,10)), 6) AS DOUBLE)"
+        for (ca, aa), (cb, ab) in _CORR_PAIRS
+    )
+    rows = s.selectExpr(
+        f"stack({len(_CORR_PAIRS)}, {stack_args})"
+        " AS (col_a, col_b, corr)",
+        "n",
+    )
+    return rows.select("col_a", "col_b", "n", "corr")

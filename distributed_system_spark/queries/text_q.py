@@ -1501,3 +1501,61 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("row_rate"),
     )
+
+
+@register(
+    "dataset_split_stratified",
+    oracle="""
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN rn * 10 <= n * 8 THEN 'train'
+            WHEN rn * 10 <= n * 9 THEN 'val'
+            ELSE 'test' END AS split
+FROM r
+""",
+    tags=("llm", "split", "stratified"),
+)
+def dataset_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED 80/10/10 train/val/test split: exact per-language
+    proportions (each stratum splits ⌊.8n⌋/⌊.9n⌋, all-integer
+    arithmetic so no float-boundary drift), with the within-stratum
+    order given by md5(doc_id) so membership is pseudorandom yet
+    deterministic.  The global md5-bucket split (dataset_split) keeps
+    proportions only in expectation — a tail language can land 100%
+    in train; this variant guarantees every language appears in val
+    and test, which is what makes a multilingual eval set valid.
+
+    Trade-off vs dataset_split, stated honestly: adding documents
+    RESHUFFLES assignments within a stratum (rank shifts), so this
+    split is for frozen corpus versions, while the md5-bucket split
+    is stable under growth — a pipeline wants both.
+
+    At 100 TB: one window per stratum = one shuffle on lang (bounded
+    cardinality but skewed — big languages dominate; the rank is a
+    per-partition sort, the same cost profile as any per-key
+    ordering; for extreme strata the rfm_segments broadcast-threshold
+    pattern applies)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    wn = Window.partitionBy("lang")
+    r = docs.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    split = (
+        F.when(F.col("rn") * 10 <= F.col("n") * 8, "train")
+        .when(F.col("rn") * 10 <= F.col("n") * 9, "val")
+        .otherwise("test")
+    )
+    return r.select("doc_id", "lang", split.alias("split"))

@@ -474,3 +474,45 @@ def test_orc_scan_prunes_partitions(spark, sf_dir):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "o_orderstatus" in m.group(1), plan
+
+
+def test_corr_matrix_is_single_scan_aggregate(spark, sf_dir):
+    """corr_matrix: all 15 sufficient statistics reduce in ONE
+    partial+final aggregate over ONE lineitem scan — a correlation
+    matrix that re-scans per pair is wrong at any scale."""
+    plan = plan_of(spark, sf_dir, "corr_matrix")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "partial_" in plan or "partial" in plan.lower(), plan
+
+
+def test_ri_orphan_audit_broadcasts_dim_keys_one_fact_scan(spark, sf_dir):
+    """ri_orphan_audit: the three lineitem FK edges audit in one fact
+    scan; part/supplier key columns broadcast (forced), and no edge
+    adds a second lineitem scan."""
+    plan = plan_of(spark, sf_dir, "ri_orphan_audit")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # lineitem scanned once, orders twice (parent-key side + child
+    # side), customer/part/supplier once each: 6 scans total proves
+    # no per-edge fact re-scan (3 edges x 1 lineitem scan would
+    # push this to 8).
+    assert plan.count("Scan parquet") <= 6, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stratified_split_is_one_shuffle_per_stratum_window(spark, sf_dir):
+    """dataset_split_stratified: rank and count share ONE exchange on
+    lang (same partitioning), so the stratified assignment costs a
+    single shuffle — and never a global (unpartitioned) sort."""
+    plan = plan_of(spark, sf_dir, "dataset_split_stratified")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_snapshot_diff_joins_on_user_key(spark, sf_dir):
+    """snapshot_state_diff: the two snapshots join on the entity key
+    (hash/sort-merge equi-join), never nested-loop; each snapshot's
+    time predicate reaches its scan."""
+    plan = plan_of(spark, sf_dir, "snapshot_state_diff")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FullOuter" in plan or "full_outer" in plan.lower(), plan
