@@ -56,6 +56,7 @@ _MODULES = (
     "distributed_system_spark.queries.udf_q",
     "distributed_system_spark.queries.retrieval_q",
     "distributed_system_spark.queries.quality_q",
+    "distributed_system_spark.queries.drift_q",
 )
 
 
@@ -184,6 +185,8 @@ _ADDED_R5 = frozenset(
         "window_first_last", "embedding_pca_project", "attribution_models", "agg_skew_twophase", "dataset_kfold", "udf_arrow_map", "langid_confusion_matrix", "dedup_canonical_exact", "curation_pipeline_ctrl",
         "snapshot_state_diff", "ri_orphan_audit",
         "dataset_split_stratified", "corr_matrix",
+        "drift_psi", "stats_mergeable_moments", "dataset_card_stats",
+        "cooccurrence_pmi",
     }
 )
 

@@ -1,0 +1,315 @@
+"""Dataset drift and mergeable-profiling monitors.
+
+A 100 TB corpus is never built once: batches arrive, splits are
+re-drawn, sources churn.  These queries are the standing monitors a
+training-data pipeline runs between versions: distribution drift
+between cohorts (PSI), re-aggregatable moment statistics (the
+two-level merge that makes per-shard profiling composable), and the
+per-source "data card" summary published with every corpus release.
+
+Reference capability analog: the reference's only standing check is
+the golden-output diff after a run (tests/maplejuice.cpp:249-255);
+drift monitors are the production form of "did the data change in a
+way that should block the publish?".
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from distributed_system_spark.queries import register
+from distributed_system_spark.sources.tables import load_table
+
+# The md5-bucket split expression shared with dataset_split /
+# contamination_check: first md5 byte < 0xcd => train, < 0xe6 => val,
+# else test.  PSI compares train vs test.
+_SPLIT_SQL = (
+    "CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' "
+    "THEN 'train' "
+    "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' "
+    "THEN 'val' ELSE 'test' END"
+)
+
+_N_BINS = 10
+_BIN_WIDTH = 64  # n_chars in [0, 640) covers every SF's corpus
+
+
+@register(
+    "drift_psi",
+    oracle=f"""
+WITH assign AS (
+  SELECT least({_N_BINS - 1}, n_chars // {_BIN_WIDTH}) AS bin,
+         {_SPLIT_SQL} AS split
+  FROM documents
+),
+c AS (
+  SELECT b.bin,
+         coalesce(r.cnt, 0) AS ref_n,
+         coalesce(u.cnt, 0) AS cur_n
+  FROM (SELECT unnest(range({_N_BINS})) AS bin) b
+  LEFT JOIN (SELECT bin, count(*) AS cnt FROM assign
+             WHERE split = 'train' GROUP BY bin) r ON b.bin = r.bin
+  LEFT JOIN (SELECT bin, count(*) AS cnt FROM assign
+             WHERE split = 'test' GROUP BY bin) u ON b.bin = u.bin
+),
+tot AS (
+  SELECT SUM(ref_n) AS nr, SUM(cur_n) AS nc FROM c
+),
+terms AS (
+  SELECT bin, ref_n, cur_n,
+         (CAST(ref_n AS DOUBLE) + 0.5)
+           / (CAST(nr AS DOUBLE) + {_N_BINS / 2.0}) AS p,
+         (CAST(cur_n AS DOUBLE) + 0.5)
+           / (CAST(nc AS DOUBLE) + {_N_BINS / 2.0}) AS q
+  FROM c CROSS JOIN tot
+),
+rt AS (
+  SELECT bin, ref_n, cur_n, p, q,
+         round(CAST((p - q) * ln(p / q) AS DECIMAL(18,12)), 12)
+           AS term
+  FROM terms
+),
+total AS (
+  SELECT SUM(CAST(term AS DECIMAL(28,12))) AS psi FROM rt
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(ref_n AS BIGINT) AS ref_n,
+       CAST(cur_n AS BIGINT) AS cur_n,
+       CAST(round(CAST(p AS DECIMAL(18,12)), 6) AS DOUBLE) AS p_ref,
+       CAST(round(CAST(q AS DECIMAL(18,12)), 6) AS DOUBLE) AS p_cur,
+       CAST(round(term, 6) AS DOUBLE) AS psi_term,
+       CAST(round(CAST(psi AS DECIMAL(28,12)), 6) AS DOUBLE) AS psi_total
+FROM rt CROSS JOIN total
+""",
+    tags=("llm", "drift", "monitoring"),
+)
+def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the document-length distribution
+    between the train and test cohorts of the md5 split — the drift
+    monitor a pipeline runs between corpus versions (and, as here,
+    the unbiasedness check on a freshly drawn split: an honest md5
+    split should score PSI ~ 0; > 0.2 is the conventional
+    "investigate" threshold).
+
+    PSI = sum over bins of (p_i - q_i) * ln(p_i / q_i), with
+    Laplace-smoothed bin shares (+0.5 per bin) so an empty bin never
+    divides by zero.  Fixed-width bins (10 x 64 chars) keep the bin
+    edges data-independent — the monitor compares like with like
+    across corpus versions, unlike quantile bins which move with the
+    data.  Per-term ln computed on identical doubles in both engines,
+    then rounded while DECIMAL per the corpus_zipf_slope convention,
+    so the cross-engine compare is exact.
+
+    At 100 TB: one scan, one {10}-bin partial+final aggregate per
+    cohort (both reduce in the same pass over the bin spine), and a
+    1-row total broadcast back — the heavy side never shuffles more
+    than 2x10 counters.  Adding monitored features adds bins, never
+    scans."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+    )
+    split = (
+        F.when(b < "cd", "train").when(b < "e6", "val").otherwise("test")
+    )
+    assign = docs.select(
+        F.least(
+            F.lit(_N_BINS - 1),
+            (F.col("n_chars") / F.lit(_BIN_WIDTH)).cast("long"),
+        ).alias("bin"),
+        split.alias("split"),
+    )
+    counts = (
+        assign.filter(F.col("split") != "val")
+        .groupBy("bin")
+        .agg(
+            F.count(F.when(F.col("split") == "train", 1)).alias("r_cnt"),
+            F.count(F.when(F.col("split") == "test", 1)).alias("c_cnt"),
+        )
+    )
+    spine = spark.range(_N_BINS).select(F.col("id").alias("bin"))
+    c = (
+        spine.join(F.broadcast(counts), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("r_cnt", F.lit(0)).alias("ref_n"),
+            F.coalesce("c_cnt", F.lit(0)).alias("cur_n"),
+        )
+    )
+    tot = c.agg(
+        F.sum("ref_n").alias("nr"), F.sum("cur_n").alias("nc")
+    )
+    p = (F.col("ref_n").cast("double") + F.lit(0.5)) / (
+        F.col("nr").cast("double") + F.lit(_N_BINS / 2.0)
+    )
+    q = (F.col("cur_n").cast("double") + F.lit(0.5)) / (
+        F.col("nc").cast("double") + F.lit(_N_BINS / 2.0)
+    )
+    terms = c.crossJoin(F.broadcast(tot)).select(
+        "bin", "ref_n", "cur_n", p.alias("p"), q.alias("q")
+    )
+    rt = terms.select(
+        "bin",
+        "ref_n",
+        "cur_n",
+        "p",
+        "q",
+        F.round(
+            ((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")))
+            .cast("decimal(18,12)"),
+            12,
+        ).alias("term"),
+    )
+    total = rt.agg(
+        F.sum(F.col("term").cast("decimal(28,12)")).alias("psi")
+    )
+    return rt.crossJoin(F.broadcast(total)).select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("ref_n").cast("long").alias("ref_n"),
+        F.col("cur_n").cast("long").alias("cur_n"),
+        F.round(F.col("p").cast("decimal(18,12)"), 6)
+        .cast("double")
+        .alias("p_ref"),
+        F.round(F.col("q").cast("decimal(18,12)"), 6)
+        .cast("double")
+        .alias("p_cur"),
+        F.round("term", 6).cast("double").alias("psi_term"),
+        F.round(F.col("psi").cast("decimal(28,12)"), 6)
+        .cast("double")
+        .alias("psi_total"),
+    )
+
+
+@register(
+    "stats_mergeable_moments",
+    oracle="""
+WITH s AS (
+  SELECT lang, count(*) AS n,
+         SUM(CAST(n_chars AS DECIMAL(18,4))) AS s1,
+         SUM(CAST(n_chars AS DECIMAL(22,4))
+             * CAST(n_chars AS DECIMAL(18,4))) AS s2
+  FROM documents
+  GROUP BY lang
+)
+SELECT lang,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST(round(CAST(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS DECIMAL(28,12)), 6) AS DOUBLE) AS mean_chars,
+       CAST(round(CAST(
+         CAST(CAST(n AS DECIMAL(12,0)) * CAST(s2 AS DECIMAL(24,8))
+              - CAST(s1 AS DECIMAL(16,4)) * CAST(s1 AS DECIMAL(16,4))
+              AS DOUBLE)
+         / CAST(n * n AS DOUBLE) AS DECIMAL(28,12)), 6)
+         AS DOUBLE) AS var_chars
+FROM s
+""",
+    tags=("C4", "profiling", "mergeable"),
+)
+def stats_mergeable_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable moment statistics: per-language mean and
+    population variance of document length computed by a TWO-LEVEL
+    merge — shard-local sufficient statistics (n, sum x, sum x^2) in
+    exact DECIMAL, then a merge aggregate per language.  The oracle
+    computes the same moments in ONE level; equality is the
+    mergeability proof — the property that lets a 100 TB pipeline
+    profile each ingest batch once and combine per-batch stats
+    forever after without rescanning history (float moments do NOT
+    have this property: their partition-order-dependent rounding
+    makes merged != direct).
+
+    At 100 TB: level 1 reduces inside each shard's partitions
+    (map-side partial agg), level 2 merges |langs| x |shards| tiny
+    rows; nothing but counters ever shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    x = F.col("n_chars").cast("decimal(18,4)")
+    shard = (F.col("doc_id") % 8).alias("shard")
+    level1 = docs.groupBy("lang", shard).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+    )
+    merged = level1.groupBy("lang").agg(
+        F.sum("n").alias("n_docs"),
+        F.sum("s1").cast("decimal(16,4)").alias("s1"),
+        F.sum("s2").cast("decimal(24,8)").alias("s2"),
+    )
+    n = F.col("n_docs")
+    mean = F.col("s1").cast("double") / n.cast("double")
+    var_num = (
+        n.cast("decimal(12,0)") * F.col("s2")
+        - F.col("s1") * F.col("s1")
+    ).cast("double")
+    return merged.select(
+        "lang",
+        "n_docs",
+        F.round(mean.cast("decimal(28,12)"), 6)
+        .cast("double")
+        .alias("mean_chars"),
+        F.round(
+            (var_num / (n * n).cast("double")).cast("decimal(28,12)"), 6
+        )
+        .cast("double")
+        .alias("var_chars"),
+    )
+
+
+@register(
+    "dataset_card_stats",
+    oracle="""
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(round(CAST(SUM(CAST(n_chars AS DECIMAL(18,4)))
+                       AS DECIMAL(28,4)) / count(*), 2)
+            AS DOUBLE) AS avg_chars,
+       CAST(round(CAST(count(CASE WHEN n_chars < 100 THEN 1 END)
+                       AS DECIMAL(18,6)) / count(*), 6)
+            AS DOUBLE) AS short_rate,
+       CAST(round(CAST(count(CASE WHEN lang = 'en' THEN 1 END)
+                       AS DECIMAL(18,6)) / count(*), 6)
+            AS DOUBLE) AS en_rate
+FROM documents
+GROUP BY source
+""",
+    tags=("llm", "profiling", "data-card"),
+)
+def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source "data card": the one-scan summary published with
+    every corpus release (doc counts, language spread, size totals,
+    short-document rate, English share).  The per-source axis is what
+    a mixture designer reads before setting dataset_mix target rates.
+
+    At 100 TB: one partial+final aggregate grouped by the
+    low-cardinality source key; count(DISTINCT lang) expands to the
+    standard two-phase distinct-aggregate plan, still bounded by
+    |source| x |lang| partial rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    dec = F.col("n_chars").cast("decimal(18,4)")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(
+            (F.sum(dec).cast("decimal(28,4)") / F.count(F.lit(1))), 2
+        )
+        .cast("double")
+        .alias("avg_chars"),
+        F.round(
+            F.count(F.when(F.col("n_chars") < 100, 1))
+            .cast("decimal(18,6)")
+            / F.count(F.lit(1)),
+            6,
+        )
+        .cast("double")
+        .alias("short_rate"),
+        F.round(
+            F.count(F.when(F.col("lang") == "en", 1))
+            .cast("decimal(18,6)")
+            / F.count(F.lit(1)),
+            6,
+        )
+        .cast("double")
+        .alias("en_rate"),
+    )

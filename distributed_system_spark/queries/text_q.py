@@ -1559,3 +1559,89 @@ def dataset_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
     )
     return r.select("doc_id", "lang", split.alias("split"))
+
+
+@register(
+    "cooccurrence_pmi",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks
+  FROM documents
+),
+e AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+df AS (SELECT tok, count(*) AS df FROM e GROUP BY tok),
+v AS (SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 40),
+ev AS (SELECT e.doc_id, e.tok, v.df FROM e JOIN v USING (tok)),
+p AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_xy,
+         max(a.df) AS n_a, max(b.df) AS n_b
+  FROM ev a JOIN ev b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2 HAVING count(*) >= 5
+),
+tot AS (SELECT count(*) AS d FROM documents)
+SELECT tok_a, tok_b,
+       CAST(n_xy AS BIGINT) AS n_xy,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(round(CAST(ln((CAST(n_xy AS DOUBLE) * CAST(d AS DOUBLE))
+                          / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+                  AS DECIMAL(18,12)), 6) AS DOUBLE) AS pmi
+FROM p CROSS JOIN tot
+""",
+    tags=("llm", "text", "pmi"),
+)
+def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of within-document term
+    co-occurrence over the top-40 document-frequency vocabulary —
+    PMI(x,y) = ln(P(x,y) / (P(x)P(y))) = ln(n_xy * D / (n_x * n_y))
+    with document-level counts.  The collocation/association measure
+    behind phrase mining and word-association features; positive PMI
+    means the pair co-occurs more than independence predicts.
+
+    At 100 TB: the vocabulary is TakeOrdered top-40 (driver holds 40
+    rows, broadcast back), per-doc distinct tokens are filtered to it
+    BEFORE the pair join, and the within-doc self-join is bounded by
+    min(doc length, |V|) tokens per doc_id — the basket_lift_pairs
+    shape: candidate pairs per doc <= C(40,2), never corpus-quadratic.
+    ln computed on identical doubles in both engines and rounded
+    while DECIMAL per the corpus_zipf_slope convention."""
+    docs = load_table(spark, sf_dir, "documents")
+    e = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " ", -1))).alias("tok"),
+    )
+    dfreq = e.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    v = dfreq.orderBy(F.col("df").desc(), "tok").limit(40)
+    ev = e.join(F.broadcast(v), "tok")
+    a = ev.select(
+        "doc_id", F.col("tok").alias("tok_a"), F.col("df").alias("df_a")
+    )
+    b = ev.select(
+        "doc_id", F.col("tok").alias("tok_b"), F.col("df").alias("df_b")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_xy"),
+            F.max("df_a").alias("n_a"),
+            F.max("df_b").alias("n_b"),
+        )
+        .filter(F.col("n_xy") >= 5)
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("d"))
+    pmi = F.log(
+        (F.col("n_xy").cast("double") * F.col("d").cast("double"))
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    )
+    return pairs.crossJoin(F.broadcast(tot)).select(
+        "tok_a",
+        "tok_b",
+        F.col("n_xy").cast("long").alias("n_xy"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(pmi.cast("decimal(18,12)"), 6)
+        .cast("double")
+        .alias("pmi"),
+    )

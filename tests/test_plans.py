@@ -516,3 +516,33 @@ def test_snapshot_diff_joins_on_user_key(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "FullOuter" in plan or "full_outer" in plan.lower(), plan
+
+
+def test_drift_psi_single_fact_scan(spark, sf_dir):
+    """drift_psi: the documents table is scanned ONCE (both cohorts
+    reduce over the same bin spine in one aggregate); the 10-bin
+    spine and 1-row totals ride broadcast joins, never a shuffle of
+    the fact side beyond the 10-counter aggregate."""
+    plan = plan_of(spark, sf_dir, "drift_psi")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mergeable_moments_two_level_agg(spark, sf_dir):
+    """stats_mergeable_moments: level-1 shard stats reduce map-side
+    (partial agg) and the merge is a second aggregate over tiny
+    (lang, shard) rows — one scan, no joins."""
+    plan = plan_of(spark, sf_dir, "stats_mergeable_moments")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "partial" in plan.lower(), plan
+    assert "Join" not in plan, plan
+
+
+def test_cooccurrence_pmi_bounded_pair_join(spark, sf_dir):
+    """cooccurrence_pmi: the vocabulary is TakeOrdered top-40 and
+    broadcast to the token stream; the pair join is an equi-join on
+    doc_id (doc-bounded), never a cartesian pair enumeration."""
+    plan = plan_of(spark, sf_dir, "cooccurrence_pmi")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
