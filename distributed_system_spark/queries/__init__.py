@@ -186,7 +186,7 @@ _ADDED_R5 = frozenset(
         "snapshot_state_diff", "ri_orphan_audit",
         "dataset_split_stratified", "corr_matrix",
         "drift_psi", "stats_mergeable_moments", "dataset_card_stats",
-        "cooccurrence_pmi",
+        "cooccurrence_pmi", "minhash_calibration", "ks_drift",
     }
 )
 

@@ -826,3 +826,128 @@ def curation_pipeline_ctrl(spark: SparkSession, sf_dir: str) -> DataFrame:
         s1.join(dups, "doc_id", "left_anti")
         .select("doc_id", split.alias("split"), "n_tokens")
     )
+
+
+@register(
+    "minhash_calibration",
+    oracle=f"""
+WITH {_TOKS_SQL},
+mh AS (
+  SELECT id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || tok)) AS mh
+  FROM toks CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) s
+  GROUP BY id, seed
+),
+bands AS (
+  SELECT id, CAST(seed // 4 AS INT) AS band,
+         md5(string_agg(mh, ',' ORDER BY seed)) AS sig
+  FROM mh GROUP BY id, CAST(seed // 4 AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+),
+sigarr AS (SELECT id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY id),
+sets AS (SELECT id, list(DISTINCT tok) AS ts FROM toks GROUP BY id),
+m AS (
+  SELECT c.id_a, c.id_b,
+         len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i]))
+           AS n_match,
+         len(list_intersect(ta.ts, tb.ts)) AS n_inter,
+         len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts))
+           AS n_union
+  FROM cand c
+  JOIN sigarr sa ON c.id_a = sa.id
+  JOIN sigarr sb ON c.id_b = sb.id
+  JOIN sets ta ON c.id_a = ta.id
+  JOIN sets tb ON c.id_b = tb.id
+)
+SELECT id_a, id_b,
+       CAST(n_match AS BIGINT) AS n_match,
+       CAST(round(CAST(CAST(n_match AS DOUBLE) / 16.0
+                  AS DECIMAL(18,12)), 6) AS DOUBLE) AS est_j,
+       CAST(round(CAST(CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE)
+                  AS DECIMAL(18,12)), 6) AS DOUBLE) AS exact_j,
+       CAST(round(CAST(abs(CAST(n_match AS DOUBLE) / 16.0
+                           - CAST(n_inter AS DOUBLE)
+                             / CAST(n_union AS DOUBLE))
+                  AS DECIMAL(18,12)), 6) AS DOUBLE) AS abs_err
+FROM m
+""",
+    tags=("dedup", "lsh", "evaluation"),
+)
+def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: for every LSH candidate pair,
+    the 16-hash Jaccard ESTIMATE (matching-minhash fraction) next to
+    the EXACT token-set Jaccard and the absolute error — the report
+    that tells a pipeline operator whether the minhash budget (here
+    16) is tight enough to trust a 0.8 dedup threshold before
+    spending a 100 TB pass on it.  Companion to ann_recall_report
+    (which calibrates the ANN index the same way).
+
+    At 100 TB: candidates come from the banded LSH join (4 bands x
+    4 rows — never all-pairs); both the signature arrays (16 md5
+    strings) and the token-set arrays ride the candidate equi-joins
+    at one row per doc per side — the jaccard_verify shape.  The
+    synthetic corpus's tiny shared vocabulary makes baseline Jaccard
+    high (~0.4), so candidates are dense HERE; on a real web corpus
+    the same 4x4 banding admits ~s^4-per-band collisions and the
+    candidate set is sparse (dedup_minhash_ctrl measures that
+    honestly on the controlled-dup corpus).  Estimate, exact, and
+    error are integer-ratio doubles, bit-identical across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = doc_tokens(docs)
+    sigs = minhash_signatures(toks, num_hashes=16)
+    bands = lsh_band_signatures(sigs, rows_per_band=4)
+    cand = lsh_candidate_pairs(bands)
+
+    ordered = F.transform(
+        F.sort_array(F.collect_list(F.struct("seed", "mh"))),
+        lambda s: s["mh"],
+    )
+    sigarr = sigs.groupBy("id").agg(ordered.alias("sig"))
+    sets_ = toks.groupBy("id").agg(
+        F.sort_array(F.collect_set("tok")).alias("ts")
+    )
+    j = (
+        cand.join(
+            sigarr.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
+            "id_a",
+        )
+        .join(
+            sigarr.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
+            "id_b",
+        )
+        .join(
+            sets_.select(F.col("id").alias("id_a"), F.col("ts").alias("ts_a")),
+            "id_a",
+        )
+        .join(
+            sets_.select(F.col("id").alias("id_b"), F.col("ts").alias("ts_b")),
+            "id_b",
+        )
+    )
+    n_match = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    n_inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    n_union = F.size("ts_a") + F.size("ts_b") - n_inter
+    est = n_match.cast("double") / F.lit(16.0)
+    exact = n_inter.cast("double") / n_union.cast("double")
+    return j.select(
+        "id_a",
+        "id_b",
+        n_match.cast("long").alias("n_match"),
+        F.round(est.cast("decimal(18,12)"), 6)
+        .cast("double")
+        .alias("est_j"),
+        F.round(exact.cast("decimal(18,12)"), 6)
+        .cast("double")
+        .alias("exact_j"),
+        F.round(F.abs(est - exact).cast("decimal(18,12)"), 6)
+        .cast("double")
+        .alias("abs_err"),
+    )

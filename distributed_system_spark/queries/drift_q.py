@@ -313,3 +313,144 @@ def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("en_rate"),
     )
+
+
+@register(
+    "ks_drift",
+    oracle=f"""
+WITH assign AS (
+  SELECT least({_N_BINS - 1}, n_chars // {_BIN_WIDTH}) AS bin,
+         {_SPLIT_SQL} AS split
+  FROM documents
+),
+c AS (
+  SELECT b.bin,
+         coalesce(r.cnt, 0) AS ref_n,
+         coalesce(u.cnt, 0) AS cur_n
+  FROM (SELECT unnest(range({_N_BINS})) AS bin) b
+  LEFT JOIN (SELECT bin, count(*) AS cnt FROM assign
+             WHERE split = 'train' GROUP BY bin) r ON b.bin = r.bin
+  LEFT JOIN (SELECT bin, count(*) AS cnt FROM assign
+             WHERE split = 'test' GROUP BY bin) u ON b.bin = u.bin
+),
+cum AS (
+  SELECT bin,
+         SUM(ref_n) OVER (ORDER BY bin) AS cr,
+         SUM(cur_n) OVER (ORDER BY bin) AS cc,
+         SUM(ref_n) OVER () AS nr,
+         SUM(cur_n) OVER () AS nc
+  FROM c
+),
+d AS (
+  SELECT bin,
+         CAST(cr AS BIGINT) AS ref_cum,
+         CAST(cc AS BIGINT) AS cur_cum,
+         CAST(cr AS DOUBLE) / CAST(nr AS DOUBLE) AS er,
+         CAST(cc AS DOUBLE) / CAST(nc AS DOUBLE) AS ec
+  FROM cum
+),
+ks AS (
+  SELECT max(abs(er - ec)) AS stat FROM d
+)
+SELECT CAST(bin AS BIGINT) AS bin, ref_cum, cur_cum,
+       CAST(round(CAST(er AS DECIMAL(18,12)), 6) AS DOUBLE) AS cdf_ref,
+       CAST(round(CAST(ec AS DECIMAL(18,12)), 6) AS DOUBLE) AS cdf_cur,
+       CAST(round(CAST(abs(er - ec) AS DECIMAL(18,12)), 6) AS DOUBLE)
+         AS abs_gap,
+       CAST(round(CAST(stat AS DECIMAL(18,12)), 6) AS DOUBLE) AS ks_stat
+FROM d CROSS JOIN ks
+""",
+    tags=("llm", "drift", "monitoring"),
+)
+def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov drift statistic between the train and test
+    cohorts of the md5 split, on the binned-ECDF grid: KS = max over
+    grid points of |ECDF_ref - ECDF_cur|.  The max-gap companion to
+    drift_psi's divergence — PSI weights the whole distribution, KS
+    flags the single worst crossing point (where a drift localizes).
+
+    Grid semantics, stated honestly: this is the EXACT KS statistic
+    of the binned distributions (the data-independent 10 x 64-char
+    grid shared with drift_psi), a lower bound on the unbinned KS —
+    the form that is computable in one pass at 100 TB, where an exact
+    unbinned ECDF would need a global sort.  Everything up to the
+    final ratio is integer counts; the ratios are integer-division
+    doubles, bit-identical across engines — no transcendental parity
+    risk at all.
+
+    At 100 TB: one scan into 2 x 10 counters, cumulated by a window
+    over the 10-row bin spine — the window is bounded by the grid,
+    never by the data."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+    )
+    split = (
+        F.when(b < "cd", "train").when(b < "e6", "val").otherwise("test")
+    )
+    assign = docs.select(
+        F.least(
+            F.lit(_N_BINS - 1),
+            (F.col("n_chars") / F.lit(_BIN_WIDTH)).cast("long"),
+        ).alias("bin"),
+        split.alias("split"),
+    )
+    counts = (
+        assign.filter(F.col("split") != "val")
+        .groupBy("bin")
+        .agg(
+            F.count(F.when(F.col("split") == "train", 1)).alias("r_cnt"),
+            F.count(F.when(F.col("split") == "test", 1)).alias("c_cnt"),
+        )
+    )
+    spine = spark.range(_N_BINS).select(F.col("id").alias("bin"))
+    c = spine.join(F.broadcast(counts), "bin", "left").select(
+        "bin",
+        F.coalesce("r_cnt", F.lit(0)).alias("ref_n"),
+        F.coalesce("c_cnt", F.lit(0)).alias("cur_n"),
+    )
+    # Windows over the 10-row bin spine only — bounded by the grid.
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = c.select(
+        "bin",
+        F.sum("ref_n").over(wcum).alias("cr"),
+        F.sum("cur_n").over(wcum).alias("cc"),
+        F.sum("ref_n").over(wall).alias("nr"),
+        F.sum("cur_n").over(wall).alias("nc"),
+    )
+    er = F.col("cr").cast("double") / F.col("nr").cast("double")
+    ec = F.col("cc").cast("double") / F.col("nc").cast("double")
+    d = cum.select(
+        "bin",
+        F.col("cr").cast("long").alias("ref_cum"),
+        F.col("cc").cast("long").alias("cur_cum"),
+        er.alias("er"),
+        ec.alias("ec"),
+    )
+    ks = d.agg(F.max(F.abs(F.col("er") - F.col("ec"))).alias("stat"))
+    return d.crossJoin(F.broadcast(ks)).select(
+        F.col("bin").cast("long").alias("bin"),
+        "ref_cum",
+        "cur_cum",
+        F.round(F.col("er").cast("decimal(18,12)"), 6)
+        .cast("double")
+        .alias("cdf_ref"),
+        F.round(F.col("ec").cast("decimal(18,12)"), 6)
+        .cast("double")
+        .alias("cdf_cur"),
+        F.round(
+            F.abs(F.col("er") - F.col("ec")).cast("decimal(18,12)"), 6
+        )
+        .cast("double")
+        .alias("abs_gap"),
+        F.round(F.col("stat").cast("decimal(18,12)"), 6)
+        .cast("double")
+        .alias("ks_stat"),
+    )

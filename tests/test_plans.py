@@ -546,3 +546,20 @@ def test_cooccurrence_pmi_bounded_pair_join(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 1, plan
+
+
+def test_ks_drift_single_fact_scan(spark, sf_dir):
+    """ks_drift: one documents scan into 2x10 counters; the cumsum
+    windows run over the 10-row bin spine only."""
+    plan = plan_of(spark, sf_dir, "ks_drift")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_calibration_no_all_pairs(spark, sf_dir):
+    """minhash_calibration: candidates come from the (band, sig)
+    equi-join; signature/token arrays join candidates one row per
+    doc per side — no cartesian pair enumeration anywhere."""
+    plan = plan_of(spark, sf_dir, "minhash_calibration")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
