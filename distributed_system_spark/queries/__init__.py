@@ -187,6 +187,7 @@ _ADDED_R5 = frozenset(
         "dataset_split_stratified", "corr_matrix",
         "drift_psi", "stats_mergeable_moments", "dataset_card_stats",
         "cooccurrence_pmi", "minhash_calibration", "ks_drift",
+        "gaps_islands_streaks", "dataset_alpha_mix",
     }
 )
 

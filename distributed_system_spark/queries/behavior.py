@@ -1069,3 +1069,58 @@ def snapshot_state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "old_value",
         "new_value",
     )
+
+
+@register(
+    "gaps_islands_streaks",
+    oracle="""
+WITH ad AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+r AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+           AS grp
+  FROM ad
+)
+SELECT user_id,
+       CAST(min(day) AS BIGINT) AS start_day,
+       CAST(max(day) AS BIGINT) AS end_day,
+       count(*) AS streak_days
+FROM r GROUP BY user_id, grp
+""",
+    tags=("C5", "behavior", "gaps-islands"),
+)
+def gaps_islands_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's runs of CONSECUTIVE active days
+    (one row per streak with its start, end, and length), via the
+    classic day-minus-row_number island key — consecutive days share
+    a constant difference, so the island id falls out of one window
+    and one group-by with NO self-join or iteration.  The engagement-
+    streak / uptime-run shape; sessionize_events is its
+    timestamp-gap sibling.
+
+    Day index is integer epoch-microseconds div 86400e6 — pure
+    integer arithmetic, identical in both engines (no timezone or
+    date-cast hazards at the nanos boundary).
+
+    At 100 TB: distinct-day dedup, the row_number window, and the
+    island group-by all partition by user_id — AQE coalesces them
+    onto ONE hash exchange of the (user, day) pairs (already
+    activity-compressed: one row per user-day, not per event)."""
+    ev = load_table(spark, sf_dir, "events")
+    ad = ev.select(
+        "user_id", F.expr("ts_ns div 1000 div 86400000000").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    r = ad.withColumn("grp", F.col("day") - F.row_number().over(w))
+    return (
+        r.groupBy("user_id", "grp")
+        .agg(
+            F.min("day").cast("long").alias("start_day"),
+            F.max("day").cast("long").alias("end_day"),
+            F.count(F.lit(1)).alias("streak_days"),
+        )
+        .drop("grp")
+    )

@@ -1645,3 +1645,131 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("pmi"),
     )
+
+
+@register(
+    "dataset_alpha_mix",
+    oracle="""
+WITH c AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+),
+w AS (
+  SELECT lang, n,
+         round(CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(18,12)), 12)
+           AS wr
+  FROM c
+),
+tot AS (
+  SELECT SUM(CAST(wr AS DECIMAL(28,12))) AS sw,
+         CAST(SUM(n) AS BIGINT) AS big_n
+  FROM w
+),
+r AS (
+  SELECT lang, n,
+         CAST(wr AS DOUBLE) / CAST(sw AS DOUBLE) AS share,
+         least(1.0,
+               (CAST(wr AS DOUBLE) / CAST(sw AS DOUBLE))
+                 * (CAST(big_n AS DOUBLE) * 0.5)
+                 / CAST(n AS DOUBLE)) AS rate
+  FROM w CROSS JOIN tot
+),
+u AS (
+  SELECT d.lang,
+         CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+  FROM documents d
+)
+SELECT r.lang,
+       CAST(r.n AS BIGINT) AS n_docs,
+       CAST(round(CAST(r.share AS DECIMAL(18,12)), 6) AS DOUBLE)
+         AS target_share,
+       CAST(round(CAST(r.rate AS DECIMAL(18,12)), 6) AS DOUBLE)
+         AS sample_rate,
+       CAST(sum(CASE WHEN u.u < r.rate THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sampled
+FROM u JOIN r ON u.lang = r.lang
+GROUP BY r.lang, r.n, r.share, r.rate
+""",
+    tags=("llm", "sampling", "multilingual"),
+)
+def dataset_alpha_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual sampling (the alpha-sampling
+    scheme from multilingual LM training, alpha = 0.5): target
+    language shares proportional to n_lang^alpha, flattening the
+    head so tail languages are not drowned — then per-language
+    deterministic md5-uniform acceptance at rate = min(1,
+    target_count / n_lang) against a half-corpus token budget.
+    dataset_mix controls per-source rates from a config; this one
+    DERIVES the rates from the distribution itself, which is how
+    multilingual corpora are actually balanced.
+
+    alpha = 0.5 makes the power a sqrt — IEEE-correctly-rounded and
+    therefore bit-identical in both engines; the sqrt weights are
+    rounded while DECIMAL and summed exactly (zipf convention), so
+    shares, rates, and the md5-uniform accept decisions all match
+    the oracle exactly.
+
+    At 100 TB: the per-language table is |langs| rows (one broadcast
+    back to the corpus scan), acceptance is a pure doc_id hash — the
+    whole mixture costs one scan + one |langs|-row aggregate, and
+    stays reproducible under re-runs and engine changes."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    w = c.select(
+        "lang",
+        "n",
+        F.round(
+            F.sqrt(F.col("n").cast("double")).cast("decimal(18,12)"), 12
+        ).alias("wr"),
+    )
+    tot = w.agg(
+        F.sum(F.col("wr").cast("decimal(28,12)")).alias("sw"),
+        F.sum("n").cast("long").alias("big_n"),
+    )
+    share = F.col("wr").cast("double") / F.col("sw").cast("double")
+    rate = F.least(
+        F.lit(1.0),
+        share
+        * (F.col("big_n").cast("double") * F.lit(0.5))
+        / F.col("n").cast("double"),
+    )
+    r = w.crossJoin(F.broadcast(tot)).select(
+        "lang", "n", share.alias("share"), rate.alias("rate")
+    )
+    u = docs.select(
+        "lang",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.col("doc_id").cast("string").cast("binary")),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / 4294967296.0
+        ).alias("u"),
+    )
+    return (
+        u.join(F.broadcast(r), "lang")
+        .groupBy("lang", "n", "share", "rate")
+        .agg(
+            F.sum(
+                F.when(F.col("u") < F.col("rate"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_sampled")
+        )
+        .select(
+            "lang",
+            F.col("n").cast("long").alias("n_docs"),
+            F.round(F.col("share").cast("decimal(18,12)"), 6)
+            .cast("double")
+            .alias("target_share"),
+            F.round(F.col("rate").cast("decimal(18,12)"), 6)
+            .cast("double")
+            .alias("sample_rate"),
+            "n_sampled",
+        )
+    )

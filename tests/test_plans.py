@@ -563,3 +563,21 @@ def test_minhash_calibration_no_all_pairs(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "minhash_calibration")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gaps_islands_one_user_exchange(spark, sf_dir):
+    """gaps_islands_streaks: distinct, window, and island group-by
+    all partition by user_id — one hash exchange of the compressed
+    (user, day) pairs, never a self-join."""
+    plan = plan_of(spark, sf_dir, "gaps_islands_streaks")
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_alpha_mix_broadcasts_lang_rates(spark, sf_dir):
+    """dataset_alpha_mix: the |langs|-row rate table broadcasts back
+    to the corpus scan; acceptance is a pure doc_id hash — no
+    fact-side shuffle beyond the lang aggregate."""
+    plan = plan_of(spark, sf_dir, "dataset_alpha_mix")
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "CartesianProduct" not in plan
