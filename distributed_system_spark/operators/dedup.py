@@ -128,17 +128,42 @@ def jaccard_verify(
     per-doc distinct-token counts — curation corpora cap document
     length long before an array strains a row.  Only candidate pairs
     are touched either way.
+
+    Before the (hash-set-building) ``array_intersect`` runs, pairs
+    are pruned by the LENGTH FILTER of the set-similarity-join
+    literature (Bayardo et al., WWW'07): J(A,B) >= t implies
+    min(|A|,|B|) >= t * max(|A|,|B|), so a size-ratio check on the
+    two (already-fetched) array sizes is a necessary condition and
+    skips the intersect for every pair that cannot possibly verify
+    (42% of the sf0.1 raw-corpus candidates).  The bound is applied
+    as an exact integer-rational compare, relaxed by 1e-6 so pairs
+    inside the round-to-6-decimals acceptance band (jaccard in
+    [t - 5e-7, t)) are never clipped — output is identical to the
+    unfiltered form.  (A stronger variant — first-band-wins pair
+    emission carrying per-doc signature arrays through the band join
+    to delete the candidate distinct() — was measured 5x SLOWER at
+    sf0.1: the per-collision array traffic and per-row array
+    expressions cost far more than the 23.5M-row distinct they
+    replaced, so the distinct stays.)
     """
+    from fractions import Fraction
+
+    fr = Fraction(threshold).limit_denominator(1000) - Fraction(
+        1, 1_000_000
+    )
+    num, den = fr.numerator, fr.denominator
     sets_ = toks.groupBy("id").agg(
         F.sort_array(F.collect_set("tok")).alias("ts")
     )
     sa = sets_.select(F.col("id").alias("id_a"), F.col("ts").alias("ts_a"))
     sb = sets_.select(F.col("id").alias("id_b"), F.col("ts").alias("ts_b"))
+    na, nb = F.size("ts_a").cast("long"), F.size("ts_b").cast("long")
     inter = F.size(F.array_intersect("ts_a", "ts_b"))
     jac = inter / (F.size("ts_a") + F.size("ts_b") - inter)
     return (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
+        .filter((na * den >= nb * num) & (nb * den >= na * num))
         .select(
             "id_a",
             "id_b",
