@@ -10,7 +10,7 @@ aggregate fold), ordering on the rounded cosine with id tiebreaks.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from distributed_system_spark.operators.similarity import (
     banded_lsh_topk,
@@ -1022,4 +1022,318 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id",
         F.round(pc[0], 6).alias("pc1"),
         F.round(pc[1], 6).alias("pc2"),
+    )
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_SQL_SQDIST}, c.cid) AS rn
+    FROM e CROSS JOIN c0 c) WHERE rn = 1
+),
+m AS (
+  SELECT a1.vec_id, a1.cid, e.v AS vec, emb.label
+  FROM a1 JOIN e USING (vec_id)
+  JOIN embeddings emb ON emb.vec_id = a1.vec_id
+),
+scored AS (
+  SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+         c.vec_id AS neg_id, c.label AS neg_label,
+         {_COS_SQL} AS cos
+  FROM m q JOIN m c
+    ON q.cid = c.cid AND q.vec_id <> c.vec_id AND q.label <> c.label
+)
+SELECT anchor_id, anchor_label, neg_id, neg_label,
+       CAST(rnk AS BIGINT) AS rank, cos
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id
+                               ORDER BY cos DESC, neg_id) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+""",
+    tags=("similarity", "llm", "contrastive"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training: for
+    every anchor vector, the top-3 highest-cosine vectors with a
+    DIFFERENT label — the near-misses that make the strongest
+    training negatives — searched only within the anchor's
+    nearest-centroid cell (the SemDeDup partition trick, k = 8
+    deterministic seed centroids).
+
+    At 100 TB: assignment is embarrassingly parallel against
+    broadcast centroid literals; the candidate join is an equi-join
+    on the cell id (k x O((n/k)^2), never corpus-quadratic, with
+    real k ~ 10^4+); the per-anchor top-3 is a window partitioned by
+    anchor over cell-bounded candidates.  Cell-boundary negatives
+    are missed — SemDeDup's documented recall trade, shared with
+    semdedup_pairs.  Cosines rounded to 6 while comparable so the
+    rank order (cos desc, neg_id) is engine-identical."""
+    from distributed_system_spark.operators.similarity import cosine
+
+    k = 8
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    c0 = [
+        (r["vec_id"], list(r["v"]))
+        for r in e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    ]
+    m = (
+        _kmeans_assign(e, c0)
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .select("cluster", "vec_id", "v", "label")
+    )
+    q = m.select(
+        F.col("cluster").alias("cl"),
+        F.col("vec_id").alias("anchor_id"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("anchor_label"),
+    )
+    c = m.select(
+        F.col("cluster").alias("cl"),
+        F.col("vec_id").alias("neg_id"),
+        F.col("v").alias("cv"),
+        F.col("label").alias("neg_label"),
+    )
+    scored = (
+        q.join(c, "cl")
+        .filter(
+            (F.col("anchor_id") != F.col("neg_id"))
+            & (F.col("anchor_label") != F.col("neg_label"))
+        )
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "neg_id",
+            "neg_label",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos").desc(), "neg_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "neg_id",
+            "neg_label",
+            F.col("rank").cast("long").alias("rank"),
+            "cos",
+        )
+    )
+
+
+@register(
+    "label_noise_knn",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_SQL_SQDIST}, c.cid) AS rn
+    FROM e CROSS JOIN c0 c) WHERE rn = 1
+),
+m AS (
+  SELECT a1.vec_id, a1.cid, e.v AS vec, emb.label
+  FROM a1 JOIN e USING (vec_id)
+  JOIN embeddings emb ON emb.vec_id = a1.vec_id
+),
+nbr AS (
+  SELECT q.vec_id, q.label,
+         c.label AS nbr_label,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_COS_SQL} DESC, c.vec_id) AS rnk
+  FROM m q JOIN m c ON q.cid = c.cid AND q.vec_id <> c.vec_id
+)
+SELECT vec_id, CAST(label AS BIGINT) AS label,
+       count(*) AS n_nbrs,
+       CAST(sum(CASE WHEN nbr_label = label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_agree,
+       CAST(round(CAST(
+         CAST(sum(CASE WHEN nbr_label = label THEN 1 ELSE 0 END)
+              AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS DECIMAL(18,12)), 6) AS DOUBLE) AS agree_rate,
+       sum(CASE WHEN nbr_label = label THEN 1 ELSE 0 END) * 5
+         < count(*) * 2 AS flagged
+FROM nbr WHERE rnk <= 5
+GROUP BY vec_id, label
+""",
+    tags=("similarity", "llm", "label-quality"),
+)
+def label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-agreement audit: for every vector, the fraction of
+    its 5 nearest neighbors (cosine, within its centroid cell) that
+    share its label — the standard pre-training label-noise detector
+    (a row whose neighborhood disagrees, agree_rate < 0.4, is flagged
+    for review before the dataset ships).
+
+    Same cell-partitioned search as hard_negative_mining — the
+    all-label twin: one equi-join on the cell id, one per-anchor
+    window, integer-ratio agreement rates (bit-identical doubles),
+    and the flag threshold evaluated in integers (5 * n_agree <
+    2 * n_nbrs) so no float boundary exists at all."""
+    from distributed_system_spark.operators.similarity import cosine
+
+    k = 8
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    c0 = [
+        (r["vec_id"], list(r["v"]))
+        for r in e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    ]
+    m = (
+        _kmeans_assign(e, c0)
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .select("cluster", "vec_id", "v", "label")
+    )
+    q = m.select(
+        F.col("cluster").alias("cl"),
+        "vec_id",
+        F.col("v").alias("qv"),
+        "label",
+    )
+    c = m.select(
+        F.col("cluster").alias("cl"),
+        F.col("vec_id").alias("nbr_id"),
+        F.col("v").alias("cv"),
+        F.col("label").alias("nbr_label"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).desc(), "nbr_id"
+    )
+    nbr = (
+        q.join(c, "cl")
+        .filter(F.col("vec_id") != F.col("nbr_id"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+    )
+    n_agree = F.sum(
+        F.when(F.col("nbr_label") == F.col("label"), 1).otherwise(0)
+    )
+    n_nbrs = F.count(F.lit(1))
+    return nbr.groupBy("vec_id", "label").agg(
+        n_nbrs.alias("n_nbrs"),
+        n_agree.cast("long").alias("n_agree"),
+        F.round(
+            (n_agree.cast("double") / n_nbrs.cast("double")).cast(
+                "decimal(18,12)"
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("agree_rate"),
+        (n_agree * 5 < n_nbrs * 2).alias("flagged"),
+    ).select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        "n_nbrs",
+        "n_agree",
+        "agree_rate",
+        "flagged",
+    )
+
+
+@register(
+    "embedding_standardize",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+flat AS (
+  SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS i
+  FROM e
+),
+s AS (
+  SELECT i, count(*) AS n,
+         SUM(CAST(x AS DECIMAL(25,10))) AS s1,
+         SUM(CAST(x AS DECIMAL(15,10)) * CAST(x AS DECIMAL(15,10)))
+           AS s2
+  FROM flat GROUP BY i
+),
+st AS (
+  SELECT i,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         sqrt(CAST(CAST(n AS DECIMAL(10,0)) * CAST(s2 AS DECIMAL(27,20))
+                   - CAST(s1 AS DECIMAL(18,10))
+                     * CAST(s1 AS DECIMAL(18,10)) AS DOUBLE)
+              / CAST(n * n AS DOUBLE)) AS std
+  FROM s
+)
+SELECT f.vec_id, CAST(f.i AS BIGINT) AS dim,
+       CAST(round(CAST((f.x - st.mean) / st.std AS DECIMAL(18,12)), 6)
+            AS DOUBLE) AS z
+FROM flat f JOIN st USING (i)
+""",
+    tags=("similarity", "llm", "feature-prep"),
+)
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization of the embedding corpus
+    (x - mean_dim) / std_dim — the feature-scaling pass run before
+    clustering or linear probes so no dimension dominates by scale.
+    Means and population stds come from one exact-DECIMAL sufficient-
+    statistics aggregate (the stats_mergeable_moments machinery,
+    per dimension); std's sqrt is IEEE-correctly-rounded, so both
+    engines z-score identically.
+
+    At 100 TB: the per-dim stats table is d = 64 rows — ONE scan to
+    build, broadcast back for the (shuffle-free) standardize pass;
+    the explode is a flatMap, never a shuffle.  Exactly the
+    two-phase shape a feature pipeline wants: profile once, apply
+    everywhere, stats table checkpointable for reuse across runs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = (
+        emb.select(
+            "vec_id",
+            F.posexplode(
+                F.transform("embedding", lambda x: x.cast("double"))
+            ).alias("pos", "x"),
+        )
+        .select("vec_id", (F.col("pos") + 1).cast("long").alias("dim"), "x")
+    )
+    s = flat.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(25,10)")).alias("s1"),
+        F.sum(
+            F.col("x").cast("decimal(15,10)")
+            * F.col("x").cast("decimal(15,10)")
+        ).alias("s2"),
+    )
+    var_num = (
+        F.col("n").cast("decimal(10,0)") * F.col("s2").cast("decimal(27,20)")
+        - F.col("s1").cast("decimal(18,10)")
+        * F.col("s1").cast("decimal(18,10)")
+    ).cast("double")
+    st = s.select(
+        "dim",
+        (F.col("s1").cast("double") / F.col("n").cast("double")).alias(
+            "mean"
+        ),
+        F.sqrt(
+            var_num / (F.col("n") * F.col("n")).cast("double")
+        ).alias("std"),
+    )
+    return flat.join(F.broadcast(st), "dim").select(
+        "vec_id",
+        "dim",
+        F.round(
+            ((F.col("x") - F.col("mean")) / F.col("std")).cast(
+                "decimal(18,12)"
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("z"),
     )

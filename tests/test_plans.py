@@ -581,3 +581,21 @@ def test_alpha_mix_broadcasts_lang_rates(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dataset_alpha_mix")
     assert plan.count("BroadcastHashJoin") >= 1, plan
     assert "CartesianProduct" not in plan
+
+
+def test_hard_negatives_cell_bounded_join(spark, sf_dir):
+    """hard_negative_mining: candidates join on the centroid-cell id
+    (never corpus-cartesian); centroid literals live in the plan, so
+    assignment is shuffle-free."""
+    plan = plan_of(spark, sf_dir, "hard_negative_mining")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_standardize_broadcasts_dim_stats(spark, sf_dir):
+    """embedding_standardize: the 64-row per-dim stats table
+    broadcasts back to the exploded scan — the standardize pass
+    itself is shuffle-free."""
+    plan = plan_of(spark, sf_dir, "embedding_standardize")
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "CartesianProduct" not in plan
