@@ -35,6 +35,62 @@ _N_BINS = 10
 _BIN_WIDTH = 64  # n_chars in [0, 640) covers every SF's corpus
 
 
+def psi_from_bin_counts(spark: SparkSession, counts: DataFrame) -> DataFrame:
+    """PSI report from a (bin, r_cnt, c_cnt) counter table — the
+    merge-side tail shared by the batch monitor (drift_psi) and the
+    streaming monitor (stream_drift_monitor): bin spine join,
+    Laplace-smoothed shares, per-term ln rounded while DECIMAL, and
+    the 1-row total broadcast back.  Counters are mergeable, so any
+    partial aggregation (per batch, per shard, per day) composes into
+    this tail unchanged."""
+    spine = spark.range(_N_BINS).select(F.col("id").alias("bin"))
+    c = spine.join(F.broadcast(counts), "bin", "left").select(
+        "bin",
+        F.coalesce("r_cnt", F.lit(0)).alias("ref_n"),
+        F.coalesce("c_cnt", F.lit(0)).alias("cur_n"),
+    )
+    tot = c.agg(F.sum("ref_n").alias("nr"), F.sum("cur_n").alias("nc"))
+    p = (F.col("ref_n").cast("double") + F.lit(0.5)) / (
+        F.col("nr").cast("double") + F.lit(_N_BINS / 2.0)
+    )
+    q = (F.col("cur_n").cast("double") + F.lit(0.5)) / (
+        F.col("nc").cast("double") + F.lit(_N_BINS / 2.0)
+    )
+    terms = c.crossJoin(F.broadcast(tot)).select(
+        "bin", "ref_n", "cur_n", p.alias("p"), q.alias("q")
+    )
+    rt = terms.select(
+        "bin",
+        "ref_n",
+        "cur_n",
+        "p",
+        "q",
+        F.round(
+            ((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")))
+            .cast("decimal(18,12)"),
+            12,
+        ).alias("term"),
+    )
+    total = rt.agg(
+        F.sum(F.col("term").cast("decimal(28,12)")).alias("psi")
+    )
+    return rt.crossJoin(F.broadcast(total)).select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("ref_n").cast("long").alias("ref_n"),
+        F.col("cur_n").cast("long").alias("cur_n"),
+        F.round(F.col("p").cast("decimal(18,12)"), 6)
+        .cast("double")
+        .alias("p_ref"),
+        F.round(F.col("q").cast("decimal(18,12)"), 6)
+        .cast("double")
+        .alias("p_cur"),
+        F.round("term", 6).cast("double").alias("psi_term"),
+        F.round(F.col("psi").cast("decimal(28,12)"), 6)
+        .cast("double")
+        .alias("psi_total"),
+    )
+
+
 @register(
     "drift_psi",
     oracle=f"""
@@ -128,57 +184,7 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("split") == "test", 1)).alias("c_cnt"),
         )
     )
-    spine = spark.range(_N_BINS).select(F.col("id").alias("bin"))
-    c = (
-        spine.join(F.broadcast(counts), "bin", "left")
-        .select(
-            "bin",
-            F.coalesce("r_cnt", F.lit(0)).alias("ref_n"),
-            F.coalesce("c_cnt", F.lit(0)).alias("cur_n"),
-        )
-    )
-    tot = c.agg(
-        F.sum("ref_n").alias("nr"), F.sum("cur_n").alias("nc")
-    )
-    p = (F.col("ref_n").cast("double") + F.lit(0.5)) / (
-        F.col("nr").cast("double") + F.lit(_N_BINS / 2.0)
-    )
-    q = (F.col("cur_n").cast("double") + F.lit(0.5)) / (
-        F.col("nc").cast("double") + F.lit(_N_BINS / 2.0)
-    )
-    terms = c.crossJoin(F.broadcast(tot)).select(
-        "bin", "ref_n", "cur_n", p.alias("p"), q.alias("q")
-    )
-    rt = terms.select(
-        "bin",
-        "ref_n",
-        "cur_n",
-        "p",
-        "q",
-        F.round(
-            ((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")))
-            .cast("decimal(18,12)"),
-            12,
-        ).alias("term"),
-    )
-    total = rt.agg(
-        F.sum(F.col("term").cast("decimal(28,12)")).alias("psi")
-    )
-    return rt.crossJoin(F.broadcast(total)).select(
-        F.col("bin").cast("long").alias("bin"),
-        F.col("ref_n").cast("long").alias("ref_n"),
-        F.col("cur_n").cast("long").alias("cur_n"),
-        F.round(F.col("p").cast("decimal(18,12)"), 6)
-        .cast("double")
-        .alias("p_ref"),
-        F.round(F.col("q").cast("decimal(18,12)"), 6)
-        .cast("double")
-        .alias("p_cur"),
-        F.round("term", 6).cast("double").alias("psi_term"),
-        F.round(F.col("psi").cast("decimal(28,12)"), 6)
-        .cast("double")
-        .alias("psi_total"),
-    )
+    return psi_from_bin_counts(spark, counts)
 
 
 @register(

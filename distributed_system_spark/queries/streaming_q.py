@@ -348,3 +348,30 @@ def stream_dedup_sig_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return signature_index_stream(spark, sf_dir)
+
+
+# Streaming drift monitor shares drift_psi's oracle verbatim: the
+# per-batch counters are mergeable, so the drained monitor equals the
+# batch PSI exactly.
+from distributed_system_spark.queries import REGISTRY as _REG  # noqa: E402
+from distributed_system_spark.queries import drift_q as _drift_q  # noqa: E402,F401
+
+
+@register(
+    "stream_drift_monitor",
+    oracle=_REG["drift_psi"].oracle,
+    tags=("C9", "streaming", "drift", "monitoring"),
+)
+def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PSI drift monitor: each documents microbatch appends
+    its 10-row bin-counter DELTA to a checkpointed piece sink (state
+    per batch is 10 rows regardless of batch size — the monitor
+    never stores or rescans raw history), and the drained report
+    merges counters through the shared psi_from_bin_counts tail.
+    Counter mergeability makes the result EXACTLY the batch
+    drift_psi — the oracle is reused verbatim."""
+    from distributed_system_spark.streaming.streams import (
+        drift_monitor_stream,
+    )
+
+    return drift_monitor_stream(spark, sf_dir)

@@ -723,3 +723,126 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("resid"),
     )
+
+
+@register(
+    "ts_changepoint_cusum",
+    oracle=f"""
+WITH d AS (
+  SELECT epoch_us(ts) // {_DAY_US} AS day, count(*) AS cnt
+  FROM events GROUP BY 1
+),
+b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+spine AS (SELECT unnest(range(lo, hi + 1)) AS day FROM b),
+j AS (
+  SELECT s.day, coalesce(d.cnt, 0) AS c
+  FROM spine s LEFT JOIN d USING (day)
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS total
+  FROM j
+),
+t AS (
+  SELECT day, c,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS pos,
+         CAST(SUM(c) OVER (ORDER BY day) AS BIGINT) AS csum
+  FROM j
+),
+sc AS (
+  SELECT day, c, n, total,
+         10 * n * csum - 11 * pos * total AS big_t
+  FROM t CROSS JOIN tot
+),
+m AS (
+  SELECT day, c, n, total, big_t,
+         least(0, min(big_t) OVER (ORDER BY day)) AS mn
+  FROM sc
+)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(c AS BIGINT) AS n_events,
+       CAST(round(CAST(CAST(big_t - mn AS DOUBLE)
+                       / (10.0 * CAST(n AS DOUBLE))
+                  AS DECIMAL(28,12)), 6) AS DOUBLE) AS cusum,
+       (big_t - mn) > 30 * total AS alarm
+FROM m
+""",
+    tags=("timeseries", "changepoint", "monitoring"),
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point detection over the daily event
+    volume: S_t = max(0, S_(t-1) + c_t - mu - k) with allowance
+    k = 0.1*mu, alarm when S_t > 3*mu — the standing upward-shift
+    monitor for pipeline volumes (ingest spikes, runaway producers).
+
+    The recursion is NOT directly window-expressible, but the
+    clamped sum has the exact closed form S_t = T_t - min(0,
+    min_(i<=t) T_i) where T is the UNclamped prefix sum — so two
+    windows (cumsum + running min) over the gap-filled day spine
+    compute it exactly.  All arithmetic is INTEGER at scale 10n
+    (T_t*10n = 10n*cumsum - 11*pos*total), so mean and allowance
+    never materialize as floats: the alarm compare is
+    (T - min) > 30*total, integers end to end, and the reported
+    cusum value is one integer-ratio double.
+
+    At 100 TB: aggregate-first — the fact scan reduces to |days|
+    rows before ANY window runs; the unpartitioned windows touch the
+    365-row spine only (bounded by the calendar, the documented
+    benign class)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.expr(f"ts_ns div 1000 div {_DAY_US}").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    b = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = b.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    j = spine.join(d, "day", "left").select(
+        "day", F.coalesce("cnt", F.lit(0)).alias("c")
+    )
+    tot = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("total"),
+    )
+    wc = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t = j.select(
+        "day",
+        "c",
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("pos"),
+        F.sum("c").over(wc).cast("long").alias("csum"),
+    )
+    sc = t.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "c",
+        "n",
+        "total",
+        (
+            F.lit(10) * F.col("n") * F.col("csum")
+            - F.lit(11) * F.col("pos") * F.col("total")
+        ).alias("big_t"),
+    )
+    m = sc.select(
+        "day",
+        "c",
+        "n",
+        "total",
+        "big_t",
+        F.least(F.lit(0), F.min("big_t").over(wc)).alias("mn"),
+    )
+    return m.select(
+        F.col("day").cast("long").alias("day"),
+        F.col("c").cast("long").alias("n_events"),
+        F.round(
+            (
+                (F.col("big_t") - F.col("mn")).cast("double")
+                / (F.lit(10.0) * F.col("n").cast("double"))
+            ).cast("decimal(28,12)"),
+            6,
+        )
+        .cast("double")
+        .alias("cusum"),
+        ((F.col("big_t") - F.col("mn")) > F.lit(30) * F.col("total")).alias(
+            "alarm"
+        ),
+    )

@@ -933,3 +933,77 @@ def user_totals_tws(
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "total_value")
     )
+
+
+def drift_monitor_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor: documents arrive as microbatches and
+    each batch appends only its 10-BIN COUNTER DELTA (train/test
+    cohort counts per length bin) to a checkpointed piece sink —
+    never raw rows.  The final PSI report merges the per-batch
+    counters and runs the shared psi_from_bin_counts tail, and is
+    EXACTLY equal to the batch drift_psi because bin counters are
+    mergeable (the stats_mergeable_moments property, applied to the
+    monitor itself).
+
+    This is how a 100 TB standing monitor actually runs: per-batch
+    state is 10 rows regardless of batch size, history is never
+    rescanned, and a crash replays into the same deterministic
+    per-batch piece (pieces_sink semantics — exactly-once)."""
+    import os
+
+    src = f"{sf_dir.rstrip('/')}/documents.parquet"
+    root = f"/tmp/dss-drift-monitor-{_src_tag(src)}"
+    out_dir, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
+
+    raw = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_docs_stage_dir(spark, sf_dir))
+    )
+    b = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+    )
+    split = (
+        F.when(b < "cd", "train").when(b < "e6", "val").otherwise("test")
+    )
+    assign = raw.select(
+        F.least(
+            F.lit(9), (F.col("n_chars") / F.lit(64)).cast("long")
+        ).alias("bin"),
+        split.alias("split"),
+    ).filter(F.col("split") != "val")
+
+    def write_counts(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("bin")
+            .agg(
+                F.count(F.when(F.col("split") == "train", 1)).alias(
+                    "r_cnt"
+                ),
+                F.count(F.when(F.col("split") == "test", 1)).alias(
+                    "c_cnt"
+                ),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/piece={batch_id}")
+        )
+
+    q = (
+        assign.writeStream.foreachBatch(write_counts)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from distributed_system_spark.queries.drift_q import (
+        psi_from_bin_counts,
+    )
+
+    merged = (
+        spark.read.schema("bin BIGINT, r_cnt BIGINT, c_cnt BIGINT")
+        .parquet(out_dir)
+        .groupBy("bin")
+        .agg(F.sum("r_cnt").alias("r_cnt"), F.sum("c_cnt").alias("c_cnt"))
+    )
+    return psi_from_bin_counts(spark, merged)

@@ -675,3 +675,20 @@ def test_transform_with_state_totals(spark, sf_dir):
         .alias("total_value"),
     )
     assert _rows(got) == _rows(want)
+
+
+def test_drift_monitor_stream_matches_batch_and_reruns(spark, sf_dir):
+    """The streaming PSI monitor's merged per-batch counters must
+    equal the batch drift_psi exactly (counter mergeability), and a
+    re-run over the same checkpoint must be a no-op (exactly-once:
+    replayed batch_ids skipped, pieces rewritten deterministically)."""
+    from distributed_system_spark.queries.drift_q import drift_psi
+    from distributed_system_spark.streaming.streams import (
+        drift_monitor_stream,
+    )
+
+    want = _rows(drift_psi(spark, sf_dir))
+    got1 = _rows(drift_monitor_stream(spark, sf_dir))
+    got2 = _rows(drift_monitor_stream(spark, sf_dir))
+    assert got1 == want
+    assert got2 == want
