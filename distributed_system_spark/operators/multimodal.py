@@ -467,3 +467,53 @@ def segment_audio(
             ).alias("seg"),
         )
     )
+
+
+def scene_cuts(
+    df: DataFrame,
+    frame_bytes: int = 16,
+    threshold: int = 300,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Scene-cut detection over binary payloads: split each payload
+    into full fixed-size frames, score consecutive-frame difference
+    as the sum of absolute per-byte deltas, and flag a cut where the
+    difference exceeds ``threshold`` — the shot-boundary pattern with
+    the byte-chunk frame standing in for a decoded luma plane (a real
+    decoder slots into the same stage).
+
+    All of a payload's frames live inside its own row, so the whole
+    detector is one shuffle-free mapInPandas pass — per-doc numpy
+    (reshape + int16 abs-diff), never a window or self-join.  One row
+    out per frame transition; ragged tails (< frame_bytes) are
+    dropped so every compared frame is complete.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[object] = []
+            idxs: list[int] = []
+            diffs: list[int] = []
+            for i, p in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(p)
+                n = len(b) // frame_bytes
+                if n < 2:
+                    continue
+                a = (
+                    np.frombuffer(b[: n * frame_bytes], dtype=np.uint8)
+                    .reshape(n, frame_bytes)
+                    .astype(np.int16)
+                )
+                d = np.abs(a[1:] - a[:-1]).sum(axis=1)
+                ids.extend([i] * (n - 1))
+                idxs.extend(range(1, n))
+                diffs.extend(int(x) for x in d)
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "diff": diffs}
+            )
+
+    out = df.select(id_col, "payload").mapInPandas(
+        run, f"{id_col} bigint, frame_idx bigint, diff bigint"
+    )
+    return out.withColumn("is_cut", F.col("diff") > threshold)

@@ -205,3 +205,46 @@ def ri_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS (fk, child_rows, orphan_rows)"
     )
     return lrows.unionByName(orows)
+
+
+@register(
+    "k_anonymity_audit",
+    oracle="""
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       c_mktsegment AS segment,
+       count(*) AS group_n,
+       count(*) >= 10 AS meets_k,
+       CAST(count(DISTINCT CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS l_diversity,
+       count(DISTINCT CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) >= 2
+         AS meets_l
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+""",
+    tags=("C4", "privacy", "data-quality"),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit before publishing a derived dataset: k-anonymity
+    group sizes over the quasi-identifier pair (nation, market
+    segment) — any group smaller than k = 10 re-identifies its
+    members — plus l-diversity of a sensitive attribute (the
+    negative-balance flag) within each group: a group where everyone
+    shares the sensitive value leaks it even at large k.  The check a
+    curation pipeline runs on metadata columns before a corpus (or
+    its per-source stats) ships.
+
+    At 100 TB: one partial+final aggregate over the QI key (the
+    distinct-aggregate expands to the standard two-phase plan,
+    bounded by |QI| x 2 partial rows) — audit cost is independent of
+    how many checks ride the same scan."""
+    cust = load_table(spark, sf_dir, "customer")
+    sens = F.when(F.col("c_acctbal") < 0, 1).otherwise(0)
+    return cust.groupBy(
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+    ).agg(
+        F.count(F.lit(1)).alias("group_n"),
+        (F.count(F.lit(1)) >= 10).alias("meets_k"),
+        F.countDistinct(sens).cast("long").alias("l_diversity"),
+        (F.countDistinct(sens) >= 2).alias("meets_l"),
+    )
