@@ -70,6 +70,13 @@ HEADLINE = [
                           # above measures the output-quadratic
                           # degeneracy of the synthetic table as much
                           # as the plan — keep both numbers)
+    "hard_negative_mining",  # cell-partitioned contrastive mining
+                          # (embedding training-data prep; fixed k=8
+                          # makes cells grow with the corpus here —
+                          # SCALE.md round-5 batch-2 note)
+    "drift_psi",          # the standing PSI drift monitor — benched
+                          # to show monitoring is ~free (one scan
+                          # into 10 counters)
 ]
 # NOT here: dedup_minhash_lsh / dedup_ngram_jaccard.  They are correct
 # (oracle-green at the driver's sf0.01) but this synthetic corpus has a
