@@ -1773,3 +1773,157 @@ def dataset_alpha_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_sampled",
         )
     )
+
+
+@register(
+    "score_pr_curve",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, str_split(text, ' ') AS toks,
+         length(text) AS len_chars
+  FROM documents
+), m AS (
+  SELECT doc_id, lang, len_chars,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_unique,
+         len(list_filter(toks, x -> list_contains(
+             ['the','a','of','and','to','is','in'], x))) AS n_stop
+  FROM t
+), f AS (
+  SELECT doc_id,
+         (n_tokens BETWEEN 20 AND 5000
+          AND CAST(n_unique AS DOUBLE) / n_tokens >= 0.2
+          AND (lang <> 'en'
+               OR CAST(n_stop AS DOUBLE) / n_tokens >= 0.02)) AS label,
+         CAST(round(CAST(n_unique AS DOUBLE) / n_tokens, 6)
+              AS DECIMAL(18,6)) AS uniq_r,
+         CAST(round(CAST(n_stop AS DOUBLE) / n_tokens, 6)
+              AS DECIMAL(18,6)) AS stop_r,
+         CAST(round(CAST(len_chars - n_tokens + 1 AS DOUBLE) / n_tokens,
+                    6) AS DECIMAL(18,6)) AS awl,
+         CAST(round(CAST(least(n_tokens, 200) AS DOUBLE) / 200, 6)
+              AS DECIMAL(18,6)) AS len_r
+  FROM m
+), s AS (
+  SELECT doc_id, label,
+         CAST(round(CAST(round(
+             CAST(0.25 AS DECIMAL(6,3))
+           + CAST(0.40 AS DECIMAL(6,3)) * uniq_r
+           + CAST(-0.30 AS DECIMAL(6,3)) * stop_r
+           + CAST(0.02 AS DECIMAL(6,3)) * awl
+           + CAST(0.15 AS DECIMAL(6,3)) * len_r, 6) AS DOUBLE)
+           * 1000000) AS BIGINT) AS s_int
+  FROM f
+), bucketed AS (
+  SELECT CASE WHEN s_int < 400000 THEN -1
+              ELSE least(15, (s_int - 400000) // 20000) END AS idx,
+         count(CASE WHEN label THEN 1 END) AS n_pos,
+         count(CASE WHEN NOT label THEN 1 END) AS n_neg
+  FROM s GROUP BY 1
+), grid AS (SELECT unnest(range(0, 16)) AS k),
+cum AS (
+  SELECT g.k,
+         CAST(coalesce(SUM(CASE WHEN b.idx >= g.k THEN b.n_pos END), 0)
+              AS BIGINT) AS tp,
+         CAST(coalesce(SUM(CASE WHEN b.idx >= g.k THEN b.n_neg END), 0)
+              AS BIGINT) AS fp,
+         CAST((SELECT SUM(n_pos) FROM bucketed) AS BIGINT) AS all_pos
+  FROM grid g CROSS JOIN bucketed b
+  GROUP BY g.k
+)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(round(CAST(40 + 2 * k AS DOUBLE) / 100.0, 2) AS DOUBLE)
+         AS threshold,
+       tp, fp, all_pos - tp AS fn,
+       CAST(round(CAST(CASE WHEN tp + fp = 0 THEN 0.0
+            ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END
+            AS DECIMAL(18,12)), 6) AS DOUBLE) AS precision_,
+       CAST(round(CAST(CAST(tp AS DOUBLE) / CAST(all_pos AS DOUBLE)
+            AS DECIMAL(18,12)), 6) AS DOUBLE) AS recall_,
+       CAST(round(CAST(CAST(2 * tp AS DOUBLE)
+            / CAST(2 * tp + fp + (all_pos - tp) AS DOUBLE)
+            AS DECIMAL(18,12)), 6) AS DOUBLE) AS f1
+FROM cum
+""",
+    tags=("llm", "evaluation", "classifier"),
+)
+def score_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 threshold sweep for the linear quality
+    scorer (doc_model_score) against the heuristic gate verdict
+    (doc_quality_filter) as reference labels — the calibration table
+    an operator reads to pick the score cutoff BEFORE gating a
+    100 TB corpus with it.  16 thresholds, 0.40 to 0.70 step 0.02.
+
+    Scale shape: per-doc scores quantize to INTEGER micro-units and
+    bucket onto the threshold grid in one aggregate (17 buckets),
+    then every threshold's TP/FP/FN falls out of grid-bounded
+    cumulative sums — the corpus is scanned ONCE, never once per
+    threshold, and every confusion count and ratio is integer-exact
+    (no float boundary anywhere: the grid compare is s_int >=
+    400000 + 20000k).
+
+    Companions: minhash_calibration (dedup budget), ann_recall_report
+    (index quality), langid_confusion_matrix (classifier eval) — the
+    measure-before-trust family."""
+    scores = doc_model_score(spark, sf_dir).select(
+        "doc_id",
+        F.round(F.col("score") * 1000000).cast("long").alias("s_int"),
+    )
+    labels = doc_quality_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("label")
+    )
+    s = scores.join(labels, "doc_id")
+    idx = F.when(F.col("s_int") < 400000, F.lit(-1)).otherwise(
+        F.least(
+            F.lit(15),
+            ((F.col("s_int") - 400000) / F.lit(20000)).cast("long"),
+        )
+    )
+    bucketed = s.groupBy(idx.alias("idx")).agg(
+        F.count(F.when(F.col("label"), 1)).alias("n_pos"),
+        F.count(F.when(~F.col("label"), 1)).alias("n_neg"),
+    )
+    grid = spark.range(16).select(F.col("id").alias("k"))
+    cum = (
+        grid.join(F.broadcast(bucketed))
+        .groupBy("k")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("idx") >= F.col("k"), F.col("n_pos"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tp"),
+            F.coalesce(
+                F.sum(F.when(F.col("idx") >= F.col("k"), F.col("n_neg"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("fp"),
+            F.sum("n_pos").cast("long").alias("all_pos"),
+        )
+    )
+    fn = F.col("all_pos") - F.col("tp")
+    prec = F.when(F.col("tp") + F.col("fp") == 0, F.lit(0.0)).otherwise(
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double")
+    )
+    rec = F.col("tp").cast("double") / F.col("all_pos").cast("double")
+    f1 = (F.lit(2) * F.col("tp")).cast("double") / (
+        F.lit(2) * F.col("tp") + F.col("fp") + fn
+    ).cast("double")
+    return cum.select(
+        F.col("k").cast("long").alias("k"),
+        F.round((F.lit(40) + F.lit(2) * F.col("k")).cast("double") / 100.0, 2)
+        .cast("double")
+        .alias("threshold"),
+        "tp",
+        "fp",
+        fn.alias("fn"),
+        F.round(prec.cast("decimal(18,12)"), 6)
+        .cast("double")
+        .alias("precision_"),
+        F.round(rec.cast("decimal(18,12)"), 6)
+        .cast("double")
+        .alias("recall_"),
+        F.round(f1.cast("decimal(18,12)"), 6).cast("double").alias("f1"),
+    )
