@@ -1337,3 +1337,121 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("z"),
     )
+
+
+@register(
+    "cluster_purity_eval",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_SQL_SQDIST}, c.cid) AS rn
+    FROM e CROSS JOIN c0 c) WHERE rn = 1
+),
+m AS (
+  SELECT a1.vec_id, a1.cid, emb.label
+  FROM a1 JOIN embeddings emb ON emb.vec_id = a1.vec_id
+),
+cont AS (
+  SELECT cid, label, count(*) AS n FROM m GROUP BY cid, label
+),
+per_m AS (
+  SELECT cid, label, n,
+         row_number() OVER (PARTITION BY cid
+                            ORDER BY n DESC, label) AS rn,
+         SUM(n) OVER (PARTITION BY cid) AS nm
+  FROM cont
+),
+per AS (
+  SELECT cid, CAST(nm AS BIGINT) AS n_members,
+         CAST(label AS BIGINT) AS majority_label,
+         CAST(n AS BIGINT) AS n_majority
+  FROM per_m WHERE rn = 1
+),
+tot AS (
+  SELECT CAST(SUM(n_majority) AS BIGINT) AS maj,
+         CAST(SUM(n_members) AS BIGINT) AS all_n
+  FROM per
+)
+SELECT CAST(cid AS BIGINT) AS cluster, n_members, majority_label,
+       n_majority,
+       CAST(round(CAST(CAST(n_majority AS DOUBLE)
+                       / CAST(n_members AS DOUBLE)
+                  AS DECIMAL(18,12)), 6) AS DOUBLE) AS purity,
+       CAST(round(CAST(CAST(maj AS DOUBLE) / CAST(all_n AS DOUBLE)
+                  AS DECIMAL(18,12)), 6) AS DOUBLE) AS overall_purity
+FROM per CROSS JOIN tot
+""",
+    tags=("similarity", "evaluation", "clustering"),
+)
+def cluster_purity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality evaluation: per-cluster label purity
+    (majority-label share) for the nearest-centroid partition, plus
+    the overall purity — the sanity report before trusting cluster
+    ids as curation units (SemDeDup cells, IVF lists, topic shards).
+    Majority tie-break is (count desc, label asc), engine-pinned.
+
+    At 100 TB: assignment is broadcast-literal parallel; the
+    contingency table is one aggregate bounded by |clusters| x
+    |labels|; everything after runs on that tiny table.  The
+    measure-before-trust family, clustering edition."""
+    k = 8
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    c0 = [
+        (r["vec_id"], list(r["v"]))
+        for r in e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    ]
+    m = _kmeans_assign(e, c0).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    cont = m.groupBy(
+        F.col("cluster").alias("cid"), "label"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wmaj = Window.partitionBy("cid").orderBy(
+        F.col("n").desc(), "label"
+    )
+    wsum = Window.partitionBy("cid")
+    per = (
+        cont.withColumn("rn", F.row_number().over(wmaj))
+        .withColumn("nm", F.sum("n").over(wsum))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cid",
+            F.col("nm").cast("long").alias("n_members"),
+            F.col("label").cast("long").alias("majority_label"),
+            F.col("n").cast("long").alias("n_majority"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_majority").cast("long").alias("maj"),
+        F.sum("n_members").cast("long").alias("all_n"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("cid").cast("long").alias("cluster"),
+        "n_members",
+        "majority_label",
+        "n_majority",
+        F.round(
+            (
+                F.col("n_majority").cast("double")
+                / F.col("n_members").cast("double")
+            ).cast("decimal(18,12)"),
+            6,
+        )
+        .cast("double")
+        .alias("purity"),
+        F.round(
+            (F.col("maj").cast("double") / F.col("all_n").cast("double")).cast(
+                "decimal(18,12)"
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("overall_purity"),
+    )
