@@ -846,3 +846,99 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "alarm"
         ),
     )
+
+
+@register(
+    "ts_autocorrelation",
+    oracle=f"""
+WITH d AS (
+  SELECT epoch_us(ts) // {_DAY_US} AS day, count(*) AS cnt
+  FROM events GROUP BY 1
+),
+b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+spine AS (SELECT unnest(range(lo, hi + 1)) AS day FROM b),
+j AS (
+  SELECT s.day, coalesce(d.cnt, 0) AS c,
+         row_number() OVER (ORDER BY s.day) AS pos
+  FROM spine s LEFT JOIN d USING (day)
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+  FROM j
+),
+y AS (
+  SELECT pos, n * c - s AS yv, n, s FROM j CROSS JOIN tot
+),
+den AS (SELECT CAST(SUM(yv * yv) AS BIGINT) AS d2 FROM y),
+grid AS (SELECT unnest(range(1, 8)) AS k),
+num AS (
+  SELECT g.k,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(a.yv * b.yv) AS BIGINT) AS nm
+  FROM grid g
+  JOIN y a ON TRUE
+  JOIN y b ON a.pos = b.pos + g.k
+  GROUP BY g.k
+)
+SELECT CAST(k AS BIGINT) AS lag, n_pairs,
+       CAST(round(CAST(CAST(nm AS DOUBLE) / CAST(d2 AS DOUBLE)
+                  AS DECIMAL(18,12)), 6) AS DOUBLE) AS acf
+FROM num CROSS JOIN den
+""",
+    tags=("timeseries", "statistics"),
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily event volume at lags
+    1-7 — the seasonality detector that justifies (or refutes) the
+    weekly component ts_seasonal_decompose assumes.  Standard ACF:
+    r_k = sum (x_t - mean)(x_(t-k) - mean) / sum (x_t - mean)^2,
+    computed EXACTLY by scaling through n (y_t = n*x_t - S is
+    integer, r_k = sum y_t y_(t-k) / sum y_t^2) — no float appears
+    until the single final division.
+
+    At 100 TB: aggregate-first to |days| rows; the lag pairing is an
+    equi-join on the 365-row spine positions — everything after the
+    first aggregate is calendar-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.expr(f"ts_ns div 1000 div {_DAY_US}").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    b = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = b.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    j = (
+        spine.join(d, "day", "left")
+        .select("day", F.coalesce("cnt", F.lit(0)).alias("c"))
+        .withColumn("pos", F.row_number().over(Window.orderBy("day")))
+    )
+    tot = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+    )
+    y = j.crossJoin(F.broadcast(tot)).select(
+        "pos", (F.col("n") * F.col("c") - F.col("s")).alias("yv")
+    )
+    den = y.agg(F.sum(F.col("yv") * F.col("yv")).cast("long").alias("d2"))
+    grid = spark.range(1, 8).select(F.col("id").alias("lag"))
+    a = y.select(F.col("pos").alias("pa"), F.col("yv").alias("ya"))
+    bb = y.select(F.col("pos").alias("pb"), F.col("yv").alias("yb"))
+    num = (
+        grid.crossJoin(a)
+        .join(bb, F.col("pa") == F.col("pb") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("ya") * F.col("yb")).cast("long").alias("nm"),
+        )
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        F.col("lag").cast("long").alias("lag"),
+        "n_pairs",
+        F.round(
+            (F.col("nm").cast("double") / F.col("d2").cast("double")).cast(
+                "decimal(18,12)"
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("acf"),
+    )

@@ -226,3 +226,31 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan
+
+
+def test_binaryfile_source_reads_media_blobs(spark, tmp_path):
+    """C1: Spark's binaryFile source is the multimodal ingestion entry
+    point — opaque media blobs land as (path, modificationTime,
+    length, content) rows ready for the mapInPandas decode stage.
+    Round-trip: bytes written == content read, glob filter prunes
+    non-matching extensions at the listing."""
+    d = tmp_path / "media"
+    d.mkdir()
+    blobs = {
+        "a.bin": b"\x00\x01\x02frame-like-bytes",
+        "b.bin": b"P6 fake-ppm-payload",
+    }
+    for name, data in blobs.items():
+        (d / name).write_bytes(data)
+    (d / "ignore.txt").write_text("not media")
+
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(str(d))
+    )
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == set(blobs)
+    for name, data in blobs.items():
+        assert bytes(rows[name].content) == data
+        assert rows[name].length == len(data)
