@@ -180,3 +180,94 @@ def test_escape_key_roundtrip_and_component_safety(keys):
         assert "/" not in n
         assert unescape_key(n) == k
     assert len(set(names)) == len(set(keys))
+
+
+@given(
+    xs=st.lists(st.integers(min_value=0, max_value=1000), min_size=2, max_size=60)
+)
+@settings(**_SETTINGS)
+def test_cusum_closed_form_matches_recursion(xs):
+    """ts_changepoint_cusum computes S_t = max(0, S_(t-1) + x_t - mu - k)
+    via the prefix-sum/running-min closed form at integer scale 10n.
+    Pure-python check on arbitrary series: closed form == the literal
+    recursion (both at scale 10n so no float enters either side)."""
+    n = len(xs)
+    total = sum(xs)
+    # scaled increments: 10n*(x_t - mu - 0.1*mu) = 10n*x_t - 11*total
+    inc = [10 * n * x - 11 * total for x in xs]
+    # literal clamped recursion
+    s, rec = 0, []
+    for d in inc:
+        s = max(0, s + d)
+        rec.append(s)
+    # closed form: T_t - min(0, min_{i<=t} T_i)
+    t, mn, closed = 0, 0, []
+    for d in inc:
+        t += d
+        mn = min(mn, t)
+        closed.append(t - min(0, mn))
+    assert rec == closed
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=1, max_size=8
+        ).map(lambda cs: " ".join(cs)),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_length_filter_never_changes_jaccard_verify(spark, docs):
+    """jaccard_verify's size-ratio length filter is a NECESSARY
+    condition of J >= t (relaxed past the rounding band), so adding
+    it must never change the verified pair set — checked against a
+    filter-free reimplementation on arbitrary tiny corpora."""
+    from distributed_system_spark.operators.dedup import (
+        doc_tokens,
+        jaccard_verify,
+    )
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    toks = doc_tokens(df)
+    ids = [(a, b) for a in range(len(docs)) for b in range(len(docs)) if a < b]
+    pairs = spark.createDataFrame(ids, "id_a long, id_b long")
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_verify(pairs, toks, 0.8).collect()
+    }
+    # filter-free reference: exact python set jaccard
+    sets_ = {i: set(d.split(" ")) for i, d in enumerate(docs)}
+    want = set()
+    for a, b in ids:
+        inter = len(sets_[a] & sets_[b])
+        jac = round(inter / (len(sets_[a]) + len(sets_[b]) - inter), 6)
+        if jac >= 0.8:
+            want.add((a, b, jac))
+    assert got == want
+
+
+def test_psi_zero_for_identical_and_nonnegative(spark):
+    """psi_from_bin_counts: identical cohorts => PSI == 0.0 exactly;
+    shifted cohorts => strictly positive (divergence property)."""
+    from distributed_system_spark.queries.drift_q import (
+        psi_from_bin_counts,
+    )
+
+    same = spark.createDataFrame(
+        [(i, 10 + i, 10 + i) for i in range(10)],
+        "bin long, r_cnt long, c_cnt long",
+    )
+    r = psi_from_bin_counts(spark, same).select("psi_total").first()
+    assert r.psi_total == 0.0
+
+    shifted = spark.createDataFrame(
+        [(i, 100 if i < 5 else 10, 10 if i < 5 else 100) for i in range(10)],
+        "bin long, r_cnt long, c_cnt long",
+    )
+    r2 = psi_from_bin_counts(spark, shifted).select("psi_total").first()
+    assert r2.psi_total > 0.1
