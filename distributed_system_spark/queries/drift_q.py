@@ -16,7 +16,7 @@ way that should block the publish?".
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from distributed_system_spark.queries import register
 from distributed_system_spark.sources.tables import load_table
@@ -459,4 +459,96 @@ def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("stat").cast("decimal(18,12)"), 6)
         .cast("double")
         .alias("ks_stat"),
+    )
+
+
+@register(
+    "quantile_normalize_sources",
+    oracle="""
+WITH hist AS (
+  SELECT n_chars AS v, count(*) AS cnt FROM documents GROUP BY n_chars
+),
+cum AS (
+  SELECT v,
+         SUM(cnt) OVER (ORDER BY v) AS hi,
+         SUM(cnt) OVER (ORDER BY v) - cnt + 1 AS lo
+  FROM hist
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS big_n FROM documents),
+ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS r,
+         count(*) OVER (PARTITION BY source) AS ns
+  FROM documents
+),
+mapped AS (
+  SELECT doc_id, source, n_chars,
+         (r * big_n + ns - 1) // ns AS p
+  FROM ranked CROSS JOIN tot
+)
+SELECT m.doc_id, m.source,
+       CAST(m.n_chars AS BIGINT) AS n_chars,
+       CAST(c.v AS BIGINT) AS norm_chars
+FROM mapped m JOIN cum c ON m.p BETWEEN c.lo AND c.hi
+""",
+    tags=("llm", "harmonization", "quantile"),
+)
+def quantile_normalize_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile normalization across sources (the batch-effect
+    correction of bioinformatics, applied to corpus harmonization):
+    each document's length is replaced by the POOLED distribution's
+    value at the same within-source quantile, so every source ends up
+    with an identical length distribution — the preprocessing that
+    stops a verbose source from dominating length-sensitive gates.
+
+    Mapping is ALL-INTEGER: within-source rank r of n_s maps to
+    pooled cumulative position ceil(r*N/n_s), resolved against the
+    pooled value histogram's cumulative intervals — no percentile
+    float appears anywhere, so both engines agree exactly.
+
+    At 100 TB: the pooled histogram is bounded by the VALUE
+    cardinality (lengths: ~500 distinct), its cumulative intervals
+    build in one bounded window and BROADCAST to the interval-lookup
+    join; the only corpus-scale work is the per-source rank window
+    (one keyed shuffle).  A continuous feature would grid-bucket
+    first — same plan, coarser histogram."""
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wv = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "v",
+        F.sum("cnt").over(wv).alias("hi"),
+        (F.sum("cnt").over(wv) - F.col("cnt") + 1).alias("lo"),
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("big_n"))
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("source")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(ws).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("ns"),
+    )
+    mapped = ranked.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.expr("(r * big_n + ns - 1) div ns").alias("p"),
+    )
+    return mapped.join(
+        F.broadcast(cum),
+        (F.col("p") >= F.col("lo")) & (F.col("p") <= F.col("hi")),
+    ).select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("v").cast("long").alias("norm_chars"),
     )

@@ -599,3 +599,13 @@ def test_embedding_standardize_broadcasts_dim_stats(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "embedding_standardize")
     assert plan.count("BroadcastHashJoin") >= 1, plan
     assert "CartesianProduct" not in plan
+
+
+def test_quantile_normalize_broadcasts_interval_table(spark, sf_dir):
+    """quantile_normalize_sources: the value-histogram interval table
+    (bounded by value cardinality) is BROADCAST to the range-lookup
+    join; corpus-scale work is only the source-keyed rank window."""
+    plan = plan_of(spark, sf_dir, "quantile_normalize_sources")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
