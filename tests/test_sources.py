@@ -254,3 +254,59 @@ def test_binaryfile_source_reads_media_blobs(spark, tmp_path):
     for name, data in blobs.items():
         assert bytes(rows[name].content) == data
         assert rows[name].length == len(data)
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
+    """C1 sink semantics: dynamic partitionOverwriteMode rewrites ONLY
+    the partitions present in the incoming batch — the idempotent
+    daily-reprocess pattern (static mode would wipe the whole table)."""
+    out = str(tmp_path / "dyn")
+    base = spark.createDataFrame(
+        [("d1", 1), ("d1", 2), ("d2", 3)], "day string, v int"
+    )
+    base.write.partitionBy("day").mode("overwrite").parquet(out)
+
+    redo = spark.createDataFrame([("d2", 99)], "day string, v int")
+    (
+        redo.write.partitionBy("day")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(out)
+    )
+    got = {
+        (r.day, r.v) for r in spark.read.parquet(out).collect()
+    }
+    # d1 rows survive; d2 fully replaced by the reprocessed batch
+    assert got == {("d1", 1), ("d1", 2), ("d2", 99)}
+
+
+def test_corrupt_json_records_permissive_vs_failfast(spark, tmp_path):
+    """C1 robustness: PERMISSIVE mode quarantines malformed JSON rows
+    into the corrupt-record column (the 100 TB reality — a bad row
+    must not kill the job), FAILFAST surfaces them as errors."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    p = tmp_path / "rows.json"
+    p.write_text('{"a": 1}\n{"a": broken\n{"a": 3}\n')
+    schema = "a BIGINT, _corrupt_record STRING"
+
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+    )
+    rows = df.collect()
+    good = {r.a for r in rows if r._corrupt_record is None}
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert good == {1, 3}
+    assert len(bad) == 1 and "broken" in bad[0]._corrupt_record
+
+    strict = (
+        spark.read.schema("a BIGINT")
+        .option("mode", "FAILFAST")
+        .json(str(p))
+    )
+    with pytest.raises(Py4JJavaError):
+        strict.collect()
