@@ -951,3 +951,139 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("abs_err"),
     )
+
+
+@register(
+    "lsh_s_curve",
+    oracle="""
+WITH sample_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+),
+toks AS (
+  SELECT doc_id AS id, unnest(list_distinct(str_split(text, ' '))) AS tok
+  FROM sample_docs
+),
+sets AS (SELECT id, list(DISTINCT tok) AS ts FROM toks GROUP BY id),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         len(list_intersect(a.ts, b.ts)) AS inter,
+         len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))
+           AS uni
+  FROM sets a JOIN sets b ON a.id < b.id
+),
+mh AS (
+  SELECT id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || tok)) AS mh
+  FROM toks CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) s
+  GROUP BY id, seed
+),
+bands AS (
+  SELECT id, CAST(seed // 2 AS INT) AS band,
+         md5(string_agg(mh, ',' ORDER BY seed)) AS sig
+  FROM mh GROUP BY id, CAST(seed // 2 AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+),
+flagged AS (
+  SELECT p.id_a, p.id_b,
+         least(9, (p.inter * 10) // p.uni) AS decile,
+         CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_cand
+  FROM pairs p
+  LEFT JOIN cand c ON p.id_a = c.id_a AND p.id_b = c.id_b
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       count(*) AS n_pairs,
+       CAST(SUM(is_cand) AS BIGINT) AS n_candidates,
+       CAST(round(CAST(CAST(SUM(is_cand) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE)
+                  AS DECIMAL(18,12)), 6) AS DOUBLE) AS hit_rate,
+       CAST(round(CAST(
+         1.0 - (1.0 - ((CAST(decile AS DOUBLE) + 0.5) / 10.0)
+                      * ((CAST(decile AS DOUBLE) + 0.5) / 10.0))
+             * (1.0 - ((CAST(decile AS DOUBLE) + 0.5) / 10.0)
+                      * ((CAST(decile AS DOUBLE) + 0.5) / 10.0))
+             * (1.0 - ((CAST(decile AS DOUBLE) + 0.5) / 10.0)
+                      * ((CAST(decile AS DOUBLE) + 0.5) / 10.0))
+             * (1.0 - ((CAST(decile AS DOUBLE) + 0.5) / 10.0)
+                      * ((CAST(decile AS DOUBLE) + 0.5) / 10.0))
+         AS DECIMAL(18,12)), 6) AS DOUBLE) AS theory
+FROM flagged GROUP BY decile
+""",
+    tags=("dedup", "lsh", "evaluation"),
+)
+def lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical LSH S-curve: for each exact-Jaccard decile of a
+    bounded 200-doc sample, the fraction of pairs the 4x2 banding
+    actually surfaced as candidates, next to the theoretical
+    1-(1-s^2)^4 at the decile midpoint — the calibration a pipeline
+    runs BEFORE committing a banding scheme to a 100 TB pass (if
+    measured hit rates sag below theory near the dedup threshold,
+    the banding loses real duplicates).
+
+    The exhaustive ground truth is QUARANTINED to the fixed sample
+    (like cosine_neardup_pairs' tiny-SF recall cross-check): S-curve
+    calibration needs all-pairs truth, so production runs it on a
+    sample, never the corpus — the sample bound, not the corpus,
+    sizes the quadratic term.  Deciles are integer-exact
+    ((inter*10) div union); theory uses only double multiplication.
+
+    Completes the measure-before-trust family: minhash_calibration
+    (estimator error), ann_recall_report (index recall),
+    lsh_s_curve (candidate-generation recall)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    toks = doc_tokens(docs)
+    sets_ = toks.groupBy("id").agg(
+        F.sort_array(F.collect_set("tok")).alias("ts")
+    )
+    a = sets_.select(F.col("id").alias("id_a"), F.col("ts").alias("ts_a"))
+    b = sets_.select(F.col("id").alias("id_b"), F.col("ts").alias("ts_b"))
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("inter"),
+            (F.size("ts_a") + F.size("ts_b") - inter).alias("uni"),
+        )
+    )
+    sigs = minhash_signatures(toks, num_hashes=8)
+    cand = lsh_candidate_pairs(
+        lsh_band_signatures(sigs, rows_per_band=2)
+    ).withColumn("is_c", F.lit(1))
+    flagged = pairs.join(cand, ["id_a", "id_b"], "left").select(
+        F.least(
+            F.lit(9), F.expr("(inter * 10) div uni")
+        ).alias("decile"),
+        F.coalesce("is_c", F.lit(0)).alias("is_cand"),
+    )
+    s_mid = (F.col("decile").cast("double") + F.lit(0.5)) / F.lit(10.0)
+    one_band_miss = F.lit(1.0) - s_mid * s_mid
+    theory = F.lit(1.0) - one_band_miss * one_band_miss * one_band_miss * one_band_miss
+    return flagged.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("is_cand").cast("long").alias("n_candidates"),
+        F.round(
+            (
+                F.sum("is_cand").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).cast("decimal(18,12)"),
+            6,
+        )
+        .cast("double")
+        .alias("hit_rate"),
+        F.round(theory.cast("decimal(18,12)"), 6)
+        .cast("double")
+        .alias("theory"),
+    ).select(
+        F.col("decile").cast("long").alias("decile"),
+        "n_pairs",
+        "n_candidates",
+        "hit_rate",
+        "theory",
+    )
