@@ -1124,3 +1124,113 @@ def gaps_islands_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("grp")
     )
+
+
+@register(
+    "user_feature_matrix",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, value,
+         epoch_us(ts) AS ts_us,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+g AS (
+  SELECT user_id, ts_us,
+         CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                                            ORDER BY ts_us)
+                   > 1800000000 OR
+                   lag(ts_us) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e
+),
+sess AS (
+  SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions
+  FROM g GROUP BY user_id
+),
+mx AS (SELECT max(day) AS maxd FROM e),
+f AS (
+  SELECT user_id,
+         count(*) AS n_events,
+         count(DISTINCT day) AS n_active_days,
+         count(DISTINCT event_type) AS n_types,
+         CAST(round(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS total_value,
+         CAST(round(CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                              AS DOUBLE) / count(*)
+                    AS DECIMAL(28,12)), 6) AS DOUBLE) AS mean_value,
+         max(day) AS lastd
+  FROM e GROUP BY user_id
+)
+SELECT f.user_id, f.n_events, f.n_active_days, f.n_types,
+       f.total_value, f.mean_value,
+       CAST(mx.maxd - f.lastd AS BIGINT) AS recency_days,
+       s.n_sessions
+FROM f JOIN sess s ON f.user_id = s.user_id CROSS JOIN mx
+""",
+    tags=("C4", "ml-features", "behavior"),
+)
+def user_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ML feature assembly in one pass over the event log:
+    activity volume, active-day and type cardinalities, exact-decimal
+    monetary totals/means, recency vs the corpus horizon, and
+    session count (30-minute-gap sessionization) — the feature matrix
+    a churn/propensity model trains on, produced by the engine
+    instead of a separate feature store.
+
+    At 100 TB: ONE hash exchange on user_id serves both the
+    sessionization window and every aggregate (AQE reuses the
+    partitioning); the corpus-horizon max is a 1-row broadcast.
+    Decimal sums keep the monetary features partition-order-exact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "value",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        F.expr("ts_ns div 1000 div 86400000000").alias("day"),
+    )
+    wlag = Window.partitionBy("user_id").orderBy("ts_us")
+    new_sess = F.when(
+        F.lag("ts_us").over(wlag).isNull()
+        | (F.col("ts_us") - F.lag("ts_us").over(wlag) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    sess = (
+        ev.select("user_id", new_sess.alias("new_sess"))
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").cast("long").alias("n_sessions"))
+    )
+    dec = F.col("value").cast("decimal(18,4)")
+    f = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("day").alias("n_active_days"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.round(F.sum(dec), 2).cast("double").alias("total_value"),
+        F.round(
+            (F.sum(dec).cast("double") / F.count(F.lit(1))).cast(
+                "decimal(28,12)"
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("mean_value"),
+        F.max("day").alias("lastd"),
+    )
+    mx = ev.agg(F.max("day").alias("maxd"))
+    return (
+        f.join(sess, "user_id")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            "n_events",
+            "n_active_days",
+            "n_types",
+            "total_value",
+            "mean_value",
+            (F.col("maxd") - F.col("lastd")).cast("long").alias(
+                "recency_days"
+            ),
+            "n_sessions",
+        )
+    )

@@ -489,3 +489,188 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank BIGINT, w1 STRING, w2 STRING, pair_count BIGINT"
     )
+
+
+@register(
+    "search_query_expansion",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+),
+e AS (
+  SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM d
+),
+dfreq AS (SELECT tok, count(*) AS df FROM e GROUP BY tok),
+v AS (SELECT tok, df FROM dfreq ORDER BY df DESC, tok LIMIT 40),
+base AS (SELECT unnest({list(_BM25_TERMS)!r}) AS tok),
+anch AS (
+  SELECT e.doc_id, e.tok FROM e JOIN base USING (tok)
+),
+part AS (
+  SELECT e.doc_id, e.tok, v.df FROM e JOIN v USING (tok)
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS big_d FROM documents),
+pmi AS (
+  SELECT a.tok AS base_tok, p.tok AS partner,
+         count(*) AS n_xy,
+         max(ad.df) AS n_a, max(p.df) AS n_b
+  FROM anch a
+  JOIN part p ON a.doc_id = p.doc_id AND a.tok <> p.tok
+  JOIN dfreq ad ON ad.tok = a.tok
+  GROUP BY a.tok, p.tok HAVING count(*) >= 5
+),
+exp1 AS (
+  SELECT base_tok, partner FROM (
+    SELECT base_tok, partner,
+           row_number() OVER (
+             PARTITION BY base_tok
+             ORDER BY round(CAST(ln((CAST(n_xy AS DOUBLE)
+                                     * CAST(big_d AS DOUBLE))
+                                    / (CAST(n_a AS DOUBLE)
+                                       * CAST(n_b AS DOUBLE)))
+                            AS DECIMAL(18,12)), 12) DESC,
+                      partner) AS rn
+    FROM pmi CROSS JOIN tot
+  ) WHERE rn = 1
+),
+qterms AS (
+  SELECT tok FROM base
+  UNION
+  SELECT partner AS tok FROM exp1
+),
+dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+toks AS (SELECT d.doc_id, unnest(d.toks) AS term FROM d),
+tf AS (
+  SELECT t.doc_id, t.term, count(*) AS tf
+  FROM toks t JOIN qterms q ON t.term = q.tok
+  GROUP BY t.doc_id, t.term
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(
+           (ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+            * tf.tf * {_K1 + 1})
+           / (tf.tf + {_K1} * ({1 - _B} + {_B}
+              * (CAST(dl.dl AS DOUBLE)
+                 / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs))))
+           AS DECIMAL(18,6)) AS contrib
+  FROM tf
+  JOIN dft ON tf.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+),
+scored AS (
+  SELECT doc_id, CAST(SUM(contrib) AS DOUBLE) AS score
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, score, rnk FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+) WHERE rnk <= 20
+""",
+    tags=("text", "retrieval", "query-expansion"),
+)
+def search_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query expansion by corpus statistics: each base query term is
+    expanded with its top-1 PMI associate (within-document
+    co-occurrence against the top-40 DF vocabulary, >= 5 co-docs),
+    and BM25 ranks documents for the EXPANDED term set — the
+    pseudo-relevance trick that recovers documents phrasing the
+    concept differently, computed entirely from the corpus with no
+    external thesaurus.
+
+    At 100 TB: the expansion table is |base| rows (anchor-filtered
+    explode, vocab-bounded pair space — the cooccurrence_pmi shape),
+    and the expanded term set joins the token stream as a broadcast
+    semi-filter, after which the plan IS text_bm25_topk's: tiny tf
+    stream, broadcast df/stats, TakeOrdered top-20."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.split("text", " ", -1).alias("toks"))
+    e = d.select(
+        "doc_id", F.explode(F.array_distinct("toks")).alias("tok")
+    )
+    dfreq = e.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    v = dfreq.orderBy(F.col("df").desc(), "tok").limit(40)
+    base = spark.createDataFrame(
+        [(t,) for t in _BM25_TERMS], "tok string"
+    )
+    anch = e.join(F.broadcast(base), "tok").select(
+        "doc_id", F.col("tok").alias("base_tok")
+    )
+    part = e.join(F.broadcast(v), "tok").select(
+        "doc_id", F.col("tok").alias("partner"), F.col("df").alias("n_b")
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("big_d"))
+    adf = dfreq.select(
+        F.col("tok").alias("base_tok"), F.col("df").alias("n_a")
+    )
+    pmi = (
+        anch.join(part, "doc_id")
+        .filter(F.col("base_tok") != F.col("partner"))
+        .join(F.broadcast(adf), "base_tok")
+        .groupBy("base_tok", "partner")
+        .agg(
+            F.count(F.lit(1)).alias("n_xy"),
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+        )
+        .filter(F.col("n_xy") >= 5)
+    )
+    pmi_val = F.round(
+        F.log(
+            (F.col("n_xy").cast("double") * F.col("big_d").cast("double"))
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        ).cast("decimal(18,12)"),
+        12,
+    )
+    wexp = Window.partitionBy("base_tok").orderBy(
+        pmi_val.desc(), "partner"
+    )
+    exp1 = (
+        pmi.crossJoin(F.broadcast(tot))
+        .withColumn("rn", F.row_number().over(wexp))
+        .filter(F.col("rn") == 1)
+        .select(F.col("partner").alias("tok"))
+    )
+    qterms = base.select("tok").union(exp1).distinct()
+
+    dl = d.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    toks = d.select("doc_id", F.explode("toks").alias("term")).join(
+        F.broadcast(qterms.withColumnRenamed("tok", "term")), "term"
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    joined = (
+        tf.join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(_K1) * (
+        F.lit(1 - _B) + F.lit(_B) * (F.col("dl").cast("double") / avgdl)
+    )
+    contrib = ((idf * F.col("tf") * F.lit(_K1 + 1)) / denom).cast(
+        "decimal(18,6)"
+    )
+    scored = (
+        joined.select("doc_id", contrib.alias("contrib"))
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").cast("double").alias("score"))
+    )
+    top = scored.orderBy(F.col("score").desc(), "doc_id").limit(20)
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return top.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    ).select("doc_id", "score", "rnk")
