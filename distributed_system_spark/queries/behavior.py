@@ -1234,3 +1234,235 @@ def user_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_sessions",
         )
     )
+
+
+_MK_ITER_SQL = """
+{out} AS (
+  SELECT g.removed, g.node,
+         CASE WHEN g.node = 'purchase' THEN 1.0
+              WHEN g.node = g.removed THEN 0.0
+              ELSE round(coalesce(s.sum_c, 0), 10) END AS p
+  FROM grid g LEFT JOIN (
+    SELECT {prev}.removed, e.src AS node,
+           CAST(sum(CAST(round({prev}.p * e.w / o.ow, 12)
+                         AS DECIMAL(28,12))) AS DOUBLE) AS sum_c
+    FROM edges e
+    JOIN outw o ON o.src = e.src
+    JOIN {prev} ON {prev}.node = e.dst
+    GROUP BY {prev}.removed, e.src
+  ) s ON s.removed = g.removed AND s.node = g.node
+)"""
+
+_MK_CHAIN = ",".join(
+    _MK_ITER_SQL.format(out=f"it{i+1}", prev=f"it{i}" if i else "p0")
+    for i in range(6)
+)
+
+
+@register(
+    "attribution_markov_removal",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id)
+           AS next_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+edges AS (
+  SELECT event_type AS src, next_type AS dst, count(*) AS w
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+),
+outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+states AS (SELECT DISTINCT event_type AS node FROM events),
+rem AS (
+  SELECT node AS removed FROM states WHERE node <> 'purchase'
+  UNION ALL SELECT '(none)'
+),
+grid AS (SELECT r.removed, s.node FROM rem r CROSS JOIN states s),
+sd AS (
+  SELECT event_type AS node, count(*) AS cnt
+  FROM seq WHERE rn = 1 GROUP BY 1
+),
+tots AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM sd),
+p0 AS (
+  SELECT removed, node,
+         CASE WHEN node = 'purchase' THEN 1.0 ELSE 0.0 END AS p
+  FROM grid
+),
+{_MK_CHAIN},
+conv AS (
+  SELECT i.removed,
+         CAST(SUM(CAST(round(sd.cnt * i.p, 12) AS DECIMAL(28,12)))
+              AS DOUBLE) / CAST(t.total AS DOUBLE) AS pc
+  FROM it6 i JOIN sd ON sd.node = i.node CROSS JOIN tots t
+  GROUP BY i.removed, t.total
+),
+base AS (SELECT pc AS bc FROM conv WHERE removed = '(none)'),
+eff AS (
+  SELECT c.removed AS channel,
+         CAST(round(CAST(c.pc AS DECIMAL(18,12)), 6) AS DOUBLE)
+           AS conv_without,
+         CAST(round(CAST(b.bc AS DECIMAL(18,12)), 6) AS DOUBLE)
+           AS base_conv,
+         round(CAST((b.bc - c.pc) / b.bc AS DECIMAL(18,12)), 6) AS eff6
+  FROM conv c CROSS JOIN base b WHERE c.removed <> '(none)'
+),
+sumeff AS (SELECT SUM(CAST(eff6 AS DECIMAL(28,12))) AS se FROM eff)
+SELECT channel, conv_without, base_conv,
+       CAST(eff6 AS DOUBLE) AS removal_effect,
+       CAST(round(CAST(CAST(eff6 AS DOUBLE) / CAST(se AS DOUBLE)
+                  AS DECIMAL(18,12)), 6) AS DOUBLE) AS credit
+FROM eff CROSS JOIN sumeff
+""",
+    tags=("graph", "iterative", "attribution"),
+)
+def attribution_markov_removal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Markov removal-effect attribution (the data-driven model that
+    replaces first/last-touch heuristics): build the event-type
+    transition chain with 'purchase' absorbing, estimate each
+    journey's 6-step conversion probability by power iteration, and
+    credit each channel by how much conversion DROPS when the channel
+    is removed (entering it becomes a dead end).  removal_effect_c =
+    (P_base - P_without_c) / P_base; credit normalizes effects.
+
+    Cross-engine exactness uses the pagerank_transitions idiom:
+    per-edge contributions are rounded to 12 while DOUBLE, summed
+    EXACTLY in DECIMAL, and each iteration's state is re-rounded to
+    10 — float summation order cannot differ, so all 6 iterations
+    match the oracle bit-for-bit.
+
+    At 100 TB: the chain is |event_types|-bounded — the only
+    corpus-scale work is the per-user lead() window building edge
+    counts and start states; the (removed x node) working set the
+    iterations touch is ~|types|^2 rows, and the driver holds NO
+    state at all (unlike kmeans' k x d literals, the loop is pure
+    DataFrame joins)."""
+    ev = load_table(spark, sf_dir, "events")
+    w_seq = Window.partitionBy("user_id").orderBy(
+        F.expr("ts_ns div 1000"), "event_id"
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w_seq).alias("next_type"),
+        F.row_number().over(w_seq).alias("rn"),
+    )
+    edges = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("src"),
+            F.col("next_type").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint()
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    states = ev.select(F.col("event_type").alias("node")).distinct()
+    rem = states.filter(F.col("node") != "purchase").select(
+        F.col("node").alias("removed")
+    ).union(spark.createDataFrame([("(none)",)], "removed string"))
+    grid = rem.crossJoin(states).localCheckpoint()
+    sd = (
+        seq.filter(F.col("rn") == 1)
+        .groupBy(F.col("event_type").alias("node"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    p = grid.withColumn(
+        "p",
+        F.when(F.col("node") == "purchase", F.lit(1.0)).otherwise(
+            F.lit(0.0)
+        ),
+    )
+    for _ in range(6):
+        contrib = (
+            edges.join(outw, "src")
+            .join(
+                p.select(
+                    "removed", F.col("node").alias("dst"), "p"
+                ),
+                "dst",
+            )
+            .select(
+                "removed",
+                F.col("src").alias("node"),
+                F.round(F.col("p") * F.col("w") / F.col("ow"), 12)
+                .cast("decimal(28,12)")
+                .alias("c"),
+            )
+        )
+        sums = contrib.groupBy("removed", "node").agg(
+            F.sum("c").cast("double").alias("sum_c")
+        )
+        p = grid.join(sums, ["removed", "node"], "left").select(
+            "removed",
+            "node",
+            F.when(F.col("node") == "purchase", F.lit(1.0))
+            .when(F.col("node") == F.col("removed"), F.lit(0.0))
+            .otherwise(
+                F.round(F.coalesce(F.col("sum_c"), F.lit(0.0)), 10)
+            )
+            .alias("p"),
+        )
+    tots = sd.agg(F.sum("cnt").cast("long").alias("total"))
+    conv = (
+        p.join(sd, "node")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "removed",
+            "total",
+            F.round(F.col("cnt") * F.col("p"), 12)
+            .cast("decimal(28,12)")
+            .alias("c"),
+        )
+        .groupBy("removed", "total")
+        .agg(
+            (
+                F.sum("c").cast("double") / F.col("total").cast("double")
+            ).alias("pc")
+        )
+        .select("removed", "pc")
+    )
+    base = conv.filter(F.col("removed") == "(none)").select(
+        F.col("pc").alias("bc")
+    )
+    eff = (
+        conv.filter(F.col("removed") != "(none)")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("removed").alias("channel"),
+            F.round(F.col("pc").cast("decimal(18,12)"), 6)
+            .cast("double")
+            .alias("conv_without"),
+            F.round(F.col("bc").cast("decimal(18,12)"), 6)
+            .cast("double")
+            .alias("base_conv"),
+            F.round(
+                ((F.col("bc") - F.col("pc")) / F.col("bc")).cast(
+                    "decimal(18,12)"
+                ),
+                6,
+            ).alias("eff6"),
+        )
+    )
+    sumeff = eff.agg(
+        F.sum(F.col("eff6").cast("decimal(28,12)")).alias("se")
+    )
+    return eff.crossJoin(F.broadcast(sumeff)).select(
+        "channel",
+        "conv_without",
+        "base_conv",
+        F.col("eff6").cast("double").alias("removal_effect"),
+        F.round(
+            (F.col("eff6").cast("double") / F.col("se").cast("double")).cast(
+                "decimal(18,12)"
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("credit"),
+    )
