@@ -375,3 +375,25 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return drift_monitor_stream(spark, sf_dir)
+
+
+from distributed_system_spark.queries import timeseries as _ts_q  # noqa: E402,F401
+
+
+@register(
+    "stream_cusum_monitor",
+    oracle=_REG["ts_changepoint_cusum"].oracle,
+    tags=("C9", "streaming", "changepoint", "monitoring"),
+)
+def stream_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM volume monitor: per-microbatch day-count
+    DELTAS into a checkpointed piece sink (state bounded by the
+    calendar, raw history never stored), merged through the shared
+    cusum_from_day_counts tail — counter mergeability makes the
+    drained report exactly the batch ts_changepoint_cusum, whose
+    oracle is reused verbatim."""
+    from distributed_system_spark.streaming.streams import (
+        cusum_monitor_stream,
+    )
+
+    return cusum_monitor_stream(spark, sf_dir)

@@ -792,6 +792,15 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ev.groupBy(
         F.expr(f"ts_ns div 1000 div {_DAY_US}").alias("day")
     ).agg(F.count(F.lit(1)).alias("cnt"))
+    return cusum_from_day_counts(spark, d)
+
+
+def cusum_from_day_counts(spark: SparkSession, d: DataFrame) -> DataFrame:
+    """CUSUM report from a (day, cnt) counter table — the merge-side
+    tail shared by the batch monitor (ts_changepoint_cusum) and the
+    streaming monitor (stream_cusum_monitor).  Day counters are
+    mergeable, so per-batch deltas compose into this tail unchanged
+    (the psi_from_bin_counts pattern for change-point detection)."""
     b = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     spine = b.select(
         F.explode(F.sequence("lo", "hi")).alias("day")

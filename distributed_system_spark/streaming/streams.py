@@ -1007,3 +1007,60 @@ def drift_monitor_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("r_cnt").alias("r_cnt"), F.sum("c_cnt").alias("c_cnt"))
     )
     return psi_from_bin_counts(spark, merged)
+
+
+def cusum_monitor_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM volume monitor: each events microbatch appends
+    only its per-DAY count delta (|days-touched| rows, not raw
+    events) to a checkpointed piece sink, and the drained report
+    merges the day counters through the shared cusum_from_day_counts
+    tail — exactly equal to the batch ts_changepoint_cusum because
+    day counters are mergeable (the drift_monitor_stream pattern for
+    change-point detection).  State per batch is bounded by the
+    calendar, never the batch size; history is never rescanned."""
+    import os
+
+    src = f"{sf_dir.rstrip('/')}/events.parquet"
+    root = f"/tmp/dss-cusum-monitor-{_src_tag(src)}"
+    out_dir, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
+
+    raw = (
+        spark.readStream.schema(events_stream_schema(src))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_timeordered_stage_dir(sf_dir))
+    )
+    from distributed_system_spark.sources.tables import (
+        canonical_event_time,
+    )
+
+    days = canonical_event_time(raw).select(
+        F.expr("ts_ns div 1000 div 86400000000").alias("day")
+    )
+
+    def write_counts(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("day")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/piece={batch_id}")
+        )
+
+    q = (
+        days.writeStream.foreachBatch(write_counts)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from distributed_system_spark.queries.timeseries import (
+        cusum_from_day_counts,
+    )
+
+    merged = (
+        spark.read.schema("day BIGINT, cnt BIGINT")
+        .parquet(out_dir)
+        .groupBy("day")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return cusum_from_day_counts(spark, merged)

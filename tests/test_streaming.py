@@ -692,3 +692,19 @@ def test_drift_monitor_stream_matches_batch_and_reruns(spark, sf_dir):
     got2 = _rows(drift_monitor_stream(spark, sf_dir))
     assert got1 == want
     assert got2 == want
+
+
+def test_cusum_monitor_stream_matches_batch_and_reruns(spark, sf_dir):
+    """The streaming CUSUM monitor's merged day counters must equal
+    the batch ts_changepoint_cusum exactly, and a checkpointed
+    re-run must be a no-op."""
+    from distributed_system_spark.queries.timeseries import (
+        ts_changepoint_cusum,
+    )
+    from distributed_system_spark.streaming.streams import (
+        cusum_monitor_stream,
+    )
+
+    want = _rows(ts_changepoint_cusum(spark, sf_dir))
+    assert _rows(cusum_monitor_stream(spark, sf_dir)) == want
+    assert _rows(cusum_monitor_stream(spark, sf_dir)) == want
