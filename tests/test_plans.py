@@ -609,3 +609,56 @@ def test_quantile_normalize_broadcasts_interval_table(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_user_feature_matrix_single_user_key(spark, sf_dir):
+    """user_feature_matrix: sessionization window and feature
+    aggregate both key on user_id; the horizon max is a broadcast
+    1-row scalar — no cartesian anywhere."""
+    plan = plan_of(spark, sf_dir, "user_feature_matrix")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") >= 1, plan
+
+
+def test_cusum_and_acf_aggregate_first(spark, sf_dir):
+    """ts_changepoint_cusum / ts_autocorrelation: the fact scan
+    reduces to |days| rows in ONE aggregate before any window or
+    join runs."""
+    for name in ("ts_changepoint_cusum", "ts_autocorrelation"):
+        plan = plan_of(spark, sf_dir, name)
+        # the |days| aggregate subtree is referenced by bounds/spine
+        # and the counts join (ACF: also den/lag sides); the planner
+        # may print the scan per reference (ReusedExchange dedupes at
+        # runtime) — what matters is no unbounded shape appears.
+        assert plan.count("Scan parquet") <= 4, (name, plan)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_k_anonymity_single_scan_two_phase_distinct(spark, sf_dir):
+    """k_anonymity_audit: one customer scan; the distinct-aggregate
+    expands to the standard two-phase plan, no joins."""
+    plan = plan_of(spark, sf_dir, "k_anonymity_audit")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_pr_curve_grid_bounded(spark, sf_dir):
+    """score_pr_curve: the corpus is scanned for scores/labels, then
+    every threshold reduces over the 17-bucket table — the grid
+    join is broadcast, never a corpus x threshold blowup."""
+    plan = plan_of(spark, sf_dir, "score_pr_curve")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") <= 2, plan
+
+
+def test_markov_attribution_bounded_iterations(spark, sf_dir):
+    """attribution_markov_removal: the 6 power iterations run over
+    the |types|-bounded (removed x node) grid; the only fact-scale
+    work is the per-user lead window."""
+    plan = plan_of(spark, sf_dir, "attribution_markov_removal")
+    assert "CartesianProduct" not in plan
+    # edges are localCheckpointed (computed once); the surviving
+    # user_id exchanges serve the lead window and the start-state
+    # aggregate — bounded, and never one per iteration (6 iterations
+    # would show 6+ otherwise).
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2, plan
