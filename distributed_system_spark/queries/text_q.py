@@ -1927,3 +1927,106 @@ def score_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("recall_"),
         F.round(f1.cast("decimal(18,12)"), 6).cast("double").alias("f1"),
     )
+
+
+@register(
+    "score_reliability_diagram",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, str_split(text, ' ') AS toks,
+         length(text) AS len_chars
+  FROM documents
+), m AS (
+  SELECT doc_id, lang, len_chars,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_unique,
+         len(list_filter(toks, x -> list_contains(
+             ['the','a','of','and','to','is','in'], x))) AS n_stop
+  FROM t
+), f AS (
+  SELECT doc_id,
+         (n_tokens BETWEEN 20 AND 5000
+          AND CAST(n_unique AS DOUBLE) / n_tokens >= 0.2
+          AND (lang <> 'en'
+               OR CAST(n_stop AS DOUBLE) / n_tokens >= 0.02)) AS label,
+         CAST(round(CAST(n_unique AS DOUBLE) / n_tokens, 6)
+              AS DECIMAL(18,6)) AS uniq_r,
+         CAST(round(CAST(n_stop AS DOUBLE) / n_tokens, 6)
+              AS DECIMAL(18,6)) AS stop_r,
+         CAST(round(CAST(len_chars - n_tokens + 1 AS DOUBLE) / n_tokens,
+                    6) AS DECIMAL(18,6)) AS awl,
+         CAST(round(CAST(least(n_tokens, 200) AS DOUBLE) / 200, 6)
+              AS DECIMAL(18,6)) AS len_r
+  FROM m
+), s AS (
+  SELECT doc_id, label,
+         CAST(round(CAST(round(
+             CAST(0.25 AS DECIMAL(6,3))
+           + CAST(0.40 AS DECIMAL(6,3)) * uniq_r
+           + CAST(-0.30 AS DECIMAL(6,3)) * stop_r
+           + CAST(0.02 AS DECIMAL(6,3)) * awl
+           + CAST(0.15 AS DECIMAL(6,3)) * len_r, 6) AS DOUBLE)
+           * 1000000) AS BIGINT) AS s_int
+  FROM f
+)
+SELECT CAST(CASE WHEN s_int < 400000 THEN -1
+            ELSE least(15, (s_int - 400000) // 20000) END AS BIGINT)
+         AS bucket,
+       count(*) AS n_docs,
+       CAST(round(CAST(CAST(SUM(s_int) AS DOUBLE)
+                       / (CAST(count(*) AS DOUBLE) * 1000000.0)
+                  AS DECIMAL(18,12)), 6) AS DOUBLE) AS mean_score,
+       CAST(round(CAST(
+         CAST(count(CASE WHEN label THEN 1 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS DECIMAL(18,12)), 6) AS DOUBLE)
+         AS pos_rate
+FROM s GROUP BY 1
+""",
+    tags=("llm", "evaluation", "calibration"),
+)
+def score_reliability_diagram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reliability diagram (calibration curve) for the linear quality
+    scorer: per threshold-grid bucket, the mean predicted score next
+    to the observed positive rate of the heuristic-gate labels — a
+    well-calibrated scorer tracks the diagonal; systematic gaps mean
+    the cutoff chosen from score_pr_curve's sweep will over- or
+    under-admit at scale.  Same integer micro-unit bucketing as the
+    PR curve: one scan, 17-bucket aggregate, every reported number
+    an exact-integer ratio."""
+    scores = doc_model_score(spark, sf_dir).select(
+        "doc_id",
+        F.round(F.col("score") * 1000000).cast("long").alias("s_int"),
+    )
+    labels = doc_quality_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("label")
+    )
+    s = scores.join(labels, "doc_id")
+    idx = F.when(F.col("s_int") < 400000, F.lit(-1)).otherwise(
+        F.least(
+            F.lit(15),
+            ((F.col("s_int") - 400000) / F.lit(20000)).cast("long"),
+        )
+    )
+    return s.groupBy(idx.cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            (
+                F.sum("s_int").cast("double")
+                / (F.count(F.lit(1)).cast("double") * F.lit(1000000.0))
+            ).cast("decimal(18,12)"),
+            6,
+        )
+        .cast("double")
+        .alias("mean_score"),
+        F.round(
+            (
+                F.count(F.when(F.col("label"), 1)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).cast("decimal(18,12)"),
+            6,
+        )
+        .cast("double")
+        .alias("pos_rate"),
+    )
