@@ -1087,3 +1087,66 @@ def lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hit_rate",
         "theory",
     )
+
+
+_SHINGLE_TOKS_SQL = """
+toks AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct([substr(text, CAST(i AS INT), 3)
+                               for i in range(1, length(text) - 1)]))
+           AS tok
+  FROM documents
+)"""
+
+
+@register(
+    "dedup_minhash_shingles",
+    oracle=f"""
+WITH {_SHINGLE_TOKS_SQL},
+mh AS (
+  SELECT id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || tok)) AS mh
+  FROM toks CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) s
+  GROUP BY id, seed
+),
+bands AS (
+  SELECT id, CAST(seed // 2 AS INT) AS band,
+         md5(string_agg(mh, ',' ORDER BY seed)) AS sig
+  FROM mh GROUP BY id, CAST(seed // 2 AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+),
+{_VERIFY_SQL.format(thr=0.9)}
+""",
+    tags=("dedup", "lsh", "shingles"),
+)
+def dedup_minhash_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-shingle MinHash+LSH near-dup pairs: 3-char shingle
+    sets (the classic shingling basis — robust to word-boundary
+    edits and tokenizer differences, unlike the word-token variant
+    dedup_minhash_lsh), 8 minhashes, 4x2 banding, exact shingle-set
+    Jaccard verify at 0.9.
+
+    At 100 TB: the shingle explode is a flatMap bounded by document
+    length; everything downstream is the standard bucketed-LSH plan
+    (never all-pairs), and the stricter 0.9 threshold fits the
+    denser similarity a small alphabet's shingle space produces —
+    char shingles overlap far more than word tokens on unrelated
+    text, so the verify threshold does the discriminating."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, length(text) - 2),"
+                    " i -> substring(text, i, 3))"
+                )
+            )
+        ).alias("tok"),
+    )
+    sigs = minhash_signatures(shingles, num_hashes=8)
+    cand = lsh_candidate_pairs(lsh_band_signatures(sigs, rows_per_band=2))
+    return jaccard_verify(cand, shingles, 0.9)
