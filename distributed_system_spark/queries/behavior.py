@@ -1466,3 +1466,76 @@ def attribution_markov_removal(
         .cast("double")
         .alias("credit"),
     )
+
+
+@register(
+    "cep_view_to_purchase",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+w AS (
+  SELECT user_id, event_type, ts_us,
+         max(CASE WHEN event_type = 'view' THEN ts_us END)
+           OVER (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+           AS last_view_us
+  FROM e
+)
+SELECT user_id,
+       count(*) AS n_purchases,
+       CAST(count(CASE WHEN last_view_us IS NOT NULL THEN 1 END)
+            AS BIGINT) AS n_converting,
+       CAST(round(CAST(
+         CAST(count(CASE WHEN last_view_us IS NOT NULL THEN 1 END)
+              AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS DECIMAL(18,12)), 6) AS DOUBLE) AS convert_rate
+FROM w WHERE event_type = 'purchase'
+GROUP BY user_id
+""",
+    tags=("C5", "behavior", "cep"),
+)
+def cep_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern: purchases PRECEDED BY a view
+    within one hour by the same user (the MATCH_RECOGNIZE
+    'A then B within T' shape), counted per user with the conversion
+    rate.  Expressed as ONE range-frame window — the last view
+    timestamp inside the trailing hour rides a conditional max, so
+    no self-join or per-pattern scan exists.
+
+    At 100 TB: the type filter prunes the scan to the two pattern
+    alphabets; one user-keyed exchange serves the window and the
+    per-user rollup.  Longer patterns compose by chaining
+    conditional window maxes (one per step), still on the same
+    exchange."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    e = ev.select(
+        "user_id", "event_type", F.expr("ts_ns div 1000").alias("ts_us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    last_view = F.max(
+        F.when(F.col("event_type") == "view", F.col("ts_us"))
+    ).over(w)
+    p = e.withColumn("last_view_us", last_view).filter(
+        F.col("event_type") == "purchase"
+    )
+    n_conv = F.count(F.when(F.col("last_view_us").isNotNull(), 1))
+    return p.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        n_conv.cast("long").alias("n_converting"),
+        F.round(
+            (n_conv.cast("double") / F.count(F.lit(1)).cast("double")).cast(
+                "decimal(18,12)"
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("convert_rate"),
+    )

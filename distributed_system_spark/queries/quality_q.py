@@ -248,3 +248,53 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(sens).cast("long").alias("l_diversity"),
         (F.countDistinct(sens) >= 2).alias("meets_l"),
     )
+
+
+@register(
+    "dq_freshness_lag",
+    oracle="""
+WITH m AS (
+  SELECT event_type,
+         count(*) AS n_events,
+         max(epoch_us(ts)) AS last_us
+  FROM events GROUP BY event_type
+),
+h AS (SELECT max(last_us) AS horizon FROM m)
+SELECT event_type, n_events,
+       CAST(last_us AS BIGINT) AS last_us,
+       CAST((horizon - last_us) // 3600000000 AS BIGINT)
+         AS lag_hours,
+       (horizon - last_us) > 86400000000 AS stale
+FROM m CROSS JOIN h
+""",
+    tags=("C4", "data-quality", "freshness"),
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness monitor: each event type's most recent
+    event vs the corpus horizon (the max across all types — the
+    deterministic stand-in for wall-clock now), with a stale flag at
+    24 h — the check that catches a dead producer before a training
+    snapshot quietly ships without its data.  All integer epoch
+    arithmetic.
+
+    At 100 TB: one partial+final max/count aggregate per type (the
+    scan reduces map-side); the horizon is a broadcast 1-row scalar.
+    On a date-partitioned table the max-ts probe prunes to the
+    newest partitions."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.expr("ts_ns div 1000")).alias("last_us"),
+    )
+    h = m.agg(F.max("last_us").alias("horizon"))
+    return m.crossJoin(F.broadcast(h)).select(
+        "event_type",
+        "n_events",
+        F.col("last_us").cast("long").alias("last_us"),
+        F.expr("(horizon - last_us) div 3600000000")
+        .cast("long")
+        .alias("lag_hours"),
+        ((F.col("horizon") - F.col("last_us")) > 86_400_000_000).alias(
+            "stale"
+        ),
+    )

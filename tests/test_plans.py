@@ -662,3 +662,13 @@ def test_markov_attribution_bounded_iterations(spark, sf_dir):
     # aggregate — bounded, and never one per iteration (6 iterations
     # would show 6+ otherwise).
     assert plan.count("Exchange hashpartitioning(user_id") <= 2, plan
+
+
+def test_cep_pattern_single_user_exchange(spark, sf_dir):
+    """cep_view_to_purchase: the type filter reaches the scan, and
+    the range-frame window plus per-user rollup share one user_id
+    exchange — no self-join per pattern step."""
+    plan = plan_of(spark, sf_dir, "cep_view_to_purchase")
+    assert "Join" not in plan, plan
+    assert "PushedFilters" in plan and "event_type" in plan, plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
