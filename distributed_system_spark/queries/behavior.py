@@ -1539,3 +1539,78 @@ def cep_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("convert_rate"),
     )
+
+
+@register(
+    "cep_latency_percentiles",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+w AS (
+  SELECT user_id, event_type, ts_us,
+         max(CASE WHEN event_type = 'view' THEN ts_us END)
+           OVER (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+           AS last_view_us
+  FROM e
+),
+lat AS (
+  SELECT (ts_us - last_view_us) // 1000 AS latency_ms
+  FROM w
+  WHERE event_type = 'purchase' AND last_view_us IS NOT NULL
+)
+SELECT count(*) AS n_conversions,
+       quantile_cont(latency_ms, 0.50) AS p50_ms,
+       quantile_cont(latency_ms, 0.90) AS p90_ms,
+       quantile_cont(latency_ms, 0.99) AS p99_ms,
+       CAST(max(latency_ms) AS BIGINT) AS max_ms
+FROM lat
+""",
+    tags=("C5", "behavior", "cep", "latency"),
+)
+def cep_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for the view→purchase pattern:
+    exact interpolated p50/p90/p99 of the view-to-purchase latency
+    (milliseconds, integer) over all converting purchases — the SLA
+    report on top of cep_view_to_purchase's match stream.  Latencies
+    are integer microsecond differences; Spark's percentile and
+    DuckDB's quantile_cont share the interpolation definition
+    (agg_percentiles precedent) so no rounding is needed.
+
+    At 100 TB: same one-exchange pattern window; the percentile is a
+    single global aggregate over the (already tiny) match stream —
+    production would swap approx_percentile to avoid the exact
+    form's per-group sort."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    e = ev.select(
+        "user_id", "event_type", F.expr("ts_ns div 1000").alias("ts_us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    last_view = F.max(
+        F.when(F.col("event_type") == "view", F.col("ts_us"))
+    ).over(w)
+    lat = (
+        e.withColumn("last_view_us", last_view)
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_view_us").isNotNull()
+        )
+        .select(
+            F.expr("(ts_us - last_view_us) div 1000").alias("latency_ms")
+        )
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.percentile("latency_ms", F.lit(0.50)).alias("p50_ms"),
+        F.percentile("latency_ms", F.lit(0.90)).alias("p90_ms"),
+        F.percentile("latency_ms", F.lit(0.99)).alias("p99_ms"),
+        F.max("latency_ms").cast("long").alias("max_ms"),
+    )

@@ -1455,3 +1455,78 @@ def cluster_purity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("overall_purity"),
     )
+
+
+@register(
+    "embedding_norm_audit",
+    oracle="""
+WITH n AS (
+  SELECT vec_id,
+         len(embedding) AS dim,
+         len(list_filter(embedding::DOUBLE[], x -> isnan(x)))
+           AS n_nan_elems,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                      x -> x * x))) AS nrm
+  FROM embeddings
+),
+d AS (
+  SELECT vec_id, dim, n_nan_elems, nrm,
+         round(CAST(abs(nrm - 1.0) AS DECIMAL(18,15)), 12) AS dev
+  FROM n
+)
+SELECT count(*) AS n_vecs,
+       CAST(count(CASE WHEN dim = 64 THEN 1 END) AS BIGINT) AS n_dim64,
+       CAST(count(CASE WHEN n_nan_elems > 0 THEN 1 END) AS BIGINT)
+         AS n_nonfinite,
+       CAST(count(CASE WHEN dev <= 0.000001 THEN 1 END) AS BIGINT)
+         AS n_unit_tol,
+       CAST(round(max(dev), 9) AS DOUBLE) AS max_dev,
+       CAST(round(CAST(SUM(CAST(dev AS DECIMAL(28,12))) AS DOUBLE)
+                  / count(*), 9) AS DOUBLE) AS mean_dev
+FROM d
+""",
+    tags=("similarity", "data-quality", "vectors"),
+)
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector data-quality audit: dimension conformance, NaN
+    elements, and unit-norm deviation stats over the embedding
+    corpus — the dq_expectations of the vector world (a handful of
+    zero or denormalized vectors silently poison cosine ANN and
+    k-means, so this gate runs before any index build).
+
+    Norms are per-row sequential folds (identical evaluation order
+    in both engines — the _COS_SQL precedent), deviations rounded
+    while DECIMAL before the exact mean sum.  One shuffle-free scan
+    into a single aggregate row."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(
+            v, F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    d = emb.select(
+        F.size("embedding").alias("dim"),
+        F.size(F.filter(v, lambda x: F.isnan(x))).alias("n_nan_elems"),
+        F.round(
+            F.abs(nrm - F.lit(1.0)).cast("decimal(18,15)"), 12
+        ).alias("dev"),
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.count(F.when(F.col("dim") == 64, 1)).cast("long").alias("n_dim64"),
+        F.count(F.when(F.col("n_nan_elems") > 0, 1))
+        .cast("long")
+        .alias("n_nonfinite"),
+        F.count(F.when(F.col("dev") <= 0.000001, 1))
+        .cast("long")
+        .alias("n_unit_tol"),
+        F.round(F.max("dev"), 9).cast("double").alias("max_dev"),
+        F.round(
+            F.sum(F.col("dev").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        )
+        .cast("double")
+        .alias("mean_dev"),
+    )

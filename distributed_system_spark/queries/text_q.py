@@ -2030,3 +2030,186 @@ def score_reliability_diagram(
         .cast("double")
         .alias("pos_rate"),
     )
+
+
+@register(
+    "corpus_heaps_law",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         strpos('0123456789abcdef',
+                substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+           AS nib,
+         str_split(text, ' ') AS toks
+  FROM documents
+),
+doc_occ AS (
+  SELECT nib, CAST(SUM(len(toks)) AS BIGINT) AS occ,
+         count(*) AS docs
+  FROM d GROUP BY nib
+),
+tok_min AS (
+  SELECT tok, min(nib) AS mn
+  FROM (SELECT nib, unnest(list_distinct(toks)) AS tok FROM d)
+  GROUP BY tok
+),
+voc_h AS (SELECT mn AS nib, count(*) AS v FROM tok_min GROUP BY mn),
+spine AS (SELECT unnest(range(0, 16)) AS nib),
+cum AS (
+  SELECT s.nib + 1 AS k,
+         CAST(SUM(coalesce(o.occ, 0))
+              OVER (ORDER BY s.nib) AS BIGINT) AS n_tokens,
+         CAST(SUM(coalesce(o.docs, 0))
+              OVER (ORDER BY s.nib) AS BIGINT) AS n_docs,
+         CAST(SUM(coalesce(vh.v, 0))
+              OVER (ORDER BY s.nib) AS BIGINT) AS vocab
+  FROM spine s
+  LEFT JOIN doc_occ o ON o.nib = s.nib
+  LEFT JOIN voc_h vh ON vh.nib = s.nib
+),
+pts AS (
+  SELECT k, n_tokens, n_docs, vocab,
+         round(CAST(ln(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,12)), 12)
+           AS x,
+         round(CAST(ln(CAST(vocab AS DOUBLE)) AS DECIMAL(18,12)), 12)
+           AS y
+  FROM cum
+),
+ols AS (
+  SELECT count(*) AS n,
+         SUM(CAST(x AS DECIMAL(28,12))) AS sx,
+         SUM(CAST(y AS DECIMAL(28,12))) AS sy,
+         SUM(CAST(round(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+                        AS DECIMAL(18,12)), 12)
+                  AS DECIMAL(28,12))) AS sxy,
+         SUM(CAST(round(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                        AS DECIMAL(18,12)), 12)
+                  AS DECIMAL(28,12))) AS sxx
+  FROM pts
+)
+SELECT CAST(p.k AS BIGINT) AS k, p.n_docs, p.n_tokens, p.vocab,
+       CAST(round(CAST(
+         (CAST(o.n AS DOUBLE) * CAST(o.sxy AS DOUBLE)
+          - CAST(o.sx AS DOUBLE) * CAST(o.sy AS DOUBLE))
+         / (CAST(o.n AS DOUBLE) * CAST(o.sxx AS DOUBLE)
+            - CAST(o.sx AS DOUBLE) * CAST(o.sx AS DOUBLE))
+         AS DECIMAL(18,12)), 6) AS DOUBLE) AS heaps_beta
+FROM pts p CROSS JOIN ols o
+""",
+    tags=("llm", "text", "corpus-health"),
+)
+def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: vocabulary size at 16
+    nested md5-bucketed corpus fractions plus the fitted growth
+    exponent beta (V = K * N^beta; healthy natural text sits near
+    0.4-0.6, beta ~ 0 screams template spam, beta ~ 1 screams
+    id-like noise) — the corpus-health companion to
+    corpus_zipf_slope.
+
+    The nested-sample trick costs ONE scan: each token's MINIMUM
+    doc-nibble says which cumulative fractions contain it, so
+    vocab(k) is a 16-row cumulative sum of the min-nibble histogram
+    — never 16 distinct-counts.  ln/OLS follow the zipf
+    round-while-DECIMAL convention.
+
+    At 100 TB: token stream -> |V|-bounded min aggregate -> 16-row
+    spine windows; fractions are md5-nested so the curve is
+    reproducible and monotone by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    nib = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1
+            ),
+        )
+        - 1
+    )
+    d = docs.select(
+        nib.alias("nib"), F.split("text", " ", -1).alias("toks")
+    )
+    doc_occ = d.groupBy("nib").agg(
+        F.sum(F.size("toks")).cast("long").alias("occ"),
+        F.count(F.lit(1)).alias("docs"),
+    )
+    tok_min = (
+        d.select("nib", F.explode(F.array_distinct("toks")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("nib").alias("mn"))
+    )
+    voc_h = tok_min.groupBy(F.col("mn").alias("nib")).agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    spine = spark.range(16).select(F.col("id").alias("nib"))
+    wcum = Window.orderBy("nib").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        spine.join(F.broadcast(doc_occ), "nib", "left")
+        .join(F.broadcast(voc_h), "nib", "left")
+        .select(
+            (F.col("nib") + 1).alias("k"),
+            F.sum(F.coalesce("occ", F.lit(0)))
+            .over(wcum)
+            .cast("long")
+            .alias("n_tokens"),
+            F.sum(F.coalesce("docs", F.lit(0)))
+            .over(wcum)
+            .cast("long")
+            .alias("n_docs"),
+            F.sum(F.coalesce("v", F.lit(0)))
+            .over(wcum)
+            .cast("long")
+            .alias("vocab"),
+        )
+    )
+    pts = cum.select(
+        "k",
+        "n_tokens",
+        "n_docs",
+        "vocab",
+        F.round(
+            F.log(F.col("n_tokens").cast("double")).cast("decimal(18,12)"),
+            12,
+        ).alias("x"),
+        F.round(
+            F.log(F.col("vocab").cast("double")).cast("decimal(18,12)"), 12
+        ).alias("y"),
+    )
+    ols = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(28,12)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,12)")).alias("sy"),
+        F.sum(
+            F.round(
+                (F.col("x").cast("double") * F.col("y").cast("double")).cast(
+                    "decimal(18,12)"
+                ),
+                12,
+            ).cast("decimal(28,12)")
+        ).alias("sxy"),
+        F.sum(
+            F.round(
+                (F.col("x").cast("double") * F.col("x").cast("double")).cast(
+                    "decimal(18,12)"
+                ),
+                12,
+            ).cast("decimal(28,12)")
+        ).alias("sxx"),
+    )
+    beta = (
+        F.col("n").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        F.col("n").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return pts.crossJoin(F.broadcast(ols)).select(
+        F.col("k").cast("long").alias("k"),
+        "n_docs",
+        "n_tokens",
+        "vocab",
+        F.round(beta.cast("decimal(18,12)"), 6)
+        .cast("double")
+        .alias("heaps_beta"),
+    )
