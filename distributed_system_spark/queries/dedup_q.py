@@ -1150,3 +1150,68 @@ def dedup_minhash_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(shingles, num_hashes=8)
     cand = lsh_candidate_pairs(lsh_band_signatures(sigs, rows_per_band=2))
     return jaccard_verify(cand, shingles, 0.9)
+
+
+@register(
+    "cross_source_dup_matrix",
+    oracle="""
+WITH fp AS (
+  SELECT md5(array_to_string(list_sort(list_distinct(
+             str_split(text, ' '))), ',')) AS h,
+         source, count(*) AS n
+  FROM documents GROUP BY 1, source
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(SUM(a.n * b.n) AS BIGINT) AS n_dup_pairs,
+         count(*) AS n_shared_texts
+  FROM fp a JOIN fp b ON a.h = b.h AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b, n_shared_texts, n_dup_pairs
+FROM pairs
+""",
+    tags=("dedup", "provenance", "curation"),
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every pair of sources,
+    how many CANONICAL texts (identical distinct-token sets — the
+    dedup_canonical_exact basis, robust to word order and
+    repetition) they share and how many
+    cross-source duplicate pairs that implies — the provenance
+    report that tells a curation team which feeds mirror each other
+    (so one can be dropped entirely instead of paying per-document
+    dedup against it forever).
+
+    At 100 TB: group on (md5, source) first — the join operates on
+    the |distinct texts| x |sources-containing| table (16-byte keys),
+    never on documents; the per-hash self-join is bounded by the
+    number of sources sharing that hash (<= |sources|), the
+    basket_lift_pairs shape on content fingerprints."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = F.md5(
+        F.concat_ws(
+            ",", F.sort_array(F.array_distinct(F.split("text", " ", -1)))
+        ).cast("binary")
+    )
+    fp = docs.groupBy(canon.alias("h"), "source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a = fp.select(
+        "h", F.col("source").alias("source_a"), F.col("n").alias("na")
+    )
+    b = fp.select(
+        "h", F.col("source").alias("source_b"), F.col("n").alias("nb")
+    )
+    return (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_texts"),
+            F.sum(F.col("na") * F.col("nb"))
+            .cast("long")
+            .alias("n_dup_pairs"),
+        )
+        .select("source_a", "source_b", "n_shared_texts", "n_dup_pairs")
+    )

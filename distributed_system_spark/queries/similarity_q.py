@@ -1530,3 +1530,105 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("mean_dev"),
     )
+
+
+@register(
+    "ann_index_balance",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_SQL_SQDIST}, c.cid) AS rn
+    FROM e CROSS JOIN c0 c) WHERE rn = 1
+),
+sizes AS (
+  SELECT c0.cid, CAST(coalesce(s.n, 0) AS BIGINT) AS list_size
+  FROM c0 LEFT JOIN (
+    SELECT cid, count(*) AS n FROM a1 GROUP BY cid) s
+  ON c0.cid = s.cid
+),
+tot AS (
+  SELECT CAST(SUM(list_size) AS BIGINT) AS n_vecs,
+         CAST(count(*) AS BIGINT) AS n_lists,
+         CAST(max(list_size) AS BIGINT) AS max_sz,
+         CAST(SUM(CASE WHEN list_size = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_empty
+  FROM sizes
+)
+SELECT CAST(s.cid AS BIGINT) AS list_id, s.list_size,
+       CAST(round(CAST(CAST(s.list_size AS DOUBLE)
+                       * CAST(t.n_lists AS DOUBLE)
+                       / CAST(t.n_vecs AS DOUBLE)
+                  AS DECIMAL(18,12)), 6) AS DOUBLE) AS load_factor,
+       CAST(round(CAST(CAST(t.max_sz AS DOUBLE)
+                       * CAST(t.n_lists AS DOUBLE)
+                       / CAST(t.n_vecs AS DOUBLE)
+                  AS DECIMAL(18,12)), 6) AS DOUBLE) AS imbalance,
+       t.n_empty
+FROM sizes s CROSS JOIN tot t
+""",
+    tags=("similarity", "ann", "index-health"),
+)
+def ann_index_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health report: per-list sizes, load factor
+    (size / mean), the index-wide imbalance ratio (max / mean), and
+    the empty-list count for the nearest-centroid partition — the
+    diagnostic read before trusting an IVF index's latency (a hot
+    list serves most probes at max-list cost; empty lists waste
+    nprobe budget).  Every ratio is an integer-ratio double.
+
+    At 100 TB: assignment is broadcast-literal parallel; the size
+    histogram is one k-row aggregate and the report is arithmetic
+    over it — index health costs one scan regardless of k."""
+    k = 8
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    c0 = [
+        (r["vec_id"], list(r["v"]))
+        for r in e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    ]
+    assigned = _kmeans_assign(e, c0)
+    sz = assigned.groupBy(F.col("cluster").alias("list_id")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    lists = spark.createDataFrame(
+        [(cid,) for cid, _ in c0], "list_id int"
+    )
+    sizes = lists.join(F.broadcast(sz), "list_id", "left").select(
+        F.col("list_id").cast("long").alias("list_id"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("list_size"),
+    )
+    tot = sizes.agg(
+        F.sum("list_size").cast("long").alias("n_vecs"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+        F.max("list_size").cast("long").alias("max_sz"),
+        F.sum(F.when(F.col("list_size") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_empty"),
+    )
+    load = (
+        F.col("list_size").cast("double")
+        * F.col("n_lists").cast("double")
+        / F.col("n_vecs").cast("double")
+    )
+    imb = (
+        F.col("max_sz").cast("double")
+        * F.col("n_lists").cast("double")
+        / F.col("n_vecs").cast("double")
+    )
+    return sizes.crossJoin(F.broadcast(tot)).select(
+        "list_id",
+        "list_size",
+        F.round(load.cast("decimal(18,12)"), 6)
+        .cast("double")
+        .alias("load_factor"),
+        F.round(imb.cast("decimal(18,12)"), 6)
+        .cast("double")
+        .alias("imbalance"),
+        "n_empty",
+    )
