@@ -547,3 +547,66 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("gap").alias("gap_us"),
         )
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+WITH l AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL
+              ELSE o_orderpriority END AS k
+  FROM orders WHERE o_orderkey < 2000
+),
+r AS (
+  SELECT o_orderkey AS rk,
+         CASE WHEN o_orderkey % 5 = 0 THEN NULL
+              ELSE o_orderpriority END AS k
+  FROM orders WHERE o_orderkey < 2000
+)
+SELECT coalesce(l.k, '(null)') AS k,
+       count(*) AS n_pairs,
+       CAST(SUM(CASE WHEN l.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_key_pairs
+FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+GROUP BY coalesce(l.k, '(null)')
+""",
+    tags=("C3", "join", "null-semantics"),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of vanishing — the semantics CDC
+    merge keys and optional attributes need (a plain equi-join
+    silently drops every NULL-keyed row; not_in_subquery
+    demonstrates the dual hazard on anti-joins).  Derived NULLs
+    injected on both sides; output counts pairs per key including
+    the NULL-key block.
+
+    At 100 TB: Spark plans <=> as a regular hash join on the
+    null-safe key (NULL hashes to a single partition — a hot key if
+    NULLs dominate; salt or pre-split the NULL block in that case,
+    the join_skew_salted pattern)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 2000
+    )
+    l = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_orderpriority"))
+        .alias("k"),
+    )
+    r = o.select(
+        F.col("o_orderkey").alias("rk"),
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+        .otherwise(F.col("o_orderpriority"))
+        .alias("kr"),
+    )
+    j = l.join(r, F.col("k").eqNullSafe(F.col("kr")))
+    return j.groupBy(
+        F.coalesce(F.col("k"), F.lit("(null)")).alias("k")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_key_pairs"),
+    )

@@ -2213,3 +2213,95 @@ def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("heaps_beta"),
     )
+
+
+@register(
+    "packing_efficiency",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS h,
+         len(str_split(text, ' ')) AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, toks,
+         SUM(toks) OVER (PARTITION BY shard ORDER BY h, doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+),
+packs AS (
+  SELECT shard,
+         CAST((cum - toks) // 512 AS BIGINT) AS pack_id,
+         CAST(sum(toks) AS BIGINT) AS pack_tokens
+  FROM c GROUP BY shard, CAST((cum - toks) // 512 AS BIGINT)
+)
+SELECT shard,
+       count(*) AS n_packs,
+       CAST(SUM(pack_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN pack_tokens > 512 THEN pack_tokens - 512
+                ELSE 0 END) AS BIGINT) AS overflow_tokens,
+       CAST(round(CAST(
+         CAST(SUM(least(pack_tokens, 512)) AS DOUBLE)
+         / (CAST(count(*) AS DOUBLE) * 512.0)
+         AS DECIMAL(18,12)), 6) AS DOUBLE) AS utilization
+FROM packs GROUP BY shard
+""",
+    tags=("llm", "packing", "efficiency"),
+)
+def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report over seq_packing's 512-token
+    contexts: per shard, pack count, token totals, boundary-overflow
+    tokens (a doc straddling its pack's budget — the packer's
+    documented first-token rule), and context utilization
+    (capped-fill / capacity) — the number that prices wasted compute
+    per training epoch.  All counts integer; utilization is one
+    integer-ratio double.
+
+    At 100 TB: identical per-shard parallel shape as seq_packing
+    (this IS its aggregate), so the report is free relative to the
+    packing pass it audits."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    d = docs.select(
+        "doc_id",
+        F.substring(h, 1, 1).alias("shard"),
+        h.alias("h"),
+        F.size(F.split("text", " ", -1)).alias("toks"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = d.withColumn("cum", F.sum("toks").over(w))
+    packs = (
+        c.withColumn(
+            "pack_id", F.expr("(cum - toks) div 512").cast("long")
+        )
+        .groupBy("shard", "pack_id")
+        .agg(F.sum("toks").cast("long").alias("pack_tokens"))
+    )
+    return packs.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("pack_tokens").cast("long").alias("total_tokens"),
+        F.sum(
+            F.when(
+                F.col("pack_tokens") > 512, F.col("pack_tokens") - 512
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("overflow_tokens"),
+        F.round(
+            (
+                F.sum(F.least(F.col("pack_tokens"), F.lit(512))).cast(
+                    "double"
+                )
+                / (F.count(F.lit(1)).cast("double") * F.lit(512.0))
+            ).cast("decimal(18,12)"),
+            6,
+        )
+        .cast("double")
+        .alias("utilization"),
+    )
