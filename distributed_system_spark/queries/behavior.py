@@ -1614,3 +1614,59 @@ def cep_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("latency_ms", F.lit(0.99)).alias("p99_ms"),
         F.max("latency_ms").cast("long").alias("max_ms"),
     )
+
+
+@register(
+    "gdpr_erasure_audit",
+    oracle="""
+WITH del AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % 29 = 0
+),
+a AS (
+  SELECT e.event_type,
+         count(*) AS n_before,
+         CAST(count(CASE WHEN d.user_id IS NULL THEN 1 END) AS BIGINT)
+           AS n_after
+  FROM events e LEFT JOIN del d ON e.user_id = d.user_id
+  GROUP BY e.event_type
+)
+SELECT event_type, n_before, n_after,
+       n_before - n_after AS n_erased,
+       CAST((SELECT count(*) FROM del) AS BIGINT) AS n_subjects
+FROM a
+""",
+    tags=("C3", "governance", "privacy"),
+)
+def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure audit: given a deletion-subject list (here a
+    deterministic stand-in: user_id % 29 = 0), the per-stream
+    before/after/erased row counts the erasure job must publish as
+    its compliance evidence — run BEFORE the destructive rewrite so
+    the audit is committed even if the rewrite restarts.
+
+    At 100 TB: the subject list broadcasts (deletion lists are tiny
+    vs the corpus) and the audit is one scan with a broadcast-anti
+    flag folded into the aggregate; the rewrite itself is the same
+    anti-join shape writing with dynamic partition overwrite
+    (test_sources pins those semantics)."""
+    ev = load_table(spark, sf_dir, "events")
+    del_ = (
+        ev.filter(F.col("user_id") % 29 == 0)
+        .select("user_id")
+        .distinct()
+    )
+    n_subjects = del_.count()  # bounded driver scalar (audit metadata)
+    flagged = ev.join(
+        F.broadcast(del_.withColumn("is_del", F.lit(1))), "user_id", "left"
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_before"),
+        F.count(F.when(F.col("is_del").isNull(), 1))
+        .cast("long")
+        .alias("n_after"),
+        (
+            F.count(F.lit(1))
+            - F.count(F.when(F.col("is_del").isNull(), 1))
+        ).alias("n_erased"),
+        F.lit(n_subjects).cast("long").alias("n_subjects"),
+    )

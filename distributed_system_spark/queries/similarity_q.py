@@ -1632,3 +1632,103 @@ def ann_index_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("imbalance"),
         "n_empty",
     )
+
+
+@register(
+    "embedding_distance_histogram",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id < 200
+),
+pairs AS (
+  SELECT q.vec_id AS id_a, c.vec_id AS id_b,
+         round(list_sum(list_transform(range(1, 65),
+                   i -> q.v[i] * c.v[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65),
+                          i -> q.v[i] * q.v[i])))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                           i -> c.v[i] * c.v[i])))), 6) AS cos
+  FROM e q JOIN e c ON q.vec_id < c.vec_id
+),
+b AS (
+  SELECT least(19, greatest(0,
+           CAST(floor((cos + 1.0) * 10.0) AS BIGINT))) AS bin,
+         cos
+  FROM pairs
+),
+tot AS (SELECT count(*) AS n FROM b)
+SELECT CAST(bin AS BIGINT) AS bin,
+       count(*) AS n_pairs,
+       CAST(round(CAST(CAST(count(*) AS DOUBLE) / CAST(t.n AS DOUBLE)
+                  AS DECIMAL(18,12)), 6) AS DOUBLE) AS share,
+       CAST(round(min(cos), 6) AS DOUBLE) AS min_cos,
+       CAST(round(max(cos), 6) AS DOUBLE) AS max_cos
+FROM b CROSS JOIN tot t
+GROUP BY bin, t.n
+""",
+    tags=("similarity", "evaluation", "quarantined-sample"),
+)
+def embedding_distance_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise-cosine histogram of a bounded 200-vector sample
+    (20 bins over [-1, 1]) — the distribution you plot BEFORE tuning
+    any LSH/IVF knob: where the neighbor mass sits relative to the
+    bulk determines bits-per-band and nprobe (lsh_s_curve then
+    validates the chosen banding; this histogram says what to
+    choose).
+
+    The all-pairs term is QUARANTINED to the fixed sample (the
+    lsh_s_curve/cosine_neardup_pairs convention) — distance
+    profiling is a sampling problem by nature; the sample bound, not
+    the corpus, sizes the quadratic.  Bin indices are floor() over
+    identical rounded doubles — engine-identical."""
+    from distributed_system_spark.operators.similarity import cosine
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+    )
+    binned = pairs.select(
+        F.least(
+            F.lit(19),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("cos") + F.lit(1.0)) * F.lit(10.0)).cast(
+                    "long"
+                ),
+            ),
+        ).alias("bin"),
+        "cos",
+    )
+    tot = binned.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        binned.crossJoin(F.broadcast(tot))
+        .groupBy("bin", "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                (
+                    F.count(F.lit(1)).cast("double")
+                    / F.col("n").cast("double")
+                ).cast("decimal(18,12)"),
+                6,
+            )
+            .cast("double")
+            .alias("share"),
+            F.round(F.min("cos"), 6).cast("double").alias("min_cos"),
+            F.round(F.max("cos"), 6).cast("double").alias("max_cos"),
+        )
+        .select("bin", "n_pairs", "share", "min_cos", "max_cos")
+    )
