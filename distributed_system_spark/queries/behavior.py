@@ -1670,3 +1670,175 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_erased"),
         F.lit(n_subjects).cast("long").alias("n_subjects"),
     )
+
+
+@register(
+    "conversion_wilson_ci",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted,
+         min(epoch_us(ts)) AS first_us
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+         converted
+  FROM u
+),
+s AS (
+  SELECT variant,
+         count(*) AS n,
+         CAST(SUM(converted) AS BIGINT) AS conv
+  FROM g GROUP BY variant
+)
+SELECT variant, n, conv,
+       CAST(round(CAST(CAST(conv AS DOUBLE) / CAST(n AS DOUBLE)
+                  AS DECIMAL(18,12)), 6) AS DOUBLE) AS rate,
+       CAST(round(CAST(
+         ((CAST(conv AS DOUBLE) / CAST(n AS DOUBLE))
+          + 1.9208 / CAST(n AS DOUBLE)
+          - 1.96 * sqrt(((CAST(conv AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (1.0 - CAST(conv AS DOUBLE)
+                                  / CAST(n AS DOUBLE))
+                         + 0.9604 / CAST(n AS DOUBLE))
+                        / CAST(n AS DOUBLE)))
+         / (1.0 + 3.8416 / CAST(n AS DOUBLE))
+         AS DECIMAL(18,12)), 6) AS DOUBLE) AS wilson_lo,
+       CAST(round(CAST(
+         ((CAST(conv AS DOUBLE) / CAST(n AS DOUBLE))
+          + 1.9208 / CAST(n AS DOUBLE)
+          + 1.96 * sqrt(((CAST(conv AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (1.0 - CAST(conv AS DOUBLE)
+                                  / CAST(n AS DOUBLE))
+                         + 0.9604 / CAST(n AS DOUBLE))
+                        / CAST(n AS DOUBLE)))
+         / (1.0 + 3.8416 / CAST(n AS DOUBLE))
+         AS DECIMAL(18,12)), 6) AS DOUBLE) AS wilson_hi
+FROM s
+""",
+    tags=("C4", "experimentation", "statistics"),
+)
+def conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B conversion rates with Wilson score intervals (z = 1.96):
+    per deterministic variant split (user parity standing in for the
+    experiment assignment), user-level conversion rate and the
+    interval that stays valid at small n and extreme rates — the
+    significance readout an experimentation pipeline publishes
+    instead of raw rates.
+
+    Parity: every input is an integer count; the Wilson formula is a
+    fixed chain of double ops (sqrt is IEEE-correctly-rounded), so
+    both engines compute bit-identical bounds before the one
+    DECIMAL rounding.
+
+    At 100 TB: one user-level aggregate (partial max/min map-side),
+    one 2-row variant rollup — experiment readouts are counters, not
+    scans."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    g = u.select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias(
+            "variant"
+        ),
+        "converted",
+    )
+    s = g.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("conv").cast("double") / nd
+    half = F.lit(1.96) * F.sqrt(
+        (p * (F.lit(1.0) - p) + F.lit(0.9604) / nd) / nd
+    )
+    denom = F.lit(1.0) + F.lit(3.8416) / nd
+    center = p + F.lit(1.9208) / nd
+    return s.select(
+        "variant",
+        "n",
+        "conv",
+        F.round(p.cast("decimal(18,12)"), 6).cast("double").alias("rate"),
+        F.round(((center - half) / denom).cast("decimal(18,12)"), 6)
+        .cast("double")
+        .alias("wilson_lo"),
+        F.round(((center + half) / denom).cast("decimal(18,12)"), 6)
+        .cast("double")
+        .alias("wilson_hi"),
+    )
+
+
+@register(
+    "growth_accounting",
+    oracle="""
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // 604800000000 AS wk
+  FROM events
+),
+lagged AS (
+  SELECT user_id, wk,
+         lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+         min(wk) OVER (PARTITION BY user_id) AS first_wk
+  FROM uw
+)
+SELECT CAST(wk AS BIGINT) AS wk,
+       count(*) AS n_active,
+       CAST(count(CASE WHEN wk = first_wk THEN 1 END) AS BIGINT)
+         AS n_new,
+       CAST(count(CASE WHEN prev_wk = wk - 1 THEN 1 END) AS BIGINT)
+         AS n_retained,
+       CAST(count(CASE WHEN prev_wk IS NOT NULL AND prev_wk < wk - 1
+                  THEN 1 END) AS BIGINT) AS n_resurrected
+FROM lagged GROUP BY wk
+""",
+    tags=("C5", "behavior", "growth"),
+)
+def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting: every active user classified as NEW
+    (first-ever week), RETAINED (active the previous week), or
+    RESURRECTED (returning after a gap) — the standard
+    growth-decomposition report (churn falls out as last week's
+    active minus this week's retained).  Integer epoch-week
+    arithmetic throughout.
+
+    At 100 TB: activity compresses to distinct (user, week) rows
+    first; the lag/min windows and the weekly rollup ride the same
+    user-keyed exchange — the gaps_islands_streaks shape at weekly
+    grain."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        F.expr("ts_ns div 1000 div 604800000000").alias("wk"),
+    ).distinct()
+    wlag = Window.partitionBy("user_id").orderBy("wk")
+    wall = Window.partitionBy("user_id")
+    lagged = uw.select(
+        "user_id",
+        "wk",
+        F.lag("wk").over(wlag).alias("prev_wk"),
+        F.min("wk").over(wall).alias("first_wk"),
+    )
+    return lagged.groupBy(F.col("wk").cast("long").alias("wk")).agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.count(F.when(F.col("wk") == F.col("first_wk"), 1))
+        .cast("long")
+        .alias("n_new"),
+        F.count(F.when(F.col("prev_wk") == F.col("wk") - 1, 1))
+        .cast("long")
+        .alias("n_retained"),
+        F.count(
+            F.when(
+                F.col("prev_wk").isNotNull()
+                & (F.col("prev_wk") < F.col("wk") - 1),
+                1,
+            )
+        )
+        .cast("long")
+        .alias("n_resurrected"),
+    )
