@@ -2305,3 +2305,144 @@ def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("utilization"),
     )
+
+
+@register(
+    "doc_ngram_novelty",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct([md5(array_to_string(toks[i:i+7], ' '))
+                               for i in range(1, len(toks) - 6)])) AS g
+  FROM t WHERE len(toks) >= 8
+),
+firstseen AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g),
+j AS (
+  SELECT grams.doc_id,
+         count(*) AS n_grams,
+         CAST(count(CASE WHEN f.first_doc = grams.doc_id THEN 1 END)
+              AS BIGINT) AS n_novel
+  FROM grams JOIN firstseen f ON grams.g = f.g
+  GROUP BY grams.doc_id
+)
+SELECT doc_id, n_grams, n_novel,
+       CAST(round(CAST(CAST(n_novel AS DOUBLE)
+                       / CAST(n_grams AS DOUBLE)
+                  AS DECIMAL(18,12)), 6) AS DOUBLE) AS novelty
+FROM j
+""",
+    tags=("llm", "text", "novelty"),
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 8-gram novelty: the fraction of a document's
+    distinct 8-grams whose FIRST occurrence (by doc_id ingestion
+    order) is this document — the marginal-contribution metric that
+    ranks documents by how much genuinely new text they add to the
+    corpus (novelty ~ 0 means the doc is stitched from already-seen
+    spans even if no single near-dup match exists; the
+    contamination_check / dedup_substring_spans sibling).
+
+    At 100 TB: grams hash to md5 before the shuffle (16-byte keys);
+    first-seen is one min() aggregate with map-side partials, and
+    the join-back touches each (doc, gram) row once — the same
+    inverted-index discipline as contamination_check, with the
+    keep-FIRST rule of dedup_incremental applied at span grain."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ", -1).alias("toks"))
+    grams = (
+        t.filter(F.size("toks") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(toks) - 7),"
+                        " i -> md5(cast(array_join(slice(toks, i, 8), ' ')"
+                        " as binary)))"
+                    )
+                )
+            ).alias("g"),
+        )
+    )
+    firstseen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    j = (
+        grams.join(firstseen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return j.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        F.round(
+            (
+                F.col("n_novel").cast("double")
+                / F.col("n_grams").cast("double")
+            ).cast("decimal(18,12)"),
+            6,
+        )
+        .cast("double")
+        .alias("novelty"),
+    )
+
+
+@register(
+    "source_lang_entropy",
+    oracle="""
+WITH c AS (
+  SELECT source, lang, count(*) AS n FROM documents
+  GROUP BY source, lang
+),
+tot AS (SELECT source, SUM(n) AS ns FROM c GROUP BY source),
+terms AS (
+  SELECT c.source, c.n, t.ns,
+         round(CAST((CAST(c.n AS DOUBLE) / CAST(t.ns AS DOUBLE))
+                    * ln(CAST(c.n AS DOUBLE) / CAST(t.ns AS DOUBLE))
+               AS DECIMAL(18,12)), 12) AS term
+  FROM c JOIN tot t ON c.source = t.source
+)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       count(*) AS n_langs,
+       CAST(round(-SUM(CAST(term AS DECIMAL(28,12))), 6) AS DOUBLE)
+         AS lang_entropy
+FROM terms GROUP BY source
+""",
+    tags=("llm", "profiling", "diversity"),
+)
+def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix Shannon entropy per source (nats): the diversity
+    number a mixture designer reads next to dataset_card_stats —
+    entropy 0 is a monolingual feed, ln(|langs|) is a uniform mix;
+    dataset_alpha_mix's flattening is judged against exactly this.
+    Per-term p*ln(p) rounded while DECIMAL (zipf convention), summed
+    exactly.
+
+    At 100 TB: one (source, lang) aggregate — |sources| x |langs|
+    partial rows — then arithmetic on that tiny table."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = c.groupBy("source").agg(F.sum("n").alias("ns"))
+    p = F.col("n").cast("double") / F.col("ns").cast("double")
+    terms = c.join(tot, "source").select(
+        "source",
+        "n",
+        F.round((p * F.log(p)).cast("decimal(18,12)"), 12).alias("term"),
+    )
+    return terms.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.round(-F.sum(F.col("term").cast("decimal(28,12)")), 6)
+        .cast("double")
+        .alias("lang_entropy"),
+    )
