@@ -1215,3 +1215,136 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source_a", "source_b", "n_shared_texts", "n_dup_pairs")
     )
+
+
+@register(
+    "curation_funnel_report",
+    oracle="""
+WITH q AS (
+  SELECT doc_id, text,
+         len(str_split(text, ' ')) AS n_tokens,
+         len(list_distinct(str_split(text, ' '))) AS n_unique,
+         length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+         length(text) AS len_chars
+  FROM documents
+),
+keepq AS (
+  SELECT doc_id, text, n_tokens FROM q
+  WHERE n_tokens BETWEEN 5 AND 1000
+    AND CAST(n_unique AS DOUBLE) / n_tokens > 0.1
+    AND CAST(n_punct AS DOUBLE) / len_chars < 0.2
+),
+ex AS (SELECT min(doc_id) AS doc_id FROM keepq GROUP BY md5(text)),
+s1 AS (SELECT k.doc_id, k.text, k.n_tokens
+       FROM keepq k JOIN ex USING (doc_id)),
+toks AS (
+  SELECT doc_id AS id, unnest(list_distinct(str_split(text, ' '))) AS tok
+  FROM s1
+),
+mh AS (
+  SELECT id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || tok)) AS mh
+  FROM toks CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) s
+  GROUP BY id, seed
+),
+bands AS (
+  SELECT id, CAST(seed // 2 AS INT) AS band,
+         md5(string_agg(mh, ',' ORDER BY seed)) AS sig
+  FROM mh GROUP BY id, CAST(seed // 2 AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+),
+sizes AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN toks a ON a.id = c.id_a
+  JOIN toks b ON b.id = c.id_b AND b.tok = a.tok
+  GROUP BY c.id_a, c.id_b
+),
+dups AS (
+  SELECT DISTINCT i.id_b AS doc_id
+  FROM inter i
+  JOIN sizes na ON na.id = i.id_a
+  JOIN sizes nb ON nb.id = i.id_b
+  WHERE round(CAST(i.inter AS DOUBLE) / (na.n + nb.n - i.inter), 6)
+        >= 0.8
+),
+s2 AS (SELECT s1.doc_id, s1.n_tokens FROM s1
+       WHERE s1.doc_id NOT IN (SELECT doc_id FROM dups))
+SELECT 0 AS stage_no, 'raw' AS stage,
+       count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM q
+UNION ALL
+SELECT 1, 'quality_gate', count(*), CAST(SUM(n_tokens) AS BIGINT)
+FROM keepq
+UNION ALL
+SELECT 2, 'exact_dedup', count(*), CAST(SUM(n_tokens) AS BIGINT)
+FROM s1
+UNION ALL
+SELECT 3, 'fuzzy_dedup', count(*), CAST(SUM(n_tokens) AS BIGINT)
+FROM s2
+""",
+    tags=("dedup", "curation", "audit"),
+)
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation FUNNEL audit: document and token counts after
+    every stage of curation_pipeline (raw → quality gate → exact
+    dedup → fuzzy dedup) — the per-stage removal accounting a data
+    team publishes with each corpus release (how much did each gate
+    cost, and was the fuzzy pass worth running after the exact one).
+    Same helpers and thresholds as the flagship; the budget numbers
+    ARE the flagship's intermediate cardinalities.
+
+    At 100 TB: each stage's count is a counter aggregate over the
+    already-pipelined stage output — the audit adds 4 tiny
+    aggregates to the pass it describes, not a second pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ", -1)
+    q = docs.select(
+        "doc_id",
+        "text",
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_unique"),
+        F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).alias(
+            "n_punct"
+        ),
+        F.length("text").alias("len_chars"),
+    )
+    keepq = q.filter(
+        F.col("n_tokens").between(5, 1000)
+        & (F.col("n_unique").cast("double") / F.col("n_tokens") > 0.1)
+        & (F.col("n_punct").cast("double") / F.col("len_chars") < 0.2)
+    ).select("doc_id", "text", "n_tokens")
+    ex = (
+        keepq.groupBy(F.md5(F.col("text").cast("binary")).alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s1 = keepq.join(ex, "doc_id")
+    toks = doc_tokens(s1.select("doc_id", "text"))
+    sigs = minhash_signatures(toks, num_hashes=8)
+    cand = lsh_candidate_pairs(lsh_band_signatures(sigs, rows_per_band=2))
+    dups = (
+        jaccard_verify(cand, toks, 0.8)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    s2 = s1.join(dups, "doc_id", "left_anti")
+
+    def stage(df: DataFrame, no: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(no).cast("int").alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        ).select("stage_no", "stage", "n_docs", "n_tokens")
+
+    return (
+        stage(q, 0, "raw")
+        .unionByName(stage(keepq, 1, "quality_gate"))
+        .unionByName(stage(s1, 2, "exact_dedup"))
+        .unionByName(stage(s2, 3, "fuzzy_dedup"))
+    )

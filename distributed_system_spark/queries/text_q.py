@@ -2446,3 +2446,61 @@ def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("lang_entropy"),
     )
+
+
+@register(
+    "tokenizer_fertility",
+    oracle="""
+WITH m AS (
+  SELECT lang,
+         len(str_split(text, ' ')) AS ws,
+         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]'))
+           AS bpe
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+       CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+       CAST(round(CAST(CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE)
+                  AS DECIMAL(18,12)), 6) AS DOUBLE) AS fertility
+FROM m GROUP BY lang
+""",
+    tags=("llm", "tokenizer", "multilingual"),
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: subword-ish tokens per
+    whitespace word (the BPE-ish regex tokenizer over the whitespace
+    baseline) — the standard multilingual-tokenizer equity metric
+    (a language with 2x the fertility pays 2x the context budget and
+    2x the inference cost for the same text; the number that drives
+    vocab-allocation decisions).  Integer token counts, one
+    integer-ratio double.
+
+    At 100 TB: per-row counting is shuffle-free (regexp + split in
+    codegen); the rollup is a |langs|-row aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "lang",
+        F.size(F.split("text", " ", -1)).cast("long").alias("ws"),
+        F.size(
+            F.regexp_extract_all(
+                "text", F.lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"), 0
+            )
+        )
+        .cast("long")
+        .alias("bpe"),
+    )
+    return m.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws").cast("long").alias("ws_tokens"),
+        F.sum("bpe").cast("long").alias("bpe_tokens"),
+        F.round(
+            (
+                F.sum("bpe").cast("double") / F.sum("ws").cast("double")
+            ).cast("decimal(18,12)"),
+            6,
+        )
+        .cast("double")
+        .alias("fertility"),
+    )
