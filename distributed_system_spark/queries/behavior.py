@@ -1842,3 +1842,81 @@ def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_resurrected"),
     )
+
+
+@register(
+    "pareto_user_share",
+    oracle="""
+WITH u AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+),
+r AS (
+  SELECT user_id, n,
+         row_number() OVER (ORDER BY n DESC, user_id) AS rnk,
+         count(*) OVER () AS n_users,
+         SUM(n) OVER () AS total
+  FROM u
+),
+g AS (
+  SELECT CASE WHEN rnk * 10 <= n_users THEN 'top_10pct'
+              WHEN rnk * 10 <= n_users * 2 THEN 'next_10pct'
+              WHEN rnk * 2 <= n_users THEN 'next_30pct'
+              ELSE 'bottom_50pct' END AS cohort,
+         n, total
+  FROM r
+)
+SELECT cohort,
+       count(*) AS n_users,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(round(CAST(CAST(SUM(n) AS DOUBLE) / CAST(max(total) AS DOUBLE)
+                  AS DECIMAL(18,12)), 6) AS DOUBLE) AS share
+FROM g GROUP BY cohort
+""",
+    tags=("C4", "behavior", "concentration"),
+)
+def pareto_user_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-concentration (Pareto/Lorenz) report: the share of
+    all events produced by the top-10%, next-10%, next-30%, and
+    bottom-50% of users by activity — the skew readout that predicts
+    whether per-user partitioning will hot-spot (feeding
+    join_skew_salted / agg_skew_twophase decisions).  Cohort cuts
+    are ALL-integer rank thresholds (rank*10 <= n_users), so no
+    percentile float exists.
+
+    At 100 TB: the user activity table is one aggregate; the ranking
+    window runs over |users| rows (already corpus-compressed) — for
+    extreme user counts the rfm_segments broadcast-threshold
+    alternative applies, as its docstring documents."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), "user_id")
+    wall = Window.partitionBy()
+    r = u.select(
+        "n",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(wall).alias("n_users"),
+        F.sum("n").over(wall).alias("total"),
+    )
+    cohort = (
+        F.when(F.col("rnk") * 10 <= F.col("n_users"), "top_10pct")
+        .when(F.col("rnk") * 10 <= F.col("n_users") * 2, "next_10pct")
+        .when(F.col("rnk") * 2 <= F.col("n_users"), "next_30pct")
+        .otherwise("bottom_50pct")
+    )
+    return (
+        r.select(cohort.alias("cohort"), "n", "total")
+        .groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n").cast("long").alias("n_events"),
+            F.round(
+                (
+                    F.sum("n").cast("double")
+                    / F.max("total").cast("double")
+                ).cast("decimal(18,12)"),
+                6,
+            )
+            .cast("double")
+            .alias("share"),
+        )
+    )

@@ -951,3 +951,59 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("acf"),
     )
+
+
+@register(
+    "ts_hourly_profile",
+    oracle=f"""
+WITH h AS (
+  SELECT (epoch_us(ts) % {_DAY_US}) // {_HOUR_US} AS hour_of_day,
+         count(*) AS n
+  FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+               CAST(max(n) AS BIGINT) AS peak FROM h)
+SELECT CAST(hour_of_day AS BIGINT) AS hour_of_day,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(round(CAST(CAST(n AS DOUBLE) * 24.0 / CAST(total AS DOUBLE)
+                  AS DECIMAL(18,12)), 6) AS DOUBLE) AS seasonal_index,
+       n = peak AS is_peak
+FROM h CROSS JOIN tot
+""",
+    tags=("timeseries", "seasonality"),
+)
+def ts_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile: event volume per UTC hour
+    with the seasonal index (share x 24 — 1.0 is a flat profile) and
+    the peak-hour flag — the intraday companion to
+    ts_seasonal_decompose's weekday effect, and the input to
+    capacity planning (peak-hour throughput sizes the cluster).
+    Integer epoch arithmetic; one 24-row aggregate.
+
+    At 100 TB: a counter aggregate with map-side partials; the
+    profile is 24 rows no matter the corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.expr(f"(ts_ns div 1000 % {_DAY_US}) div {_HOUR_US}").alias(
+            "hour_of_day"
+        )
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = h.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.max("n").cast("long").alias("peak"),
+    )
+    return h.crossJoin(F.broadcast(tot)).select(
+        F.col("hour_of_day").cast("long").alias("hour_of_day"),
+        F.col("n").cast("long").alias("n_events"),
+        F.round(
+            (
+                F.col("n").cast("double")
+                * F.lit(24.0)
+                / F.col("total").cast("double")
+            ).cast("decimal(18,12)"),
+            6,
+        )
+        .cast("double")
+        .alias("seasonal_index"),
+        (F.col("n") == F.col("peak")).alias("is_peak"),
+    )
