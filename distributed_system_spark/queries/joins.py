@@ -610,3 +610,137 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("null_key_pairs"),
     )
+
+
+@register(
+    "join_time_bucket_overlap",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+),
+g AS (
+  SELECT user_id, ts_us,
+         CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                                            ORDER BY ts_us)
+                   > 1800000000 OR
+                   lag(ts_us) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us) IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+s AS (
+  SELECT user_id, ts_us,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM g
+),
+spans AS (
+  SELECT user_id, sess,
+         min(ts_us) AS s_start, max(ts_us) AS s_end
+  FROM s GROUP BY user_id, sess
+),
+bucketed AS (
+  SELECT user_id, sess, s_start, s_end,
+         unnest(range(s_start // 3600000000,
+                      s_end // 3600000000 + 1)) AS bkt
+  FROM spans
+),
+pairs AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b,
+         least(a.s_end, b.s_end) - greatest(a.s_start, b.s_start)
+           AS ov_us
+  FROM bucketed a JOIN bucketed b
+    ON a.bkt = b.bkt AND a.user_id < b.user_id
+  WHERE a.s_start <= b.s_end AND b.s_start <= a.s_end
+    AND greatest(a.s_start, b.s_start) // 3600000000 = a.bkt
+)
+SELECT user_a, user_b,
+       count(*) AS n_overlaps,
+       CAST(SUM(ov_us) // 1000 AS BIGINT) AS total_overlap_ms
+FROM pairs GROUP BY user_a, user_b
+""",
+    tags=("C3", "join", "interval", "bucketed"),
+)
+def join_time_bucket_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-decomposed interval join: concurrent activity-session
+    overlaps BETWEEN users, with NO shared equi-key — the case
+    join_interval_overlap (which rides a user_id equi-join) cannot
+    cover.  The scale technique: each session span explodes into the
+    hour buckets it covers, candidate pairs come from an EQUI-join
+    on the bucket, the overlap predicate is a residual, and each
+    overlapping pair is counted exactly once by attributing it to
+    the bucket containing the overlap's START (greatest of the two
+    starts) — no distinct() over pairs, the first-bucket-wins rule
+    in closed form.
+
+    At 100 TB: this is how warehouses execute range joins without a
+    cartesian — work is sum over buckets of (spans-in-bucket)^2,
+    tunable by bucket width against span length; the span build is
+    the sessionize_events shape (one user exchange)."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("user_id", F.expr("ts_ns div 1000").alias("ts_us"))
+    wlag = Window.partitionBy("user_id").orderBy("ts_us")
+    brk = F.when(
+        F.lag("ts_us").over(wlag).isNull()
+        | (F.col("ts_us") - F.lag("ts_us").over(wlag) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = e.withColumn("brk", brk).withColumn(
+        "sess", F.sum("brk").over(wcum)
+    )
+    spans = s.groupBy("user_id", "sess").agg(
+        F.min("ts_us").alias("s_start"), F.max("ts_us").alias("s_end")
+    )
+    bucketed = spans.select(
+        "user_id",
+        "s_start",
+        "s_end",
+        F.explode(
+            F.sequence(
+                F.expr("s_start div 3600000000"),
+                F.expr("s_end div 3600000000"),
+            )
+        ).alias("bkt"),
+    )
+    a = bucketed.select(
+        F.col("bkt").alias("bkt"),
+        F.col("user_id").alias("user_a"),
+        F.col("s_start").alias("sa"),
+        F.col("s_end").alias("ea"),
+    )
+    b = bucketed.select(
+        F.col("bkt").alias("bkt"),
+        F.col("user_id").alias("user_b"),
+        F.col("s_start").alias("sb"),
+        F.col("s_end").alias("eb"),
+    )
+    pairs = (
+        a.join(b, "bkt")
+        .filter(
+            (F.col("user_a") < F.col("user_b"))
+            & (F.col("sa") <= F.col("eb"))
+            & (F.col("sb") <= F.col("ea"))
+            & (
+                F.expr("greatest(sa, sb) div 3600000000")
+                == F.col("bkt")
+            )
+        )
+        .select(
+            "user_a",
+            "user_b",
+            (
+                F.least("ea", "eb") - F.greatest("sa", "sb")
+            ).alias("ov_us"),
+        )
+    )
+    return pairs.groupBy("user_a", "user_b").agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        F.expr("sum(ov_us) div 1000").cast("long").alias(
+            "total_overlap_ms"
+        ),
+    )

@@ -672,3 +672,19 @@ def test_cep_pattern_single_user_exchange(spark, sf_dir):
     assert "Join" not in plan, plan
     assert "PushedFilters" in plan and "event_type" in plan, plan
     assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_bucket_overlap_join_is_equi_on_bucket(spark, sf_dir):
+    """join_time_bucket_overlap: the interval join decomposes into an
+    EQUI-join on the hour bucket with the overlap predicate as a
+    residual — never a nested-loop over span pairs."""
+    plan = plan_of(spark, sf_dir, "join_time_bucket_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # any hash-based EQUI join on bkt qualifies (AQE broadcasts the
+    # small side at test SF; a cluster run shuffles on bkt)
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    ), plan
