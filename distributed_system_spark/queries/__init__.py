@@ -188,7 +188,7 @@ _ADDED_R5 = frozenset(
         "drift_psi", "stats_mergeable_moments", "dataset_card_stats",
         "cooccurrence_pmi", "minhash_calibration", "ks_drift",
         "gaps_islands_streaks", "dataset_alpha_mix",
-        "hard_negative_mining", "label_noise_knn", "embedding_standardize", "ts_changepoint_cusum", "stream_drift_monitor", "mm_scene_cuts", "k_anonymity_audit", "score_pr_curve", "cluster_purity_eval", "ts_autocorrelation", "quantile_normalize_sources", "lsh_s_curve", "user_feature_matrix", "search_query_expansion", "attribution_markov_removal", "stream_cusum_monitor", "score_reliability_diagram", "dedup_minhash_shingles", "dq_freshness_lag", "cep_view_to_purchase", "cep_latency_percentiles", "embedding_norm_audit", "corpus_heaps_law", "cross_source_dup_matrix", "ann_index_balance", "packing_efficiency", "join_null_safe", "gdpr_erasure_audit", "embedding_distance_histogram", "conversion_wilson_ci", "growth_accounting", "doc_ngram_novelty", "source_lang_entropy", "curation_funnel_report", "tokenizer_fertility", "pareto_user_share", "ts_hourly_profile", "join_time_bucket_overlap",
+        "hard_negative_mining", "label_noise_knn", "embedding_standardize", "ts_changepoint_cusum", "stream_drift_monitor", "mm_scene_cuts", "k_anonymity_audit", "score_pr_curve", "cluster_purity_eval", "ts_autocorrelation", "quantile_normalize_sources", "lsh_s_curve", "user_feature_matrix", "search_query_expansion", "attribution_markov_removal", "stream_cusum_monitor", "score_reliability_diagram", "dedup_minhash_shingles", "dq_freshness_lag", "cep_view_to_purchase", "cep_latency_percentiles", "embedding_norm_audit", "corpus_heaps_law", "cross_source_dup_matrix", "ann_index_balance", "packing_efficiency", "join_null_safe", "gdpr_erasure_audit", "embedding_distance_histogram", "conversion_wilson_ci", "growth_accounting", "doc_ngram_novelty", "source_lang_entropy", "curation_funnel_report", "tokenizer_fertility", "pareto_user_share", "ts_hourly_profile", "join_time_bucket_overlap", "dedup_modality_agreement",
     }
 )
 

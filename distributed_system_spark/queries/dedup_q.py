@@ -1348,3 +1348,132 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(s1, 2, "exact_dedup"))
         .unionByName(stage(s2, 3, "fuzzy_dedup"))
     )
+
+
+@register(
+    "dedup_modality_agreement",
+    oracle=f"""
+WITH {_TOKS_SQL},
+mh AS (
+  SELECT id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || tok)) AS mh
+  FROM toks CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) s
+  GROUP BY id, seed
+),
+bands AS (
+  SELECT id, CAST(seed // 2 AS INT) AS band,
+         md5(string_agg(mh, ',' ORDER BY seed)) AS sig
+  FROM mh GROUP BY id, CAST(seed // 2 AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+),
+sizes AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN toks a ON a.id = c.id_a
+  JOIN toks b ON b.id = c.id_b AND b.tok = a.tok
+  GROUP BY c.id_a, c.id_b
+),
+textp AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes na ON na.id = i.id_a
+  JOIN sizes nb ON nb.id = i.id_b
+  WHERE round(CAST(i.inter AS DOUBLE) / (na.n + nb.n - i.inter), 6)
+        >= 0.8
+),
+ev AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec
+       FROM embeddings),
+embp AS (
+  SELECT q.id AS id_a, c.id AS id_b
+  FROM ev q JOIN ev c ON q.id < c.id
+  WHERE round(list_sum(list_transform(range(1, 65),
+            i -> q.vec[i] * c.vec[i]))
+        / (sqrt(list_sum(list_transform(range(1, 65),
+               i -> q.vec[i] * q.vec[i])))
+         * sqrt(list_sum(list_transform(range(1, 65),
+                i -> c.vec[i] * c.vec[i])))), 6) >= 0.4
+),
+j AS (
+  SELECT coalesce(t.id_a, e.id_a) AS id_a,
+         CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_text,
+         CASE WHEN e.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_emb
+  FROM textp t FULL OUTER JOIN embp e
+    ON t.id_a = e.id_a AND t.id_b = e.id_b
+)
+SELECT CAST(SUM(in_text) AS BIGINT) AS n_text,
+       CAST(SUM(in_emb) AS BIGINT) AS n_emb,
+       CAST(SUM(in_text * in_emb) AS BIGINT) AS n_both,
+       CAST(SUM(in_text * (1 - in_emb)) AS BIGINT) AS text_only,
+       CAST(SUM((1 - in_text) * in_emb) AS BIGINT) AS emb_only,
+       CAST(round(CAST(CAST(SUM(in_text * in_emb) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE)
+                  AS DECIMAL(18,12)), 6) AS DOUBLE)
+         AS agreement_jaccard
+FROM j
+""",
+    tags=("dedup", "evaluation", "multimodal"),
+)
+def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality-agreement report for near-dup detection: the pair
+    sets found by TEXT MinHash-LSH (Jaccard >= 0.8) and by EMBEDDING
+    cosine near-dup (>= 0.4) full-outer joined and summarized as
+    both / text-only / embedding-only counts plus their Jaccard
+    agreement — the methodology check before trusting either
+    modality alone (textual near-dups a stale embedding misses;
+    semantic dups no token overlap reveals).
+
+    At 100 TB: both sides are the already-bucketed candidate
+    pipelines (never all-pairs on the Spark side — the embedding
+    side is the banded hyperplane-LSH with verified full recall at
+    0.4; the oracle uses the exhaustive form the recall tests
+    quarantine); the agreement join is an equi-join on the pair key
+    and the report reduces to one row."""
+    from distributed_system_spark.operators.similarity import (
+        lsh_neardup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = doc_tokens(docs)
+    sigs = minhash_signatures(toks, num_hashes=8)
+    cand = lsh_candidate_pairs(lsh_band_signatures(sigs, rows_per_band=2))
+    textp = jaccard_verify(cand, toks, 0.8).select("id_a", "id_b")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    embp = lsh_neardup_pairs(vecs, 0.4).select("id_a", "id_b")
+
+    t = textp.withColumn("in_text", F.lit(1))
+    e = embp.withColumn("in_emb", F.lit(1))
+    j = t.join(e, ["id_a", "id_b"], "full_outer").select(
+        F.coalesce("in_text", F.lit(0)).alias("in_text"),
+        F.coalesce("in_emb", F.lit(0)).alias("in_emb"),
+    )
+    return j.agg(
+        F.sum("in_text").cast("long").alias("n_text"),
+        F.sum("in_emb").cast("long").alias("n_emb"),
+        F.sum(F.col("in_text") * F.col("in_emb"))
+        .cast("long")
+        .alias("n_both"),
+        F.sum(F.col("in_text") * (F.lit(1) - F.col("in_emb")))
+        .cast("long")
+        .alias("text_only"),
+        F.sum((F.lit(1) - F.col("in_text")) * F.col("in_emb"))
+        .cast("long")
+        .alias("emb_only"),
+        F.round(
+            (
+                F.sum(F.col("in_text") * F.col("in_emb")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).cast("decimal(18,12)"),
+            6,
+        )
+        .cast("double")
+        .alias("agreement_jaccard"),
+    )
