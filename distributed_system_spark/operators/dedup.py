@@ -148,9 +148,12 @@ def jaccard_verify(
     """
     from fractions import Fraction
 
-    fr = Fraction(threshold).limit_denominator(1000) - Fraction(
-        1, 1_000_000
-    )
+    # Exact at the 6-decimal acceptance grain: (round(t*1e6) - 1)/1e6
+    # can never round the bound UP past the threshold the way a
+    # limit_denominator() approximation could for thresholds not
+    # representable with a small denominator (e.g. 0.0005 -> 1/1000),
+    # so no pair whose exact Jaccard passes is ever clipped.
+    fr = Fraction(round(threshold * 10**6) - 1, 10**6)
     num, den = fr.numerator, fr.denominator
     sets_ = toks.groupBy("id").agg(
         F.sort_array(F.collect_set("tok")).alias("ts")

@@ -1096,6 +1096,7 @@ toks AS (
                                for i in range(1, length(text) - 1)]))
            AS tok
   FROM documents
+  WHERE length(text) >= 3
 )"""
 
 
@@ -1136,7 +1137,12 @@ def dedup_minhash_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     char shingles overlap far more than word tokens on unrelated
     text, so the verify threshold does the discriminating."""
     docs = load_table(spark, sf_dir, "documents")
-    shingles = docs.select(
+    # length >= 3 guard: for shorter texts Spark's
+    # sequence(1, length-2) DESCENDS (e.g. [1, 0]) and substring's
+    # pos-0/negative semantics would still emit junk shingles while
+    # the oracle's range() is empty — both engines must emit nothing
+    # for sub-shingle documents (the n>=2 frame guard of scene_cuts).
+    shingles = docs.filter(F.length("text") >= 3).select(
         F.col("doc_id").alias("id"),
         F.explode(
             F.array_distinct(

@@ -16,7 +16,7 @@ way that should block the publish?".
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from distributed_system_spark.queries import register
 from distributed_system_spark.sources.tables import load_table
@@ -33,6 +33,30 @@ _SPLIT_SQL = (
 
 _N_BINS = 10
 _BIN_WIDTH = 64  # n_chars in [0, 640) covers every SF's corpus
+
+
+def md5_split_expr() -> Column:
+    """The Spark twin of _SPLIT_SQL: md5 first byte < 0xcd => train,
+    < 0xe6 => val, else test.  Single definition shared by the batch
+    drift queries AND streaming/streams.py's drift_monitor_stream so
+    the documented streaming==batch exact-equality contract (both
+    feed psi_from_bin_counts against the same oracle) cannot drift."""
+    b = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+    )
+    return (
+        F.when(b < "cd", "train").when(b < "e6", "val").otherwise("test")
+    )
+
+
+def char_bin_expr() -> Column:
+    """n_chars histogram bin: least(_N_BINS-1, n_chars // _BIN_WIDTH).
+    Shared with drift_monitor_stream for the same reason as
+    :func:`md5_split_expr`."""
+    return F.least(
+        F.lit(_N_BINS - 1),
+        (F.col("n_chars") / F.lit(_BIN_WIDTH)).cast("long"),
+    )
 
 
 def psi_from_bin_counts(spark: SparkSession, counts: DataFrame) -> DataFrame:
@@ -163,18 +187,9 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     than 2x10 counters.  Adding monitored features adds bins, never
     scans."""
     docs = load_table(spark, sf_dir, "documents")
-    b = F.substring(
-        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
-    )
-    split = (
-        F.when(b < "cd", "train").when(b < "e6", "val").otherwise("test")
-    )
     assign = docs.select(
-        F.least(
-            F.lit(_N_BINS - 1),
-            (F.col("n_chars") / F.lit(_BIN_WIDTH)).cast("long"),
-        ).alias("bin"),
-        split.alias("split"),
+        char_bin_expr().alias("bin"),
+        md5_split_expr().alias("split"),
     )
     counts = (
         assign.filter(F.col("split") != "val")
@@ -390,18 +405,9 @@ def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    b = F.substring(
-        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
-    )
-    split = (
-        F.when(b < "cd", "train").when(b < "e6", "val").otherwise("test")
-    )
     assign = docs.select(
-        F.least(
-            F.lit(_N_BINS - 1),
-            (F.col("n_chars") / F.lit(_BIN_WIDTH)).cast("long"),
-        ).alias("bin"),
-        split.alias("split"),
+        char_bin_expr().alias("bin"),
+        md5_split_expr().alias("split"),
     )
     counts = (
         assign.filter(F.col("split") != "val")

@@ -36,6 +36,81 @@ _SQL_SQDIST = (
     "i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), 6)"
 )
 
+# Centroid-cell family (semdedup_pairs / hard_negative_mining /
+# label_noise_knn): k is DERIVED FROM CORPUS SIZE, k = max(8,
+# n // _TARGET_CELL), so cells stay ~_TARGET_CELL vectors and the
+# within-cell pair join grows ~n * _TARGET_CELL — LINEAR in n —
+# instead of ~n^2/k with k frozen (measured 4.0x/7.7x wall at 10x
+# data when k was fixed at 8).  _TARGET_CELL = 64 exercises the
+# lever at test SFs (n = 2000 at sf0.1 -> k = 31; n <= 512 -> k = 8,
+# so smaller-SF oracle rows are unchanged); production uses
+# _TARGET_CELL ~ 10^4+ with sampled/hierarchical centroids (the IVF
+# coarse-quantizer shape, see ann_ivf_kmeans) so the flat n*k
+# assignment pass and the k*d driver state stay bounded.
+_TARGET_CELL = 64
+
+# DuckDB mirror: n is SQL-computable, so the oracle derives the SAME
+# k and stays hash-identical at every SF.
+_ADAPTIVE_C0_SQL = (
+    "c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < "
+    "(SELECT greatest(8, count(*) // 64) FROM e))"
+)
+
+
+def _assign_adaptive_cells(e: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment with corpus-size-derived k =
+    max(8, n // _TARGET_CELL) (see _TARGET_CELL note), returning
+    (vec_id, v, cluster).
+
+    Unlike `_kmeans_assign` (k centroid LITERALS — right for the
+    fixed-k=8 model queries, but the expression tree grows k*d nodes
+    and analysis/codegen wall grows with k), the centroids here stay
+    a DATAFRAME: the assignment is a broadcast cross-join of e
+    against the k seed rows, one zip_with distance per (vector,
+    centroid), then a per-vector min over struct(d, cid, v) — the
+    (d, cid) prefix reproduces the oracle's (sqdist, cid) tiebreak
+    and v rides along so no second join is needed.  Nothing but the
+    count() scalar ever touches the driver, codegen is constant in
+    k, and the n*k distance work is distributed and Tungsten-
+    vectorized.
+
+    The vector NORM is also computed here, ONCE per vector, and
+    carried into the pair stage (the dominant per-pair cost is
+    otherwise recomputing both norms for every candidate): downstream
+    cosines are dot/(nrm_a*nrm_b), bit-identical to the oracle's
+    sqrt(list_sum(..))*sqrt(list_sum(..)) because the sum-of-squares
+    folds in the same dimension order in both engines and sqrt is
+    IEEE-correctly-rounded."""
+    from distributed_system_spark.operators.similarity import norm
+
+    n = e.count()
+    k = max(8, n // _TARGET_CELL)
+    cents = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("v").alias("c"),
+    )
+    d = F.round(
+        F.aggregate(
+            F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    return (
+        e.withColumn("nrm", norm(F.col("v")))
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "nrm", d.alias("d"), "cid")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cid", "v", "nrm")).alias("mc"))
+        .select(
+            "vec_id",
+            F.col("mc.v").alias("v"),
+            F.col("mc.nrm").alias("nrm"),
+            F.col("mc.cid").alias("cluster"),
+        )
+    )
+
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -746,7 +821,7 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "semdedup_pairs",
     oracle=f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
+{_ADAPTIVE_C0_SQL},
 a1 AS (
   SELECT vec_id, cid FROM (
     SELECT e.vec_id, c.cid,
@@ -764,41 +839,50 @@ WHERE {_COS_SQL} >= 0.4
 )
 def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shape semantic dedup (Abbas et al. 2023): partition the
-    embedding space by nearest centroid (k=8 deterministic centroids),
-    then find near-duplicate pairs (cosine >= 0.4) ONLY within each
-    cluster — the trick that turns an O(n²) semantic-dup scan into
-    k × O((n/k)²) with no cross-cluster comparisons at all.
+    embedding space by nearest centroid (k = max(8, n // 64)
+    deterministic seed centroids — corpus-size-derived, see
+    _TARGET_CELL), then find near-duplicate pairs (cosine >= 0.4)
+    ONLY within each cluster — the trick that turns an O(n²)
+    semantic-dup scan into a LINEAR n × cell_size pair join with no
+    cross-cluster comparisons at all.
 
     At 100 TB: the assignment pass is embarrassingly parallel against
     broadcast centroid literals; the pair search is an equi-join on
     the cluster id, so Spark shuffles each cluster to one place and
-    never materializes the global cross product (with real k ~ 10^4+,
-    per-cluster work is tiny).  Recall is bounded by clustering
-    quality — pairs straddling a centroid boundary are missed, which
-    is SemDeDup's documented trade; the oracle reproduces assignment
-    and pair search exactly.
+    never materializes the global cross product; because k grows with
+    n, per-cluster work stays ~_TARGET_CELL² regardless of corpus
+    size.  Recall is bounded by clustering quality — pairs straddling
+    a centroid boundary are missed, which is SemDeDup's documented
+    trade; the oracle derives the same k from count(*) and reproduces
+    assignment and pair search exactly.
     """
-    from distributed_system_spark.operators.similarity import cosine
+    from distributed_system_spark.operators.similarity import dot
 
-    k = 8
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    c0 = [
-        (r["vec_id"], list(r["v"]))
-        for r in e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
-    ]
-    m = _kmeans_assign(e, c0).select(
-        F.col("cluster").cast("long").alias("cluster"), "vec_id", "v"
+    m = _assign_adaptive_cells(e).select(
+        F.col("cluster").cast("long").alias("cluster"),
+        "vec_id",
+        "v",
+        "nrm",
     )
     a = m.select(
-        "cluster", F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+        "cluster",
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
     )
     b = m.select(
-        "cluster", F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+        "cluster",
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
-    cos = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    cos = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
     return (
         a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -1029,7 +1113,7 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hard_negative_mining",
     oracle=f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
+{_ADAPTIVE_C0_SQL},
 a1 AS (
   SELECT vec_id, cid FROM (
     SELECT e.vec_id, c.cid,
@@ -1064,43 +1148,43 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     every anchor vector, the top-3 highest-cosine vectors with a
     DIFFERENT label — the near-misses that make the strongest
     training negatives — searched only within the anchor's
-    nearest-centroid cell (the SemDeDup partition trick, k = 8
-    deterministic seed centroids).
+    nearest-centroid cell (the SemDeDup partition trick, k = max(8,
+    n // 64) deterministic seed centroids — corpus-size-derived, see
+    _TARGET_CELL).
 
     At 100 TB: assignment is embarrassingly parallel against
     broadcast centroid literals; the candidate join is an equi-join
-    on the cell id (k x O((n/k)^2), never corpus-quadratic, with
-    real k ~ 10^4+); the per-anchor top-3 is a window partitioned by
-    anchor over cell-bounded candidates.  Cell-boundary negatives
-    are missed — SemDeDup's documented recall trade, shared with
-    semdedup_pairs.  Cosines rounded to 6 while comparable so the
-    rank order (cos desc, neg_id) is engine-identical."""
-    from distributed_system_spark.operators.similarity import cosine
+    on the cell id, and because k grows with n the within-cell work
+    is n × _TARGET_CELL — LINEAR, never corpus-quadratic; the
+    per-anchor top-3 is a window partitioned by anchor over
+    cell-bounded candidates.  Cell-boundary negatives are missed —
+    SemDeDup's documented recall trade, shared with semdedup_pairs.
+    Cosines rounded to 6 while comparable so the rank order
+    (cos desc, neg_id) is engine-identical; the oracle derives the
+    same k from count(*)."""
+    from distributed_system_spark.operators.similarity import dot
 
-    k = 8
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    c0 = [
-        (r["vec_id"], list(r["v"]))
-        for r in e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
-    ]
     m = (
-        _kmeans_assign(e, c0)
+        _assign_adaptive_cells(e)
         .join(emb.select("vec_id", "label"), "vec_id")
-        .select("cluster", "vec_id", "v", "label")
+        .select("cluster", "vec_id", "v", "nrm", "label")
     )
     q = m.select(
         F.col("cluster").alias("cl"),
         F.col("vec_id").alias("anchor_id"),
         F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
         F.col("label").alias("anchor_label"),
     )
     c = m.select(
         F.col("cluster").alias("cl"),
         F.col("vec_id").alias("neg_id"),
         F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
         F.col("label").alias("neg_label"),
     )
     scored = (
@@ -1114,7 +1198,11 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "anchor_label",
             "neg_id",
             "neg_label",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+            F.round(
+                dot(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * F.col("cn")),
+                6,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("anchor_id").orderBy(
@@ -1138,7 +1226,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     "label_noise_knn",
     oracle=f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
+{_ADAPTIVE_C0_SQL},
 a1 AS (
   SELECT vec_id, cid FROM (
     SELECT e.vec_id, c.cid,
@@ -1181,40 +1269,44 @@ def label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     for review before the dataset ships).
 
     Same cell-partitioned search as hard_negative_mining — the
-    all-label twin: one equi-join on the cell id, one per-anchor
-    window, integer-ratio agreement rates (bit-identical doubles),
-    and the flag threshold evaluated in integers (5 * n_agree <
-    2 * n_nbrs) so no float boundary exists at all."""
-    from distributed_system_spark.operators.similarity import cosine
+    all-label twin: k = max(8, n // 64) corpus-size-derived cells
+    (see _TARGET_CELL — within-cell pairs stay LINEAR in n), one
+    equi-join on the cell id, one per-anchor window, integer-ratio
+    agreement rates (bit-identical doubles), and the flag threshold
+    evaluated in integers (5 * n_agree < 2 * n_nbrs) so no float
+    boundary exists at all.  The oracle derives the same k from
+    count(*)."""
+    from distributed_system_spark.operators.similarity import dot
 
-    k = 8
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    c0 = [
-        (r["vec_id"], list(r["v"]))
-        for r in e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
-    ]
     m = (
-        _kmeans_assign(e, c0)
+        _assign_adaptive_cells(e)
         .join(emb.select("vec_id", "label"), "vec_id")
-        .select("cluster", "vec_id", "v", "label")
+        .select("cluster", "vec_id", "v", "nrm", "label")
     )
     q = m.select(
         F.col("cluster").alias("cl"),
         "vec_id",
         F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
         "label",
     )
     c = m.select(
         F.col("cluster").alias("cl"),
         F.col("vec_id").alias("nbr_id"),
         F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
         F.col("label").alias("nbr_label"),
     )
     w = Window.partitionBy("vec_id").orderBy(
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).desc(), "nbr_id"
+        F.round(
+            dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+            6,
+        ).desc(),
+        "nbr_id",
     )
     nbr = (
         q.join(c, "cl")
@@ -1397,7 +1489,11 @@ def cluster_purity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: assignment is broadcast-literal parallel; the
     contingency table is one aggregate bounded by |clusters| x
     |labels|; everything after runs on that tiny table.  The
-    measure-before-trust family, clustering edition."""
+    measure-before-trust family, clustering edition.  Unlike the
+    pair-emitting centroid-cell queries (which derive k from corpus
+    size — see _TARGET_CELL), k = 8 here is the MODEL parameter
+    under evaluation and nothing downstream is quadratic in cell
+    size, so a fixed k is scale-safe."""
     k = 8
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(

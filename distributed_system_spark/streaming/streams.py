@@ -960,17 +960,17 @@ def drift_monitor_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(_docs_stage_dir(spark, sf_dir))
     )
-    b = F.substring(
-        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+    # The bin/split assignment is IMPORTED from drift_q (not
+    # re-hardcoded) so a change to the batch drift_psi can never
+    # silently break the streaming==batch exact-equality contract.
+    from distributed_system_spark.queries.drift_q import (
+        char_bin_expr,
+        md5_split_expr,
     )
-    split = (
-        F.when(b < "cd", "train").when(b < "e6", "val").otherwise("test")
-    )
+
     assign = raw.select(
-        F.least(
-            F.lit(9), (F.col("n_chars") / F.lit(64)).cast("long")
-        ).alias("bin"),
-        split.alias("split"),
+        char_bin_expr().alias("bin"),
+        md5_split_expr().alias("split"),
     ).filter(F.col("split") != "val")
 
     def write_counts(batch_df: DataFrame, batch_id: int) -> None:
@@ -1024,15 +1024,16 @@ def cusum_monitor_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = f"/tmp/dss-cusum-monitor-{_src_tag(src)}"
     out_dir, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
 
+    # EVENTS_SCHEMA (TimestampNTZ ts), NOT events_stream_schema(src):
+    # _timeordered_stage_dir always rewrites ts to TIMESTAMP(MICROS),
+    # so probing the ORIGINAL events.parquet would declare LongType
+    # for a TIMESTAMP(NANOS) source generation and fail at read time.
+    # Every reader of the staged dir uses EVENTS_SCHEMA.
     raw = (
-        spark.readStream.schema(events_stream_schema(src))
+        spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(_timeordered_stage_dir(sf_dir))
     )
-    from distributed_system_spark.sources.tables import (
-        canonical_event_time,
-    )
-
     days = canonical_event_time(raw).select(
         F.expr("ts_ns div 1000 div 86400000000").alias("day")
     )

