@@ -1,4 +1,4 @@
-"""Driver-built Bloom filter broadcast as a runtime join pre-filter.
+"""Distributed-built Bloom filter broadcast as a runtime join pre-filter.
 
 The pattern Spark's own runtime row-level filtering
 (``spark.sql.optimizer.runtime.bloomFilter.enabled``) applies
@@ -10,10 +10,19 @@ harmless — the exact join afterwards removes them — so the final
 result is exact; false negatives are impossible (every inserted key
 probes the same ``k`` bit positions it set).
 
+The bit array is BUILT DISTRIBUTED (``bloom_from_df``): each
+partition folds its keys into a local m-bit array inside one
+Arrow-batched ``mapInPandas`` pass, and the driver only ever OR-folds
+the fixed-size partials — it never holds the key list.  Driver/
+closure state is exactly m/8 bytes (12 bits/key packed), so the
+filter scales with the chosen m, not with however many raw keys the
+dimension subset happens to contain at a larger SF.
+
 Hashing is splitmix64 (public-domain finalizer constants), fully
 vectorized in numpy over each Arrow batch — no per-row Python.  The
 double-hashing scheme h_i = h1 + i*h2 (Kirsch–Mitzenmacher) derives
-the ``k`` probe positions from two base hashes.
+the ``k`` probe positions from two base hashes.  Bits are packed
+8-per-byte (uint8) both in transit and in the probe closure.
 
 Reference capability analog: the reference prunes work by routing
 keys to their shard before fetching (hash partitioner,
@@ -24,10 +33,12 @@ join's build side.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 
 _SEED_A = 0x9E3779B97F4A7C15
 _SEED_B = 0xC2B2AE3D27D4EB4F
@@ -42,33 +53,84 @@ def _splitmix64(x: np.ndarray, seed: int) -> np.ndarray:
         return z ^ (z >> np.uint64(31))
 
 
+def _set_bits(packed: np.ndarray, keys: np.ndarray, m: int, k: int) -> None:
+    """Fold int64 ``keys`` into the packed (uint8) m-bit array."""
+    x = keys.view(np.uint64)
+    h1 = _splitmix64(x, _SEED_A)
+    h2 = _splitmix64(x, _SEED_B) | np.uint64(1)
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            idx = ((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(
+                np.int64
+            )
+            np.bitwise_or.at(
+                packed, idx >> 3, np.uint8(1) << (idx & 7).astype(np.uint8)
+            )
+
+
 def build_bloom(
     keys: np.ndarray | list[int], bits_per_key: int = 12, k: int = 6
 ) -> tuple[np.ndarray, int]:
-    """Build a Bloom bit array from int64 join keys.
+    """Build a PACKED Bloom bit array from int64 join keys (local
+    form, for tests and already-materialized key lists).
 
-    Returns ``(bits, m)`` where ``bits`` is a bool array of size
-    ``m``.  At 12 bits/key with k=6 the false-positive rate is
-    ~0.3%; m scales linearly with the build side, which by
+    Returns ``(packed, m)`` where ``packed`` is a uint8 array of
+    ceil(m/8) bytes.  At 12 bits/key with k=6 the false-positive rate
+    is ~0.3%; m scales linearly with the build side, which by
     construction is the broadcast-small side of the join.
     """
-    arr = np.asarray(keys, dtype=np.int64).view(np.uint64)
+    arr = np.asarray(keys, dtype=np.int64)
     m = max(64, bits_per_key * max(1, arr.size))
-    bits = np.zeros(m, dtype=bool)
-    h1 = _splitmix64(arr, _SEED_A)
-    h2 = _splitmix64(arr, _SEED_B) | np.uint64(1)
-    with np.errstate(over="ignore"):
-        for i in range(k):
-            bits[((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)] = True
-    return bits, m
+    packed = np.zeros((m + 7) // 8, dtype=np.uint8)
+    _set_bits(packed, arr, m, k)
+    return packed, m
 
 
-def might_contain(bits: np.ndarray, m: int, k: int = 6):
+def bloom_from_df(
+    df: DataFrame, col: str, bits_per_key: int = 12, k: int = 6
+) -> tuple[np.ndarray, int]:
+    """DISTRIBUTED Bloom build over a DataFrame column.
+
+    Two passes, neither of which ships keys to the driver: a count()
+    (parquet-metadata cheap) fixes m, then one Arrow-batched
+    ``mapInPandas`` pass folds each partition's keys into a local
+    packed m-bit array and emits it as a single binary row.  The
+    driver OR-folds the fixed-size partials (m/8 bytes each — at the
+    12-bits/key default that is ~1.5 bytes per build-side key TOTAL,
+    and each partial is the same bounded size regardless of how many
+    keys a partition holds).  At extreme executor counts the same
+    OR-fold runs as a tree by repartitioning partials in log steps;
+    the partial-emitting pass is unchanged.
+    """
+    n = df.count()
+    m = max(64, bits_per_key * max(1, n))
+    nbytes = (m + 7) // 8
+    keyed = df.select(F.col(col).cast("long").alias("key"))
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = np.zeros(nbytes, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            keys = pdf["key"].dropna().to_numpy(dtype=np.int64)
+            if keys.size:
+                _set_bits(acc, keys, m, k)
+                seen = True
+        if seen:
+            yield pd.DataFrame({"bloom": [acc.tobytes()]})
+
+    parts = keyed.mapInPandas(partial, schema="bloom binary").collect()
+    packed = np.zeros(nbytes, dtype=np.uint8)
+    for r in parts:
+        packed |= np.frombuffer(r["bloom"], dtype=np.uint8)
+    return packed, m
+
+
+def might_contain(packed: np.ndarray, m: int, k: int = 6):
     """Pandas-UDF factory: boolean membership test for an int64 column.
 
-    The bit array rides the UDF closure (broadcast once per executor
-    by Spark's task serialization); each Arrow batch is probed with
-    ``k`` vectorized gathers — no per-row Python.
+    The packed bit array rides the UDF closure (broadcast once per
+    executor by Spark's task serialization — m/8 bytes); each Arrow
+    batch is probed with ``k`` vectorized gathers — no per-row Python.
     """
 
     @F.pandas_udf("boolean")
@@ -89,7 +151,9 @@ def might_contain(bits: np.ndarray, m: int, k: int = 6):
                 idx = ((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(
                     np.int64
                 )
-                ok &= bits[idx]
+                ok &= (
+                    packed[idx >> 3] >> (idx & 7).astype(np.uint8)
+                ) & np.uint8(1) > 0
         ok &= ~null
         return pd.Series(ok)
 
@@ -99,7 +163,23 @@ def might_contain(bits: np.ndarray, m: int, k: int = 6):
 def bloom_prune(col: Column | str, keys: list[int], bits_per_key: int = 12,
                 k: int = 6) -> Column:
     """Convenience: a boolean Column that is True iff ``col`` might be
-    one of ``keys`` (no false negatives)."""
-    bits, m = build_bloom(keys, bits_per_key=bits_per_key, k=k)
+    one of ``keys`` (no false negatives).  Local-build form; for a
+    DataFrame build side use ``bloom_prune_df``."""
+    packed, m = build_bloom(keys, bits_per_key=bits_per_key, k=k)
     c = F.col(col) if isinstance(col, str) else col
-    return might_contain(bits, m, k=k)(c)
+    return might_contain(packed, m, k=k)(c)
+
+
+def bloom_prune_df(
+    col: Column | str,
+    build: DataFrame,
+    build_col: str,
+    bits_per_key: int = 12,
+    k: int = 6,
+) -> Column:
+    """Boolean Column pruning ``col`` against a DISTRIBUTED-built
+    Bloom filter over ``build[build_col]`` — the key list never
+    reaches the driver (see ``bloom_from_df``)."""
+    packed, m = bloom_from_df(build, build_col, bits_per_key=bits_per_key, k=k)
+    c = F.col(col) if isinstance(col, str) else col
+    return might_contain(packed, m, k=k)(c)

@@ -59,17 +59,20 @@ def attach_binary(
 def decode_image(payload: bytes) -> object:
     """Decode an image payload to an H×W×3 uint8 numpy array.
 
-    REAL decode paths, in order: (1) uncompressed formats this module
-    decodes itself with numpy — binary PPM (P6) and 24-bit
-    uncompressed BMP — available in any container; (2) PIL for
-    compressed formats (JPEG/PNG/...), import-gated.  Only a
-    compressed payload without PIL raises."""
+    REAL decode paths, in order: (1) formats this module decodes
+    itself with numpy/stdlib — binary PPM (P6), 24-bit uncompressed
+    BMP, and baseline PNG (stdlib zlib inflate + spec unfiltering,
+    decode_png) — available in any container; (2) PIL for the
+    remaining compressed formats (JPEG/WebP/...), import-gated.
+    Only a PIL-class payload without PIL raises."""
     import numpy as np
 
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
     if _HAS_PIL:
         import io
 
@@ -77,8 +80,8 @@ def decode_image(payload: bytes) -> object:
             Image.open(io.BytesIO(payload)).convert("RGB")
         )
     raise NotImplementedError(
-        "compressed image decode requires PIL; this container decodes "
-        "only PPM(P6)/BMP natively"
+        "compressed image decode beyond PNG requires PIL; this "
+        "container decodes PPM(P6)/BMP/PNG natively"
     )
 
 
@@ -135,6 +138,113 @@ def decode_bmp(payload: bytes):
     ).reshape(h, stride)[:, : w * 3]
     img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
     return img[::-1] if flip else img
+
+
+def decode_png(payload: bytes):
+    """Pure-stdlib PNG decoder (zlib inflate + spec unfiltering) —
+    no PIL, no new dependency.  Supports the baseline still-image
+    profile: 8-bit depth, color types 0 (gray), 2 (RGB) and 6
+    (RGBA), non-interlaced, all five scanline filters (None/Sub/Up/
+    Average/Paeth per the PNG spec §9).  Returns an (h, w, 3) uint8
+    RGB array (gray replicated, alpha dropped — matching the PIL
+    path's convert("RGB") contract)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (ln,), typ = struct.unpack_from(">I", payload, pos), payload[
+            pos + 4 : pos + 8
+        ]
+        body = payload[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or ctype not in (0, 2, 6) or comp or filt or interlace:
+        raise ValueError(
+            "only 8-bit gray/RGB/RGBA non-interlaced PNG "
+            f"(depth={depth} color={ctype} interlace={interlace})"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    raw = np.frombuffer(
+        zlib.decompress(b"".join(idat)), dtype=np.uint8
+    ).reshape(h, 1 + w * ch)
+    out = np.zeros((h, w * ch), dtype=np.uint8)
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        f, line = raw[y, 0], raw[y, 1:].astype(np.int64)
+        if f == 0:  # None
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub / Average / Paeth need the left neighbor
+            cur = np.zeros(w * ch, dtype=np.int64)
+            for x in range(w * ch):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if f == 1:  # Sub
+                    pred = a
+                elif f == 3:  # Average
+                    pred = (a + b) >> 1
+                elif f == 4:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a if pa <= pb and pa <= pc else b if pb <= pc else c
+                    )
+                else:
+                    raise ValueError(f"unknown PNG filter {f}")
+                cur[x] = (line[x] + pred) & 0xFF
+        out[y], prev = cur.astype(np.uint8), cur
+    img = out.reshape(h, w, ch)
+    if ch == 1:
+        return np.repeat(img, 3, axis=2)
+    return np.ascontiguousarray(img[:, :, :3])
+
+
+def encode_png(arr) -> bytes:
+    """Minimal PNG encoder (stdlib zlib, filter 0 on every scanline):
+    (h, w, 3) uint8 RGB -> non-interlaced 8-bit truecolor PNG.  The
+    deterministic inverse of decode_png for round-trip tests and
+    payload builders."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    scan = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), a.reshape(h, w * 3)], axis=1
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan.tobytes(), 6))
+        + chunk(b"IEND", b"")
+    )
 
 
 def encode_ppm(arr) -> bytes:

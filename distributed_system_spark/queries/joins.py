@@ -374,25 +374,28 @@ def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dimension subset are dropped before the join.
 
     The explicit form of Spark's runtime row-level filtering: the
-    dimension subset (suppliers in nations 0-4 — broadcast-small by
-    construction) is collected once, hashed into a Bloom bit array
-    (`operators/bloom.py`), and probed per Arrow batch on the fact
-    side; survivors then take the exact broadcast semi-join, so false
-    positives cannot reach the output and the result is exact.  At
-    100 TB the win is that pruned rows never enter the join's hash
-    probe or any later shuffle — the scan stream shrinks at the
-    earliest possible point.
+    dimension subset (suppliers in nations 0-4) is folded into a
+    Bloom bit array DISTRIBUTED — per-partition Arrow-batched
+    partials OR-folded into one packed m-bit array, so the raw key
+    list never reaches the driver (`operators/bloom.py::
+    bloom_from_df`; driver/closure state is m/8 bytes, fixed by the
+    12-bits/key sizing, even when the dimension subset grows with
+    SF) — then probed per Arrow batch on the fact side; survivors
+    take the exact broadcast semi-join, so false positives cannot
+    reach the output and the result is exact.  At 100 TB the win is
+    that pruned rows never enter the join's hash probe or any later
+    shuffle — the scan stream shrinks at the earliest possible
+    point.
     """
-    from distributed_system_spark.operators.bloom import bloom_prune
+    from distributed_system_spark.operators.bloom import bloom_prune_df
 
     supp = (
         load_table(spark, sf_dir, "supplier")
         .filter(F.col("s_nationkey") <= 4)
         .select("s_suppkey")
     )
-    keys = [r[0] for r in supp.collect()]
     li = load_table(spark, sf_dir, "lineitem")
-    pruned = li.filter(bloom_prune("l_suppkey", keys))
+    pruned = li.filter(bloom_prune_df("l_suppkey", supp, "s_suppkey"))
     return (
         pruned.join(
             F.broadcast(supp),

@@ -169,6 +169,21 @@ WINDOW w AS (ORDER BY c_acctbal, c_custkey)
     tags=("C5",),
 )
 def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile/percent_rank/cume_dist over ONE unpartitioned window —
+    deliberately kept as the registry's only full-corpus global
+    window, because it is the semantics demo for the rank-function
+    family and any partitioning would change the answer.
+
+    At 100 TB this shape (all rows through a single window partition)
+    is the one to AVOID: the scalable equivalent of "which decile is
+    this row in" is `rfm_segments`' broadcast-quantile-threshold plan
+    — compute approx/exact decile cut points in one aggregate pass,
+    broadcast the ~10 thresholds back, and assign each row with a
+    shuffle-free comparison.  That alternative is exact for fixed
+    cut points and never moves the corpus to one task; use it (or a
+    range-partitioned window, which Spark lacks natively) whenever
+    the decile/percentile label, not the exact global rank, is what
+    downstream consumes."""
     cust = load_table(spark, sf_dir, "customer")
     w = Window.orderBy("c_acctbal", "c_custkey")
     return cust.select(

@@ -16,8 +16,10 @@ from distributed_system_spark.operators.multimodal import (
     audio_features,
     decode_bmp,
     decode_image,
+    decode_png,
     decode_ppm,
     decode_wav,
+    encode_png,
     encode_ppm,
     encode_wav,
     image_features,
@@ -70,6 +72,113 @@ def test_decode_image_dispatches_on_magic_bytes():
     img = _img(3, 3, seed=3)
     assert np.array_equal(decode_image(encode_ppm(img)), img)
     assert np.array_equal(decode_image(_bmp_bytes(img)), img)
+    assert np.array_equal(decode_image(encode_png(img)), img)
+
+
+def test_png_roundtrip_exact():
+    img = _img(6, 4, seed=7)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+def _png_with_filters(img: np.ndarray, filters: list[int]) -> bytes:
+    """Hand-filtered PNG writer: applies the given PNG filter type to
+    each scanline per spec §9 so the decoder's unfilter paths
+    (Sub/Up/Average/Paeth) are each exercised, not just filter 0."""
+    import zlib
+
+    h, w, _ = img.shape
+    ch = 3
+    lines = img.reshape(h, w * ch).astype(np.int64)
+    out = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        cur, enc = lines[y], np.zeros(w * ch, dtype=np.int64)
+        for x in range(w * ch):
+            a = cur[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
+            enc[x] = (cur[x] - pred) & 0xFF
+        out += bytes([f]) + enc.astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_all_five_filter_types_unfilter_exactly():
+    img = _img(10, 5, seed=8)
+    raw = _png_with_filters(img, [0, 1, 2, 3, 4])
+    assert np.array_equal(decode_png(raw), img)
+
+
+def test_png_gray_and_rgba_normalize_to_rgb():
+    import zlib
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    # grayscale (color type 0) replicates to 3 channels
+    g = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    scan = np.concatenate(
+        [np.zeros((3, 1), dtype=np.uint8), g], axis=1
+    ).tobytes()
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    got = decode_png(png)
+    assert got.shape == (3, 4, 3)
+    assert np.array_equal(got[:, :, 0], g)
+    assert np.array_equal(got[:, :, 1], g)
+
+    # RGBA (color type 6) drops alpha
+    rgba = _img(2, 2, seed=9)
+    full = np.concatenate(
+        [rgba, np.full((2, 2, 1), 77, dtype=np.uint8)], axis=2
+    )
+    scan = np.concatenate(
+        [np.zeros((2, 1), dtype=np.uint8), full.reshape(2, 8)], axis=1
+    ).tobytes()
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png), rgba)
 
 
 def test_decode_image_compressed_without_pil_raises():
@@ -79,11 +188,16 @@ def test_decode_image_compressed_without_pil_raises():
         pytest.skip("PIL present: compressed decode would succeed")
     except ImportError:
         pass
+    # JPEG magic: PNG now decodes natively, so the PIL gate is only
+    # reachable for the formats this module cannot inflate itself.
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\n....")
+        decode_image(b"\xff\xd8\xff\xe0....")
 
 
-def test_decode_image_png_with_pil():
+def test_decode_image_png_from_pil_encoder():
+    """A PIL-written PNG (independent encoder: its own filter
+    heuristics per scanline) must decode exactly through the native
+    stdlib path — cross-implementation check when PIL is present."""
     PIL = pytest.importorskip("PIL")  # noqa: F841
     import io
 
@@ -93,6 +207,22 @@ def test_decode_image_png_with_pil():
     buf = io.BytesIO()
     Image.fromarray(img).save(buf, "PNG")
     assert np.array_equal(decode_image(buf.getvalue()), img)
+
+
+def test_decode_image_jpeg_with_pil():
+    """JPEG is the PIL-only branch now that PNG decodes natively:
+    lossy round-trip, so assert shape + closeness, not equality."""
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io
+
+    from PIL import Image
+
+    img = np.full((8, 8, 3), 128, dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=95)
+    got = decode_image(buf.getvalue())
+    assert got.shape == (8, 8, 3)
+    assert np.abs(got.astype(int) - 128).max() <= 8
 
 
 def test_resize_nearest_identity_and_downscale():
