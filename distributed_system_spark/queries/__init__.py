@@ -192,6 +192,38 @@ _ADDED_R5 = frozenset(
     }
 )
 
+# Green rows from the round-5 external window (CORRECTNESS_r05.json:
+# 47 oracle-green + 3 rows-only-by-design, ZERO red).  Folding them
+# into the verified set empties tier 1 (every r4-era query now has an
+# external green row) and promotes the 65 never-checked r5 additions
+# (_ADDED_R5 minus the ones the r5 window already covered) to the
+# front of the round-6 prefix window — 50 of 65 drain in r6, the
+# rest lead r7.
+_R5_VERIFIED = frozenset(
+    {
+        "ann_banded_topk", "ann_ivf_kmeans", "ann_recall_report",
+        "approx_distinct", "basket_lift_pairs", "bpe_merges",
+        "curation_pipeline", "dataset_mix", "dedup_containment",
+        "dedup_incremental", "dedup_keep_best", "dedup_substring_spans",
+        "doc_model_score", "doc_repetition_filter", "dq_expectations",
+        "drift_psi", "embedding_centroid_by_lang",
+        "embedding_quantize_int8", "embedding_random_projection",
+        "event_path_topk", "freq_heavy_hitters", "hll_mergeable_rollup",
+        "join_interval_overlap", "join_point_in_time", "linreg_by_group",
+        "mm_audio_segments", "mm_audio_wav_decode", "orc_partitioned_scan",
+        "pagerank_transitions", "profile_columns", "reachability_bfs",
+        "redact_pii", "rfm_segments", "ri_orphan_audit",
+        "search_hybrid_rrf", "semdedup_pairs", "seq_packing",
+        "stream_docs_quality_gate", "stream_join_outer", "text_bm25_topk",
+        "text_entropy", "text_lm_bigram_nll", "text_remove_boilerplate",
+        "text_token_ids", "ts_anomaly_zscore", "ts_interpolate_linear",
+        "udtf_tokenize", "variant_json_extract", "vocab_oov_rate",
+        "window_distinct_running",
+    }
+)
+
+_EXTERNALLY_VERIFIED = _EXTERNALLY_VERIFIED | _R5_VERIFIED
+
 _KNOWN_AT_FREEZE = _KNOWN_AT_FREEZE | (
     frozenset(_R4_VERIFIED)
     | frozenset(

@@ -67,12 +67,17 @@ def _assign_adaptive_cells(e: DataFrame) -> DataFrame:
     and analysis/codegen wall grows with k), the centroids here stay
     a DATAFRAME: the assignment is a broadcast cross-join of e
     against the k seed rows, one zip_with distance per (vector,
-    centroid), then a per-vector min over struct(d, cid, v) — the
-    (d, cid) prefix reproduces the oracle's (sqdist, cid) tiebreak
-    and v rides along so no second join is needed.  Nothing but the
-    count() scalar ever touches the driver, codegen is constant in
-    k, and the n*k distance work is distributed and Tungsten-
-    vectorized.
+    centroid), then a per-vector min over struct(d, cid) — matching
+    the oracle's (sqdist, cid) tiebreak.  The n*k expansion carries
+    ONLY (vec_id, d, cid) — ~20 bytes/row — into the aggregate; the
+    d-dim vector is projected away the moment the distance is
+    computed and reattached afterwards by one n-row equi-join
+    (carrying v through the n*k min-aggregate measured 2.4x the
+    whole query's wall at the 20k-vector scale point: k grows with
+    n, so the wide rows made the aggregate shuffle n*k*d doubles).
+    Nothing but the count() scalar ever touches the driver, codegen
+    is constant in k, and the n*k distance work is distributed and
+    Tungsten-vectorized.
 
     The vector NORM is also computed here, ONCE per vector, and
     carried into the pair stage (the dominant per-pair cost is
@@ -81,7 +86,10 @@ def _assign_adaptive_cells(e: DataFrame) -> DataFrame:
     sqrt(list_sum(..))*sqrt(list_sum(..)) because the sum-of-squares
     folds in the same dimension order in both engines and sqrt is
     IEEE-correctly-rounded."""
-    from distributed_system_spark.operators.similarity import norm
+    from distributed_system_spark.operators.similarity import (
+        norm,
+        sqdist_seq,
+    )
 
     n = e.count()
     k = max(8, n // _TARGET_CELL)
@@ -89,27 +97,17 @@ def _assign_adaptive_cells(e: DataFrame) -> DataFrame:
         F.col("vec_id").cast("int").alias("cid"),
         F.col("v").alias("c"),
     )
-    d = F.round(
-        F.aggregate(
-            F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
-    )
-    return (
-        e.withColumn("nrm", norm(F.col("v")))
-        .crossJoin(F.broadcast(cents))
-        .select("vec_id", "v", "nrm", d.alias("d"), "cid")
+    d = F.round(sqdist_seq(F.col("v"), F.col("c")), 6)
+    assign = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", d.alias("d"), "cid")
         .groupBy("vec_id")
-        .agg(F.min(F.struct("d", "cid", "v", "nrm")).alias("mc"))
-        .select(
-            "vec_id",
-            F.col("mc.v").alias("v"),
-            F.col("mc.nrm").alias("nrm"),
-            F.col("mc.cid").alias("cluster"),
-        )
+        .agg(F.min(F.struct("d", "cid")).alias("mc"))
+        .select("vec_id", F.col("mc.cid").alias("cluster"))
     )
+    return e.withColumn("nrm", norm(F.col("v"))).join(
+        assign, "vec_id"
+    ).select("vec_id", "v", "nrm", "cluster")
 
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -856,7 +854,7 @@ def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     trade; the oracle derives the same k from count(*) and reproduces
     assignment and pair search exactly.
     """
-    from distributed_system_spark.operators.similarity import dot
+    from distributed_system_spark.operators.similarity import dot_seq
 
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
@@ -881,7 +879,7 @@ def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nb"),
     )
     cos = F.round(
-        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+        dot_seq(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
     )
     return (
         a.join(b, "cluster")
@@ -1162,7 +1160,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cosines rounded to 6 while comparable so the rank order
     (cos desc, neg_id) is engine-identical; the oracle derives the
     same k from count(*)."""
-    from distributed_system_spark.operators.similarity import dot
+    from distributed_system_spark.operators.similarity import dot_seq
 
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
@@ -1199,7 +1197,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neg_id",
             "neg_label",
             F.round(
-                dot(F.col("qv"), F.col("cv"))
+                dot_seq(F.col("qv"), F.col("cv"))
                 / (F.col("qn") * F.col("cn")),
                 6,
             ).alias("cos"),
@@ -1276,7 +1274,7 @@ def label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluated in integers (5 * n_agree < 2 * n_nbrs) so no float
     boundary exists at all.  The oracle derives the same k from
     count(*)."""
-    from distributed_system_spark.operators.similarity import dot
+    from distributed_system_spark.operators.similarity import dot_seq
 
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
@@ -1303,7 +1301,7 @@ def label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.round(
-            dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+            dot_seq(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
             6,
         ).desc(),
         "nbr_id",
