@@ -102,10 +102,10 @@ def bloom_from_df(
     OR-fold runs as a tree by repartitioning partials in log steps;
     the partial-emitting pass is unchanged.
     """
-    n = df.count()
+    keyed = df.select(F.col(col).cast("long").alias("key")).na.drop()
+    n = keyed.count()
     m = max(64, bits_per_key * max(1, n))
     nbytes = (m + 7) // 8
-    keyed = df.select(F.col(col).cast("long").alias("key"))
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc = np.zeros(nbytes, dtype=np.uint8)

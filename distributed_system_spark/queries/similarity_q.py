@@ -594,7 +594,15 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplanes are deterministic and the default knobs achieve full
     recall on this corpus at every SF, so LSH-vs-exact equality is
     itself part of what the oracle certifies (see
-    operators/similarity.py::lsh_neardup_pairs)."""
+    operators/similarity.py::lsh_neardup_pairs).
+
+    SCALE CAVEAT (measured, SCALE.md round-6 second decade): the
+    full-recall-at-0.4 contract pins the banding at 3 bits x 32
+    bands, so candidate volume grows ~n^2 * bands / 2^bits — this is
+    the registry's one deliberately contract-superlinear query, the
+    window_ntile of dedup.  A production near-dup pass runs at ~0.95
+    cosine with 16-20 bits/band (candidates ~1e-5 of n^2, ~99.8%
+    recall) — same operator, different knobs."""
     return lsh_neardup_pairs(_vecs(spark, sf_dir), 0.4)
 
 

@@ -9,6 +9,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from distributed_system_spark.operators.bloom import (
+    bloom_from_df,
     bloom_prune,
     build_bloom,
     might_contain,
@@ -94,6 +95,22 @@ def test_bloom_no_false_negatives_and_low_fp_rate():
     mixed = pd.Series([float(members[0]), None, float(members[1]), None])
     got_mixed = inner(mixed).to_numpy()
     assert got_mixed.tolist() == [True, False, True, False]
+
+
+def test_distributed_bloom_build_equals_local(spark):
+    """bloom_from_df (per-partition partials OR-folded, key list never
+    on the driver) must produce EXACTLY the bit array of the local
+    build_bloom over the same keys — same m, same packed bytes — so
+    every membership guarantee proven for the local form transfers.
+    NULL keys in the build column are dropped, not hashed."""
+    keys = [3, 17, 90001, -5, 2**40 + 7]
+    df = spark.createDataFrame(
+        [(k,) for k in keys] + [(None,)], "k long"
+    ).repartition(4)
+    dist_bits, dist_m = bloom_from_df(df, "k")
+    local_bits, local_m = build_bloom(np.array(keys, dtype=np.int64))
+    assert dist_m == local_m
+    assert np.array_equal(dist_bits, local_bits)
 
 
 def test_join_bloom_prune_exact_and_pruning(spark, sf_dir, registry):
