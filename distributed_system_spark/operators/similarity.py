@@ -45,8 +45,8 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def _seq_fold_udf(kind: str):
-    """Arrow-vectorized LEFT-FOLD reductions over fixed-dim vector
+def _dot_seq_udf():
+    """Arrow-vectorized LEFT-FOLD dot product over fixed-dim vector
     pairs: one numpy op per dimension, accumulated in declaration
     order, so every IEEE addition/multiplication happens in exactly
     the order of the interpreted aggregate(zip_with(...)) fold AND of
@@ -69,40 +69,25 @@ def _seq_fold_udf(kind: str):
             return pd.Series([], dtype=np.float64)
         ma = np.array(a.tolist(), dtype=np.float64)
         mb = np.array(b.tolist(), dtype=np.float64)
-        if kind == "dot":
-            acc = ma[:, 0] * mb[:, 0]
-            for i in range(1, ma.shape[1]):
-                acc = acc + ma[:, i] * mb[:, i]
-        else:  # sqdist
-            d0 = ma[:, 0] - mb[:, 0]
-            acc = d0 * d0
-            for i in range(1, ma.shape[1]):
-                di = ma[:, i] - mb[:, i]
-                acc = acc + di * di
+        acc = ma[:, 0] * mb[:, 0]
+        for i in range(1, ma.shape[1]):
+            acc = acc + ma[:, i] * mb[:, i]
         return pd.Series(acc)
 
     return _fold
 
 
-# Lazy singletons: pandas_udf registration needs an active
-# SparkContext, so the UDFs are created on first use, not at import.
+# Lazy singleton: pandas_udf registration needs an active
+# SparkContext, so the UDF is created on first use, not at import.
 _SEQ_UDFS: dict = {}
 
 
 def dot_seq(a: Column, b: Column) -> Column:
     """Bit-identical, Arrow-vectorized twin of :func:`dot` for hot
-    per-candidate-pair paths (see _seq_fold_udf)."""
+    per-candidate-pair paths (see _dot_seq_udf)."""
     if "dot" not in _SEQ_UDFS:
-        _SEQ_UDFS["dot"] = _seq_fold_udf("dot")
+        _SEQ_UDFS["dot"] = _dot_seq_udf()
     return _SEQ_UDFS["dot"](a, b)
-
-
-def sqdist_seq(a: Column, b: Column) -> Column:
-    """Bit-identical, Arrow-vectorized squared distance for hot n*k
-    assignment paths (see _seq_fold_udf)."""
-    if "sqdist" not in _SEQ_UDFS:
-        _SEQ_UDFS["sqdist"] = _seq_fold_udf("sqdist")
-    return _SEQ_UDFS["sqdist"](a, b)
 
 
 def norm(a: Column) -> Column:

@@ -9,6 +9,7 @@ aggregate fold), ordering on the rounded cosine with id tiebreaks.
 
 from __future__ import annotations
 
+import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -60,24 +61,33 @@ _ADAPTIVE_C0_SQL = (
 def _assign_adaptive_cells(e: DataFrame) -> DataFrame:
     """Nearest-centroid assignment with corpus-size-derived k =
     max(8, n // _TARGET_CELL) (see _TARGET_CELL note), returning
-    (vec_id, v, cluster).
+    (vec_id, v, nrm, cluster).
 
-    Unlike `_kmeans_assign` (k centroid LITERALS — right for the
-    fixed-k=8 model queries, but the expression tree grows k*d nodes
-    and analysis/codegen wall grows with k), the centroids here stay
-    a DATAFRAME: the assignment is a broadcast cross-join of e
-    against the k seed rows, one zip_with distance per (vector,
-    centroid), then a per-vector min over struct(d, cid) — matching
-    the oracle's (sqdist, cid) tiebreak.  The n*k expansion carries
-    ONLY (vec_id, d, cid) — ~20 bytes/row — into the aggregate; the
-    d-dim vector is projected away the moment the distance is
-    computed and reattached afterwards by one n-row equi-join
-    (carrying v through the n*k min-aggregate measured 2.4x the
-    whole query's wall at the 20k-vector scale point: k grows with
-    n, so the wide rows made the aggregate shuffle n*k*d doubles).
-    Nothing but the count() scalar ever touches the driver, codegen
-    is constant in k, and the n*k distance work is distributed and
-    Tungsten-vectorized.
+    Shape: the k seed centroids (k*d doubles — the same
+    constant-per-scale driver state `kmeans_clusters` documents, and
+    exactly what an IVF coarse quantizer broadcasts) ride the closure
+    of ONE Arrow-batched mapInPandas pass over e.  Each batch
+    computes all n*k squared distances as 64 vectorized numpy ops
+    (per-DIMENSION accumulation, so every IEEE add/multiply happens
+    in the oracle's list_sum order — bit-identical), then takes the
+    per-vector min of an exact integer encoding round(d*1e6)*2^20 +
+    cid, which reproduces the oracle's (round(d, 6), cid)
+    lexicographic tiebreak with no float comparison at all.  Each
+    vector crosses the Arrow boundary ONCE.
+
+    Two rejected alternatives, both measured at the 20k-vector scale
+    point: expressing the n*k distance as a cross-join with the
+    interpreted zip_with/aggregate fold costs ~55 s (higher-order
+    functions bypass codegen; an earlier count()-based profile that
+    said "3.7 s" was an artifact of Catalyst pruning the unused
+    distance column), and a per-row pandas-UDF distance on the
+    expanded cross-join ships BOTH 64-double arrays per (vector,
+    centroid) row — ~6.4 GB of Arrow traffic, ~25 s.  This form: ~2 s.
+
+    The rounding parity note: round(d*1e6) here is numpy
+    floor(x + 0.5) on the non-negative scaled distance — the same
+    double product and the same half-away-from-zero decision DuckDB's
+    round(d, 6) makes, so the encoded order is the oracle's order.
 
     The vector NORM is also computed here, ONCE per vector, and
     carried into the pair stage (the dominant per-pair cost is
@@ -86,28 +96,109 @@ def _assign_adaptive_cells(e: DataFrame) -> DataFrame:
     sqrt(list_sum(..))*sqrt(list_sum(..)) because the sum-of-squares
     folds in the same dimension order in both engines and sqrt is
     IEEE-correctly-rounded."""
-    from distributed_system_spark.operators.similarity import (
-        norm,
-        sqdist_seq,
-    )
+    from distributed_system_spark.operators.similarity import norm
 
     n = e.count()
     k = max(8, n // _TARGET_CELL)
-    cents = e.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").cast("int").alias("cid"),
-        F.col("v").alias("c"),
+    cent_rows = (
+        e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
     )
-    d = F.round(sqdist_seq(F.col("v"), F.col("c")), 6)
-    assign = (
-        e.crossJoin(F.broadcast(cents))
-        .select("vec_id", d.alias("d"), "cid")
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("d", "cid")).alias("mc"))
-        .select("vec_id", F.col("mc.cid").alias("cluster"))
+    cmat = np.array([list(r["v"]) for r in cent_rows], dtype=np.float64)
+    cids = np.array([int(r["vec_id"]) for r in cent_rows], dtype=np.int64)
+    assert cids.size < (1 << 20), "cid encoding bound (docstring)"
+
+    def assign_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.vstack(pdf["v"].to_numpy())
+            d0 = mat[:, None, 0] - cmat[None, :, 0]
+            acc = d0 * d0
+            for i in range(1, mat.shape[1]):
+                di = mat[:, None, i] - cmat[None, :, i]
+                acc = acc + di * di
+            enc = np.floor(acc * 1e6 + 0.5).astype(np.int64) * (
+                1 << 20
+            ) + cids[None, :]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cluster": (enc.min(axis=1) % (1 << 20)).astype(
+                        np.int32
+                    ),
+                }
+            )
+
+    assign = e.select("vec_id", "v").mapInPandas(
+        assign_batches, "vec_id long, cluster int"
     )
     return e.withColumn("nrm", norm(F.col("v"))).join(
         assign, "vec_id"
     ).select("vec_id", "v", "nrm", "cluster")
+
+
+def _cell_pair_dots(m: DataFrame, with_labels: bool) -> DataFrame:
+    """All DIRECTED within-cell pairs (id_a != id_b) with raw dot
+    products and per-vector norms, one Arrow round-trip per CELL.
+
+    The pair-join form ships 2*dim doubles across the Arrow boundary
+    per PAIR; here each cell's vectors cross ONCE (cells are
+    ~_TARGET_CELL rows by construction) and the gram matrix is
+    accumulated dimension-by-dimension in numpy — the same
+    left-to-right IEEE order as dot()/dot_seq() and the oracle's
+    list_sum, so every emitted dot is bit-identical to the per-pair
+    form.  Rounding and the cosine DIVISION stay JVM-side
+    (round(dot/(na*nb), 6)) exactly as before, so cross-engine
+    rounding parity is untouched.  Output rows are 6 narrow doubles
+    (+2 ints with labels), ~25x less Arrow traffic than shipping
+    both vectors per pair; compute per cell is dim outer products of
+    a ~64x64 block."""
+    schema = (
+        "cluster long, id_a long, id_b long, "
+        "dot double, na double, nb double"
+    )
+    if with_labels:
+        schema += ", label_a int, label_b int"
+
+    def gen(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    f.split(" ")[0]: pd.Series(dtype=t)
+                    for f, t in zip(
+                        schema.split(", "),
+                        ["int64"] * 3 + ["float64"] * 3 + ["int32"] * 2,
+                    )
+                }
+            )
+        mat = np.vstack(pdf["v"].to_numpy())
+        acc = mat[:, 0, None] * mat[None, :, 0]
+        for i in range(1, mat.shape[1]):
+            acc = acc + mat[:, i, None] * mat[None, :, i]
+        ii, jj = np.where(~np.eye(n, dtype=bool))
+        ids = pdf["vec_id"].to_numpy()
+        nr = pdf["nrm"].to_numpy()
+        out = {
+            "cluster": np.full(ii.size, int(pdf["cluster"].iloc[0])),
+            "id_a": ids[ii],
+            "id_b": ids[jj],
+            "dot": acc[ii, jj],
+            "na": nr[ii],
+            "nb": nr[jj],
+        }
+        if with_labels:
+            lab = pdf["label"].to_numpy()
+            out["label_a"], out["label_b"] = lab[ii], lab[jj]
+        return pd.DataFrame(out)
+
+    return m.groupBy("cluster").applyInPandas(gen, schema)
 
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -862,8 +953,6 @@ def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     trade; the oracle derives the same k from count(*) and reproduces
     assignment and pair search exactly.
     """
-    from distributed_system_spark.operators.similarity import dot_seq
-
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -874,24 +963,10 @@ def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         "nrm",
     )
-    a = m.select(
-        "cluster",
-        F.col("vec_id").alias("id_a"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = m.select(
-        "cluster",
-        F.col("vec_id").alias("id_b"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    cos = F.round(
-        dot_seq(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
-    )
+    pairs = _cell_pair_dots(m, with_labels=False)
+    cos = F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
     return (
-        a.join(b, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs.filter(F.col("id_a") < F.col("id_b"))
         .select("cluster", "id_a", "id_b", cos.alias("cos"))
         .filter(F.col("cos") >= 0.4)
     )
@@ -1168,8 +1243,6 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cosines rounded to 6 while comparable so the rank order
     (cos desc, neg_id) is engine-identical; the oracle derives the
     same k from count(*)."""
-    from distributed_system_spark.operators.similarity import dot_seq
-
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -1179,35 +1252,16 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(emb.select("vec_id", "label"), "vec_id")
         .select("cluster", "vec_id", "v", "nrm", "label")
     )
-    q = m.select(
-        F.col("cluster").alias("cl"),
-        F.col("vec_id").alias("anchor_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-        F.col("label").alias("anchor_label"),
-    )
-    c = m.select(
-        F.col("cluster").alias("cl"),
-        F.col("vec_id").alias("neg_id"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cn"),
-        F.col("label").alias("neg_label"),
-    )
     scored = (
-        q.join(c, "cl")
-        .filter(
-            (F.col("anchor_id") != F.col("neg_id"))
-            & (F.col("anchor_label") != F.col("neg_label"))
-        )
+        _cell_pair_dots(m, with_labels=True)
+        .filter(F.col("label_a") != F.col("label_b"))
         .select(
-            "anchor_id",
-            "anchor_label",
-            "neg_id",
-            "neg_label",
+            F.col("id_a").alias("anchor_id"),
+            F.col("label_a").alias("anchor_label"),
+            F.col("id_b").alias("neg_id"),
+            F.col("label_b").alias("neg_label"),
             F.round(
-                dot_seq(F.col("qv"), F.col("cv"))
-                / (F.col("qn") * F.col("cn")),
-                6,
+                F.col("dot") / (F.col("na") * F.col("nb")), 6
             ).alias("cos"),
         )
     )
@@ -1282,8 +1336,6 @@ def label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluated in integers (5 * n_agree < 2 * n_nbrs) so no float
     boundary exists at all.  The oracle derives the same k from
     count(*)."""
-    from distributed_system_spark.operators.similarity import dot_seq
-
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -1293,32 +1345,20 @@ def label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(emb.select("vec_id", "label"), "vec_id")
         .select("cluster", "vec_id", "v", "nrm", "label")
     )
-    q = m.select(
-        F.col("cluster").alias("cl"),
-        "vec_id",
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-        "label",
-    )
-    c = m.select(
-        F.col("cluster").alias("cl"),
-        F.col("vec_id").alias("nbr_id"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cn"),
-        F.col("label").alias("nbr_label"),
+    scored = _cell_pair_dots(m, with_labels=True).select(
+        F.col("id_a").alias("vec_id"),
+        F.col("label_a").alias("label"),
+        F.col("id_b").alias("nbr_id"),
+        F.col("label_b").alias("nbr_label"),
+        F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+            "cos"
+        ),
     )
     w = Window.partitionBy("vec_id").orderBy(
-        F.round(
-            dot_seq(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
-            6,
-        ).desc(),
-        "nbr_id",
+        F.col("cos").desc(), "nbr_id"
     )
-    nbr = (
-        q.join(c, "cl")
-        .filter(F.col("vec_id") != F.col("nbr_id"))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 5)
+    nbr = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 5
     )
     n_agree = F.sum(
         F.when(F.col("nbr_label") == F.col("label"), 1).otherwise(0)

@@ -371,23 +371,18 @@ def test_semdedup_pair_search_is_cluster_equi_join(spark, sf_dir):
     equi-join on the cluster id — never a cartesian / nested-loop over
     the corpus (the entire point of partitioning before comparing).
 
-    The centroid ASSIGNMENT is a deliberate BroadcastNestedLoopJoin
-    Cross against the k-row seed-centroid relation (k = n // 64 rows
-    broadcast — bounded, never the corpus on the build side), so
-    Cross-build BNLJs are allowed; what must never appear is a
-    corpus-vs-corpus CartesianProduct or a non-equi pair join."""
+    Shape: the ASSIGNMENT is one Arrow-batched MapInPandas over the
+    corpus (centroid matrix in the closure — each vector crosses the
+    boundary once), the narrow (vec_id, cluster) result joins back by
+    key, and the PAIR SEARCH is a FlatMapGroupsInPandas grouped by
+    the cluster id — one hash exchange on cluster, per-cell numpy
+    gram, never a corpus-vs-corpus product."""
     plan = plan_of(spark, sf_dir, "semdedup_pairs")
     assert "CartesianProduct" not in plan, plan
-    # the pair search itself: an equi-join keyed on cluster
-    assert re.search(
-        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cluster",
-        plan,
-    ), plan
-    # every nested-loop in the plan is the broadcast centroid
-    # assignment (BuildRight, Cross), never a fallback join strategy
-    assert plan.count("BroadcastNestedLoopJoin") == plan.count(
-        "BroadcastNestedLoopJoin BuildRight, Cross"
-    ), plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "MapInPandas assign_batches" in plan, plan
+    assert re.search(r"FlatMapGroupsInPandas \[cluster", plan), plan
+    assert re.search(r"Exchange hashpartitioning\(cluster", plan), plan
 
 
 def test_bm25_broadcasts_stats_and_takes_ordered(spark, sf_dir):
@@ -601,21 +596,15 @@ def test_alpha_mix_broadcasts_lang_rates(spark, sf_dir):
 
 
 def test_hard_negatives_cell_bounded_join(spark, sf_dir):
-    """hard_negative_mining: candidates join on the centroid-cell id
-    (never corpus-cartesian); assignment is a broadcast cross-join
-    against the k-row seed-centroid relation (k = n // 64, bounded
-    build side — the corpus-size-derived-k shape), so Cross-build
-    BNLJs are allowed while CartesianProduct and any non-Cross
-    nested-loop fallback stay banned."""
+    """hard_negative_mining: same cell-bounded shape as
+    semdedup_pairs — MapInPandas assignment (vectors cross Arrow
+    once), narrow key join-back, FlatMapGroupsInPandas per-cell gram
+    grouped on the cluster id; never corpus-cartesian."""
     plan = plan_of(spark, sf_dir, "hard_negative_mining")
     assert "CartesianProduct" not in plan
-    assert re.search(
-        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cl#",
-        plan,
-    ), plan
-    assert plan.count("BroadcastNestedLoopJoin") == plan.count(
-        "BroadcastNestedLoopJoin BuildRight, Cross"
-    ), plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "MapInPandas assign_batches" in plan, plan
+    assert re.search(r"FlatMapGroupsInPandas \[cluster", plan), plan
 
 
 def test_embedding_standardize_broadcasts_dim_stats(spark, sf_dir):
