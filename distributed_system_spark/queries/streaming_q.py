@@ -73,17 +73,17 @@ def win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "win_session",
     oracle=f"""
-WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
 o AS (
-  SELECT user_id, t,
+  SELECT user_id, event_id, t,
          CASE WHEN lag(t) OVER w IS NULL
                    OR t - lag(t) OVER w >= {_GAP_US}
               THEN 1 ELSE 0 END AS new_s
-  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
 ),
 s AS (
   SELECT user_id, t,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
                           ROWS UNBOUNDED PRECEDING) AS sid
   FROM o
 )
@@ -99,7 +99,18 @@ def win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session windows per user via F.session_window (one
     definition for batch and streaming); the oracle reconstructs
     sessions with the lag/cumsum islands idiom. A new session starts
-    when the gap is >= 10 min (Spark's end bound is exclusive)."""
+    when the gap is >= 10 min (Spark's end bound is exclusive).
+
+    The oracle's two window clauses carry an event_id TIEBREAK: with
+    duplicate timestamps (real at scale — the 10x scaleup corpus has
+    exact ties), "ORDER BY t" alone is an under-specified sort, and
+    the cumsum window may enumerate the peers of a tied group in a
+    different physical order than the lag window that computed
+    new_s — the session-open marker then lands mid-group and splits
+    tied events across two sessions (observed: 20 tied events split
+    12+8 at sf1).  Spark's session_window is value-based and immune;
+    the tiebreak makes both windows share one total order, and is a
+    no-op on tie-free data (every SF's oracle hash is unchanged)."""
     return session_counts(load_table(spark, sf_dir, "events"))
 
 
