@@ -77,7 +77,7 @@ WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
 o AS (
   SELECT user_id, event_id, t,
          CASE WHEN lag(t) OVER w IS NULL
-                   OR t - lag(t) OVER w >= {_GAP_US}
+                   OR t - lag(t) OVER w > {_GAP_US}
               THEN 1 ELSE 0 END AS new_s
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
 ),
@@ -99,7 +99,15 @@ def win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session windows per user via F.session_window (one
     definition for batch and streaming); the oracle reconstructs
     sessions with the lag/cumsum islands idiom. A new session starts
-    when the gap is >= 10 min (Spark's end bound is exclusive).
+    when the gap is STRICTLY > 10 min: Spark merges sessions that
+    touch exactly at the boundary — an event at last_t + gap lands on
+    the open session's end edge and EXTENDS it (measured directly:
+    two events exactly 10 min apart yield ONE [t0, t1+gap) session) —
+    so the oracle's island rule is `t - lag(t) > gap`, matching the
+    strict-> convention sessionize_events/sessionize_stateful already
+    use.  Real event data never hits the exact-gap edge (microsecond
+    timestamps), which is why a >= oracle stayed green for five
+    rounds; the tie-corpus regression test pins the edge now.
 
     The oracle's two window clauses carry an event_id TIEBREAK: with
     duplicate timestamps (real at scale — the 10x scaleup corpus has

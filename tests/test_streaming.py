@@ -37,6 +37,83 @@ def test_stream_session_equals_batch(spark, sf_dir):
     assert _rows(got) == _rows(want)
 
 
+def test_session_oracle_stable_under_timestamp_ties(spark, tmp_path):
+    """Regression for the tie-unstable win_session oracle: with exact
+    duplicate timestamps (absent in the shipped test data, real at
+    scale) an ORDER BY t alone under-specifies the oracle's two window
+    sorts, and DuckDB may enumerate a tied peer group differently in
+    the lag window than in the cumsum window — splitting tied events
+    across two sessions.  Spark's session_window is value-based and
+    immune.  This corpus is built entirely of tied groups and also
+    pins the EXACT-GAP edge: Spark merges sessions that touch at the
+    boundary (an event at last_t + gap extends the session), so the
+    oracle's island rule must be strictly `>` — the original `>=`
+    oracle splits the tied group sitting on the edge.  The registry
+    oracle (event_id tiebreak + strict gap) must match Spark
+    exactly."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_system_spark.queries import load_all
+
+    base_us = 1_700_000_000_000_000
+    gap_us = 600_000_000  # session_counts' 10-minute gap
+
+    specs = []  # (event_id, t_us, user_id)
+    eid = 0
+    # user 1: a 20-way tie, then a 5-way tie inside the same session,
+    # then a 6-way tie EXACTLY at the gap edge (touching -> merges),
+    # then a 3-way tie one microsecond past the gap -> new session
+    for _ in range(20):
+        specs.append((eid := eid + 1, base_us, 1))
+    for _ in range(5):
+        specs.append((eid := eid + 1, base_us + 60_000_000, 1))
+    t_edge = base_us + 60_000_000 + gap_us
+    for _ in range(6):
+        specs.append((eid := eid + 1, t_edge, 1))
+    for _ in range(3):
+        specs.append((eid := eid + 1, t_edge + gap_us + 1, 1))
+    # user 2: two tied pairs one microsecond under the gap (one session)
+    for t in (base_us, base_us + gap_us - 1):
+        for _ in range(2):
+            specs.append((eid := eid + 1, t, 2))
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([e for e, _, _ in specs], pa.int64()),
+            "ts": pa.array(
+                [t for _, t, _ in specs], type=pa.timestamp("us")
+            ),
+            "user_id": pa.array([u for _, _, u in specs], pa.int64()),
+            "event_type": ["view"] * len(specs),
+            "value": [1.0] * len(specs),
+            "props": ["{}"] * len(specs),
+        }
+    )
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(tbl, path)
+
+    got = _rows(
+        session_counts(
+            spark.read.parquet(path).withColumn(
+                "ts", F.col("ts").cast("timestamp")
+            )
+        )
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}'")
+    oracle = load_all()["win_session"].oracle
+    want = sorted(
+        (r[0], r[1], r[2], r[3]) for r in con.execute(oracle).fetchall()
+    )
+    assert got == want
+    # sanity: the tie-heavy corpus produced the intended session shape
+    # (31 = 20+5+6: the edge group MERGED; the +1us group split off)
+    assert [r[3] for r in got if r[0] == 1] == [31, 3]
+    assert [r[3] for r in got if r[0] == 2] == [4]
+
+
 def test_stream_dedup_drops_replays(spark, sf_dir):
     stream = dedup_stream(events_stream(spark, sf_dir)).select("event_id")
     got = run_available_now(stream, "t_dedup", output_mode="append")
