@@ -30,6 +30,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from distributed_system_spark.sources.tables import widen_if_narrow
+
 
 def _text_col(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
@@ -39,7 +41,12 @@ def doc_tokens(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(id, tok) rows, one per DISTINCT token per doc (set semantics,
-    the usual Jaccard basis). flatMap-shaped: no shuffle."""
+    the usual Jaccard basis). flatMap-shaped: no shuffle on any
+    realistic layout — widen_if_narrow is a no-op when the scan
+    splits to >= cores and only fires on single-row-group test files,
+    where the tokenize/md5-minhash map stage would otherwise run on
+    one core."""
+    docs = widen_if_narrow(docs)
     return docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(F.split(_text_col(text_col), " ", -1))).alias(

@@ -24,7 +24,11 @@ from distributed_system_spark.operators.maplejuice import (
 )
 from distributed_system_spark.queries import register
 from distributed_system_spark.queries.wordcount_q import WORDCOUNT_ORACLE
-from distributed_system_spark.sources.tables import load_table
+from distributed_system_spark.sources.tables import (
+    WIDEN_SLOT_BYTES_DENSE,
+    load_table,
+    widen_if_narrow,
+)
 
 # Python-side mirrors of wc_maple.cpp:9-44 (see functions/wordcount.py
 # for the Column-expression versions and the semantics rationale).
@@ -63,7 +67,13 @@ def wc_juice_fn(key: str, values: list[str]) -> Iterator[tuple[str, str]]:
 
 
 def doc_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    """Line frame for the maple/exe paths; widened so the Python maple
+    stage gets one task per core on single-row-group test files
+    (widen_if_narrow is a no-op on real multi-split layouts)."""
+    docs = widen_if_narrow(
+        load_table(spark, sf_dir, "documents"),
+        min_slot_bytes=WIDEN_SLOT_BYTES_DENSE,
+    )
     return docs.select(F.explode(split_lines("text")).alias("line"))
 
 

@@ -22,7 +22,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from distributed_system_spark.queries import register
-from distributed_system_spark.sources.tables import load_table
+from distributed_system_spark.sources.tables import (
+    load_table,
+    widen_if_narrow,
+)
 
 # Fixed query-term set for BM25 (the synthetic corpus vocabulary is
 # operator names; any fixed set exercises the full scoring shape).
@@ -191,7 +194,7 @@ def text_lm_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     Documents with fewer than two tokens have no bigrams and drop out
     (both engines, inner semantics).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = widen_if_narrow(load_table(spark, sf_dir, "documents"))
     # size >= 2 guard (same hazard bpe.pair_counts filters): a 1-token
     # doc makes sequence(1, size-1) descend to [1, 0] and element_at
     # throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT.  The oracle's unnest

@@ -23,7 +23,11 @@ from distributed_system_spark.operators.similarity import (
     vec_double,
 )
 from distributed_system_spark.queries import register
-from distributed_system_spark.sources.tables import load_table
+from distributed_system_spark.sources.tables import (
+    WIDEN_SLOT_BYTES_DENSE,
+    load_table,
+    widen_if_narrow,
+)
 
 _COS_SQL = """
 round(list_sum(list_transform(range(1, 65), i -> q.vec[i] * c.vec[i]))
@@ -202,7 +206,14 @@ def _cell_pair_dots(m: DataFrame, with_labels: bool) -> DataFrame:
 
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    """(id, vec) base frame for every vector query.  widen_if_narrow
+    keeps the numpy/mapInPandas vector math parallel on the driver's
+    single-row-group embeddings file (no-op on real multi-row-group
+    layouts — see sources/tables.py)."""
+    emb = widen_if_narrow(
+        load_table(spark, sf_dir, "embeddings"),
+        min_slot_bytes=WIDEN_SLOT_BYTES_DENSE,
+    )
     return emb.select(
         F.col("vec_id").alias("id"), vec_double("embedding").alias("vec")
     )

@@ -25,7 +25,11 @@ from distributed_system_spark.sources.tables import load_table
 
 def wordcount_df(docs: DataFrame) -> DataFrame:
     """documents(text) → (word, cnt) with the reference's exact
-    tokenize/sanitize semantics, ordered by word."""
+    tokenize/sanitize semantics, ordered by word.  Deliberately NOT
+    widened: JVM-side tokenize+partial-count is cheap per byte, and
+    measured walls were better letting the partial agg shrink the
+    data before the first exchange (the Python maple path in
+    doc_lines IS widened — per-byte cost there is ~100x)."""
     return (
         docs.select(F.explode(split_lines("text")).alias("line"))
         .select(F.explode(tokenize_line("line")).alias("tok"))

@@ -50,6 +50,22 @@ def tune_session(spark: SparkSession) -> SparkSession:
             # Immutable in this session (e.g. static conf) — keep going;
             # every conf in RUNTIME_CONF is individually optional.
             pass
+    # Shuffle width under AQE: START at 2x cores and let coalescing
+    # shrink small shuffles back down.  At 1x cores a 10x-data sort
+    # spills — join_sortmerge measured 7-15 s at the manufactured sf1
+    # decade with 32-wide sorts (~190 MB/task > its execution-memory
+    # share) vs 1.7 s at 64-wide — while the small-SF cost is noise
+    # because AQE coalesces the extra partitions away.  4x and 8x
+    # measured slightly WORSE at both scales (shuffle-file overhead),
+    # so this is 2x by measurement, matching the "~2-3x total cores"
+    # cluster guidance in get_spark.
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(2 * spark.sparkContext.defaultParallelism),
+        )
+    except Exception:
+        pass
     return spark
 
 

@@ -576,7 +576,10 @@ def test_random_projection_distortion_bounded(spark, sf_dir):
     pairwise distances concentrate around the originals — mean ratio
     ~1 and >= 90% of pairs within +-50% distortion (k=8 is the
     aggressive end; the bound widens as 1/sqrt(k)).  Also pins the
-    projection plan shuffle-free."""
+    projection plan free of DATA-DEPENDENT shuffles: the one exchange
+    allowed is widen_if_narrow's round-robin layout repair on the
+    single-row-group test file (a no-op on real layouts — see
+    test_plans.test_widen_if_narrow_semantics)."""
     import numpy as np
 
     from distributed_system_spark.queries import load_all
@@ -584,7 +587,10 @@ def test_random_projection_distortion_bounded(spark, sf_dir):
     q = load_all()["embedding_random_projection"]
     df = q.fn(spark, sf_dir)
     df.collect()
-    assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "SinglePartition" not in plan, plan
 
     proj: dict[int, list[float]] = {}
     for r in df.collect():

@@ -184,10 +184,38 @@ def test_scalar_subquery_broadcast_not_global_window(spark, sf_dir):
 
 def test_fingerprint_is_shuffle_free(spark, sf_dir):
     """text_fingerprint: the per-document fingerprint is pure row-local
-    array math — the plan must contain no Exchange at all (the naive
-    explode+groupBy formulation shuffles every shingle hash)."""
+    array math — no DATA-DEPENDENT exchange anywhere (the naive
+    explode+groupBy formulation shuffles every shingle hash).  The one
+    exchange allowed is widen_if_narrow's round-robin layout repair,
+    which only exists because the test file is single-row-group (it is
+    a no-op on real layouts — pinned by test_widen_if_narrow below)."""
     plan = plan_of(spark, sf_dir, "text_fingerprint")
-    assert "Exchange" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_widen_if_narrow_semantics(spark, sf_dir):
+    """widen_if_narrow fires ONLY when the input is BOTH narrower than
+    cores AND worth a slot's floor of bytes: a tiny single-row-group
+    scan is returned untouched (exchange would cost more than the map
+    stage), forcing the floor to 0 widens it to defaultParallelism,
+    and an already-wide frame is returned as the SAME object — the
+    no-ops that make it safe to leave in 100 TB plans."""
+    from distributed_system_spark.sources.tables import (
+        load_table,
+        widen_if_narrow,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = load_table(spark, sf_dir, "documents")
+    assert narrow.rdd.getNumPartitions() < par  # single row group
+    # sf0.001 documents is ~KBs: under every floor -> untouched
+    assert widen_if_narrow(narrow) is narrow
+    widened = widen_if_narrow(narrow, min_slot_bytes=0)
+    assert widened.rdd.getNumPartitions() == par
+    wide = narrow.repartition(par)
+    assert widen_if_narrow(wide, min_slot_bytes=0) is wide  # already wide
 
 
 def test_sessionize_windows_partition_by_user(spark, sf_dir):
