@@ -1,24 +1,34 @@
-"""Build a deterministic 10x-sf0.1 dataset for the second scale decade.
+"""Build deterministic 10x datasets for the second and third scale
+decades.
 
-SCALE.md's measured ratios stop at sf0.01 -> sf0.1 (one decade);
-this tool manufactures the NEXT decade — an "sf1"-shaped directory at
-/tmp/dss-scale/sf1 — by replicating the sf0.1 FACT tables 10x with
-deterministic key shifts, so workload-growth and plan-growth can be
-separated empirically beyond 10x.  No randomness: replica r shifts
-every primary key by r * STRIDE and rewrites text tokens with an
-`_r{r}` suffix, so
+SCALE.md's driver-shipped ratios stop at sf0.01 -> sf0.1 (one
+decade); this tool manufactures the NEXT decades — an "sf1"-shaped
+directory (10x sf0.1) and, chained from it, an "sf10" (100x sf0.1)
+— by replicating the FACT tables 10x with deterministic key shifts,
+so workload-growth and plan-growth can be separated empirically
+beyond 10x.  No randomness: replica r shifts every primary key by
+r * stride and rewrites text tokens with an `_r{r}` suffix, so
 
 - intra-replica structure (dup density, join fanout, skew) is
-  EXACTLY the sf0.1 corpus, replicated;
+  EXACTLY the source corpus, replicated;
 - cross-replica token sets are DISJOINT (a grown corpus adds new
   content, it does not photocopy the old one) — pair-emitting dedup
   work grows linearly with replicas, which is precisely the property
   a scale-decade measurement needs to isolate plan growth;
+- embeddings are dimension-ROTATED per replica (an isometry:
+  intra-replica geometry exact, cross-replica cosines decorrelated);
 - dimension tables (region/nation/customer/supplier/part) stay
   fixed, as dimensions do at 100 TB.
 
-Usage: python tools/scaleup.py [out_root]   (default /tmp/dss-scale)
-Writes <out_root>/sf1/{table}.parquet; ~10 s with DuckDB.
+Chaining is closed under these transforms: sf10's tokens carry
+`_rA_rB` suffixes (still replica-disjoint), its rotations compose
+(still isometries), and its key strides scale by the replica count
+so shifted ranges never collide.
+
+Usage:
+  python tools/scaleup.py                  # sf0.1 -> /tmp/dss-scale/sf1
+  python tools/scaleup.py /tmp/dss-scale sf10   # chain sf1 -> sf10
+Writes <out_root>/<name>/{table}.parquet; ~10 s (sf1) / ~2 min (sf10).
 """
 
 from __future__ import annotations
@@ -29,78 +39,98 @@ import sys
 
 import duckdb
 
-SRC = "/root/testdata/sf0.1"
 REPLICAS = 10
-DOC_STRIDE = 10_000_000  # clear of _ctrl_corpus's +1,000,000 dup ids
+# Base strides clear _ctrl_corpus's +1,000,000 derived-dup ids; each
+# chained decade multiplies them by REPLICAS so replica key ranges
+# stay disjoint.
+DOC_STRIDE = 10_000_000
 ORDER_STRIDE = 10_000_000
 VEC_STRIDE = 100_000
 EVENT_STRIDE = 10_000_000
 
 
-def build(out_root: str = "/tmp/dss-scale") -> str:
-    out = os.path.join(out_root, "sf1")
+def build(
+    out_root: str = "/tmp/dss-scale",
+    name: str = "sf1",
+    src: str = "/root/testdata/sf0.1",
+    stride_scale: int = 1,
+) -> str:
+    out = os.path.join(out_root, name)
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"CREATE VIEW r AS SELECT unnest(range({REPLICAS})) AS rep")
+    doc_stride = DOC_STRIDE * stride_scale
+    order_stride = ORDER_STRIDE * stride_scale
+    vec_stride = VEC_STRIDE * stride_scale
+    event_stride = EVENT_STRIDE * stride_scale
 
-    def copy(sql: str, name: str) -> None:
+    def copy(sql: str, table: str) -> None:
         con.execute(
-            f"COPY ({sql}) TO '{out}/{name}.parquet' (FORMAT PARQUET)"
+            f"COPY ({sql}) TO '{out}/{table}.parquet' (FORMAT PARQUET)"
         )
 
     # facts: replicate with key shifts
     copy(
-        f"""SELECT l_orderkey + rep * {ORDER_STRIDE} AS l_orderkey,
+        f"""SELECT l_orderkey + rep * {order_stride} AS l_orderkey,
                l_partkey, l_suppkey, l_linenumber, l_quantity,
                l_extendedprice, l_discount, l_tax, l_returnflag,
                l_linestatus, l_shipdate
-        FROM '{SRC}/lineitem.parquet' CROSS JOIN r""",
+        FROM '{src}/lineitem.parquet' CROSS JOIN r""",
         "lineitem",
     )
     copy(
-        f"""SELECT o_orderkey + rep * {ORDER_STRIDE} AS o_orderkey,
+        f"""SELECT o_orderkey + rep * {order_stride} AS o_orderkey,
                o_custkey, o_orderstatus, o_totalprice, o_orderdate,
                o_orderpriority
-        FROM '{SRC}/orders.parquet' CROSS JOIN r""",
+        FROM '{src}/orders.parquet' CROSS JOIN r""",
         "orders",
     )
     copy(
-        f"""SELECT event_id + rep * {EVENT_STRIDE} AS event_id,
+        f"""SELECT event_id + rep * {event_stride} AS event_id,
                ts, user_id, event_type, value, props
-        FROM '{SRC}/events.parquet' CROSS JOIN r""",
+        FROM '{src}/events.parquet' CROSS JOIN r""",
         "events",
     )
     # documents: shift ids AND make token sets replica-disjoint
     copy(
-        f"""SELECT doc_id + rep * {DOC_STRIDE} AS doc_id,
+        f"""SELECT doc_id + rep * {doc_stride} AS doc_id,
                array_to_string(list_transform(str_split(text, ' '),
                    x -> x || '_r' || CAST(rep AS VARCHAR)), ' ') AS text,
                lang, source, n_chars
-        FROM '{SRC}/documents.parquet' CROSS JOIN r""",
+        FROM '{src}/documents.parquet' CROSS JOIN r""",
         "documents",
     )
     # embeddings: shift ids and ROTATE dimensions by rep (a circular
     # shift is an isometry — every intra-replica distance/cosine is
-    # EXACTLY the sf0.1 geometry — while cross-replica cosines of the
+    # EXACTLY the source geometry — while cross-replica cosines of the
     # "same" vector decorrelate, so near-dup pair counts grow
     # linearly with replicas instead of photocopy-quadratically; the
     # identical-copy variant measured output x198 for data x10)
     copy(
-        f"""SELECT vec_id + rep * {VEC_STRIDE} AS vec_id,
+        f"""SELECT vec_id + rep * {vec_stride} AS vec_id,
                list_transform(range(1, 65),
                    i -> embedding[1 + ((i - 1 + rep * 7) % 64)])
                  AS embedding,
                label
-        FROM '{SRC}/embeddings.parquet' CROSS JOIN r""",
+        FROM '{src}/embeddings.parquet' CROSS JOIN r""",
         "embeddings",
     )
     # dimensions: fixed
     for dim in ("region", "nation", "customer", "supplier", "part"):
-        copy(f"SELECT * FROM '{SRC}/{dim}.parquet'", dim)
+        copy(f"SELECT * FROM '{src}/{dim}.parquet'", dim)
     return out
 
 
 if __name__ == "__main__":
     root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/dss-scale"
-    print(build(root))
+    which = sys.argv[2] if len(sys.argv) > 2 else "sf1"
+    if which == "sf1":
+        print(build(root, "sf1"))
+    elif which == "sf10":
+        sf1 = os.path.join(root, "sf1")
+        if not os.path.isdir(sf1):
+            build(root, "sf1")
+        print(build(root, "sf10", src=sf1, stride_scale=REPLICAS))
+    else:
+        raise SystemExit(f"unknown target {which!r}; use sf1 or sf10")
