@@ -9,6 +9,8 @@ aggregate fold), ordering on the rounded cosine with id tiebreaks.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -41,57 +43,91 @@ _SQL_SQDIST = (
     "i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), 6)"
 )
 
-# Centroid-cell family (semdedup_pairs / hard_negative_mining /
-# label_noise_knn): k is DERIVED FROM CORPUS SIZE, k = max(8,
-# n // _TARGET_CELL), so cells stay ~_TARGET_CELL vectors and the
-# within-cell pair join grows ~n * _TARGET_CELL — LINEAR in n —
-# instead of ~n^2/k with k frozen (measured 4.0x/7.7x wall at 10x
-# data when k was fixed at 8).  _TARGET_CELL = 64 exercises the
-# lever at test SFs (n = 2000 at sf0.1 -> k = 31; n <= 512 -> k = 8,
-# so smaller-SF oracle rows are unchanged); production uses
-# _TARGET_CELL ~ 10^4+ with sampled/hierarchical centroids (the IVF
-# coarse-quantizer shape, see ann_ivf_kmeans) so the flat n*k
-# assignment pass and the k*d driver state stay bounded.
+# Cell family (semdedup_pairs / hard_negative_mining /
+# label_noise_knn): the corpus is partitioned into ~_TARGET_CELL-row
+# cells by the SIGN PATTERN of `bits` md5-derived hyperplane
+# projections, with bits = ceil(log2(max(8, n // _TARGET_CELL)))
+# DERIVED FROM CORPUS SIZE, so expected cell size stays in
+# [_TARGET_CELL/2, _TARGET_CELL] and the within-cell pair join grows
+# ~n * _TARGET_CELL — LINEAR in n.  Two designs died before this one,
+# both MEASURED (SCALE.md round-6 decade sections): k frozen at 8
+# makes the PAIR stage ~n^2/8 (7.7x wall at the first 10x); k =
+# n // 64 seed-centroid Voronoi cells fix the pairs but make the flat
+# nearest-of-k ASSIGNMENT n*k*d — quadratic once k tracks n — which
+# the third decade exposed at 37.9x wall for 10x data (4e10 flops at
+# 200 k vectors).  Signature assignment is n * bits * d — linear up
+# to the log factor — and is exactly the sign-LSH the ann_lsh_topk /
+# embedding_neardup family already oracle-checks; measured cell
+# balance at 200 k vectors: mean 50, p99 176, max 303 (no skew
+# blow-up, sum-of-cell^2 candidate pairs grow ~1.6x-per-1x-data at
+# the tail vs 100x for flat assignment).
 _TARGET_CELL = 64
+_MIN_CELL_BITS = 3
+
+
+def _cell_bits(n: int) -> int:
+    """Signature width: ceil(log2(target cell count)), floored at
+    _MIN_CELL_BITS (8 cells) so trivia corpora still exercise the
+    grouped pair stage.  log2 of exact powers of two is exact in
+    IEEE doubles, so the ceil decision matches DuckDB's at every
+    boundary."""
+    return max(
+        _MIN_CELL_BITS, math.ceil(math.log2(max(8, n // _TARGET_CELL)))
+    )
+
 
 # DuckDB mirror: n is SQL-computable, so the oracle derives the SAME
-# k and stays hash-identical at every SF.
-_ADAPTIVE_C0_SQL = (
-    "c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < "
-    "(SELECT greatest(8, count(*) // 64) FROM e))"
-)
+# bit count, and the md5-derived hyperplane weights (first hex digit
+# of md5("plane:dim") mapped to [-7.5, 7.5] — hyperplane_weight /
+# _band_weight_arrays in operators/similarity.py) are engine-portable
+# expressions, not data.  list_sum(list_transform(..)) folds the
+# projection left-to-right over dims — the same IEEE order as the
+# per-dimension numpy accumulation below — so the sign decision is
+# bit-identical in both engines.
+_ADAPTIVE_CELL_SQL = """nb AS (
+  SELECT greatest(3, CAST(ceil(log2(greatest(8, count(*) // 64)))
+                     AS INT)) AS bits FROM e
+),
+a1 AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65),
+                i -> (strpos('0123456789abcdef',
+                        substr(md5(CAST(p.p AS VARCHAR) || ':'
+                                   || CAST(i AS VARCHAR)), 1, 1))
+                      - 8.5) * e.v[i])) > 0
+              THEN CAST(pow(2.0, p.p) AS BIGINT) ELSE 0 END) AS INT)
+           AS cid
+  FROM e CROSS JOIN (SELECT unnest(range(0, (SELECT bits FROM nb)))
+                     AS p) p
+  GROUP BY e.vec_id
+)"""
 
 
 def _assign_adaptive_cells(e: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment with corpus-size-derived k =
-    max(8, n // _TARGET_CELL) (see _TARGET_CELL note), returning
-    (vec_id, v, nrm, cluster).
+    """Hyperplane-signature cell assignment with corpus-size-derived
+    width bits = _cell_bits(n), returning (vec_id, v, nrm, cluster).
 
-    Shape: the k seed centroids (k*d doubles — the same
-    constant-per-scale driver state `kmeans_clusters` documents, and
-    exactly what an IVF coarse quantizer broadcasts) ride the closure
-    of ONE Arrow-batched mapInPandas pass over e.  Each batch
-    computes all n*k squared distances as 64 vectorized numpy ops
-    (per-DIMENSION accumulation, so every IEEE add/multiply happens
-    in the oracle's list_sum order — bit-identical), then takes the
-    per-vector min of an exact integer encoding round(d*1e6)*2^20 +
-    cid, which reproduces the oracle's (round(d, 6), cid)
-    lexicographic tiebreak with no float comparison at all.  Each
-    vector crosses the Arrow boundary ONCE.
+    Shape: the bits*d hyperplane weight matrix (md5-derived
+    constants — data-independent, identical in the DuckDB oracle) is
+    computed driver-side (~10 KB) and rides the closure of ONE
+    Arrow-batched mapInPandas pass over e; each vector crosses the
+    Arrow boundary ONCE and costs bits*d flops — LINEAR in n with a
+    log-n factor, vs n*k*d for flat nearest-of-k assignment (the
+    design the third scale decade killed: with k = n // 64 tracking
+    corpus size, flat assignment is quadratic — measured 37.9x wall
+    for 10x data at 200 k vectors, SCALE.md).  Projections accumulate
+    per-DIMENSION in numpy — the oracle's list_sum left-to-right IEEE
+    order — so every sign decision (and therefore every cell id) is
+    bit-identical across engines; a sign flip would need |proj|
+    below fold-order noise (~1e-12 across 64 terms), and the md5
+    weights are half-integers so projections land on x.0/x.5 grids
+    only for degenerate all-equal vectors.
 
-    Two rejected alternatives, both measured at the 20k-vector scale
-    point: expressing the n*k distance as a cross-join with the
-    interpreted zip_with/aggregate fold costs ~55 s (higher-order
-    functions bypass codegen; an earlier count()-based profile that
-    said "3.7 s" was an artifact of Catalyst pruning the unused
-    distance column), and a per-row pandas-UDF distance on the
-    expanded cross-join ships BOTH 64-double arrays per (vector,
-    centroid) row — ~6.4 GB of Arrow traffic, ~25 s.  This form: ~2 s.
-
-    The rounding parity note: round(d*1e6) here is numpy
-    floor(x + 0.5) on the non-negative scaled distance — the same
-    double product and the same half-away-from-zero decision DuckDB's
-    round(d, 6) makes, so the encoded order is the oracle's order.
+    This is the same sign-LSH primitive banded_lsh_buckets ships for
+    near-dup candidates (one band, width grown with log n) — at
+    100 TB the assignment pass is embarrassingly parallel with NO
+    driver state beyond the weight literals, exactly the shape an
+    IVF coarse quantizer wants but without its flat n*nlist scan.
 
     The vector NORM is also computed here, ONCE per vector, and
     carried into the pair stage (the dominant per-pair cost is
@@ -100,16 +136,15 @@ def _assign_adaptive_cells(e: DataFrame) -> DataFrame:
     sqrt(list_sum(..))*sqrt(list_sum(..)) because the sum-of-squares
     folds in the same dimension order in both engines and sqrt is
     IEEE-correctly-rounded."""
-    from distributed_system_spark.operators.similarity import norm
+    from distributed_system_spark.operators.similarity import (
+        _band_weight_arrays,
+        norm,
+    )
 
     n = e.count()
-    k = max(8, n // _TARGET_CELL)
-    cent_rows = (
-        e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
-    )
-    cmat = np.array([list(r["v"]) for r in cent_rows], dtype=np.float64)
-    cids = np.array([int(r["vec_id"]) for r in cent_rows], dtype=np.int64)
-    assert cids.size < (1 << 20), "cid encoding bound (docstring)"
+    bits = _cell_bits(n)
+    w = np.array(_band_weight_arrays(bits, 1), dtype=np.float64)
+    shifts = 1 << np.arange(bits, dtype=np.int64)
 
     def assign_batches(batches):
         import numpy as np
@@ -119,20 +154,16 @@ def _assign_adaptive_cells(e: DataFrame) -> DataFrame:
             if not len(pdf):
                 continue
             mat = np.vstack(pdf["v"].to_numpy())
-            d0 = mat[:, None, 0] - cmat[None, :, 0]
-            acc = d0 * d0
+            acc = mat[:, 0, None] * w[:, 0][None, :]
             for i in range(1, mat.shape[1]):
-                di = mat[:, None, i] - cmat[None, :, i]
-                acc = acc + di * di
-            enc = np.floor(acc * 1e6 + 0.5).astype(np.int64) * (
-                1 << 20
-            ) + cids[None, :]
+                acc = acc + mat[:, i, None] * w[:, i][None, :]
+            cell = ((acc > 0).astype(np.int64) * shifts[None, :]).sum(
+                axis=1
+            )
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),
-                    "cluster": (enc.min(axis=1) % (1 << 20)).astype(
-                        np.int32
-                    ),
+                    "cluster": cell.astype(np.int32),
                 }
             )
 
@@ -929,14 +960,7 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "semdedup_pairs",
     oracle=f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-{_ADAPTIVE_C0_SQL},
-a1 AS (
-  SELECT vec_id, cid FROM (
-    SELECT e.vec_id, c.cid,
-           row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY {_SQL_SQDIST}, c.cid) AS rn
-    FROM e CROSS JOIN c0 c) WHERE rn = 1
-),
+{_ADAPTIVE_CELL_SQL},
 m AS (SELECT a1.vec_id, a1.cid, e.v AS vec FROM a1 JOIN e USING (vec_id))
 SELECT CAST(q.cid AS BIGINT) AS cluster, q.vec_id AS id_a,
        c.vec_id AS id_b, {_COS_SQL} AS cos
@@ -947,22 +971,25 @@ WHERE {_COS_SQL} >= 0.4
 )
 def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shape semantic dedup (Abbas et al. 2023): partition the
-    embedding space by nearest centroid (k = max(8, n // 64)
-    deterministic seed centroids — corpus-size-derived, see
-    _TARGET_CELL), then find near-duplicate pairs (cosine >= 0.4)
-    ONLY within each cluster — the trick that turns an O(n²)
-    semantic-dup scan into a LINEAR n × cell_size pair join with no
-    cross-cluster comparisons at all.
+    embedding space into ~64-row cells (hyperplane-signature cells,
+    width derived from corpus size — see _cell_bits), then find
+    near-duplicate pairs (cosine >= 0.4) ONLY within each cell — the
+    trick that turns an O(n²) semantic-dup scan into a LINEAR
+    n × cell_size pair join with no cross-cell comparisons at all.
 
     At 100 TB: the assignment pass is embarrassingly parallel against
-    broadcast centroid literals; the pair search is an equi-join on
-    the cluster id, so Spark shuffles each cluster to one place and
-    never materializes the global cross product; because k grows with
-    n, per-cluster work stays ~_TARGET_CELL² regardless of corpus
-    size.  Recall is bounded by clustering quality — pairs straddling
-    a centroid boundary are missed, which is SemDeDup's documented
-    trade; the oracle derives the same k from count(*) and reproduces
-    assignment and pair search exactly.
+    the ~10 KB md5-derived weight literals (n · bits · d flops —
+    linear; the flat nearest-of-k Voronoi assignment this replaced
+    was n·k·d, quadratic once k tracks n — measured 37.9× wall at
+    the third scale decade, SCALE.md); the pair search is an
+    equi-join on the cell id, so Spark shuffles each cell to one
+    place and never materializes the global cross product; because
+    cell count grows with n, per-cell work stays ~_TARGET_CELL²
+    regardless of corpus size.  Recall is bounded by partition
+    quality — pairs straddling a signature boundary are missed,
+    which is SemDeDup's documented trade (same class as its k-means
+    cells); the oracle derives the same bit width from count(*) and
+    reproduces assignment and pair search exactly.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
@@ -1205,14 +1232,7 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hard_negative_mining",
     oracle=f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-{_ADAPTIVE_C0_SQL},
-a1 AS (
-  SELECT vec_id, cid FROM (
-    SELECT e.vec_id, c.cid,
-           row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY {_SQL_SQDIST}, c.cid) AS rn
-    FROM e CROSS JOIN c0 c) WHERE rn = 1
-),
+{_ADAPTIVE_CELL_SQL},
 m AS (
   SELECT a1.vec_id, a1.cid, e.v AS vec, emb.label
   FROM a1 JOIN e USING (vec_id)
@@ -1240,20 +1260,23 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     every anchor vector, the top-3 highest-cosine vectors with a
     DIFFERENT label — the near-misses that make the strongest
     training negatives — searched only within the anchor's
-    nearest-centroid cell (the SemDeDup partition trick, k = max(8,
-    n // 64) deterministic seed centroids — corpus-size-derived, see
-    _TARGET_CELL).
+    hyperplane-signature cell (the SemDeDup partition trick with
+    sign-LSH cells, width derived from corpus size — see
+    _cell_bits).
 
-    At 100 TB: assignment is embarrassingly parallel against
-    broadcast centroid literals; the candidate join is an equi-join
-    on the cell id, and because k grows with n the within-cell work
-    is n × _TARGET_CELL — LINEAR, never corpus-quadratic; the
-    per-anchor top-3 is a window partitioned by anchor over
-    cell-bounded candidates.  Cell-boundary negatives are missed —
-    SemDeDup's documented recall trade, shared with semdedup_pairs.
-    Cosines rounded to 6 while comparable so the rank order
-    (cos desc, neg_id) is engine-identical; the oracle derives the
-    same k from count(*)."""
+    At 100 TB: assignment is embarrassingly parallel against the
+    ~10 KB md5-derived weight literals, n · bits · d flops — LINEAR
+    (the flat nearest-of-k assignment this replaced went quadratic
+    once k tracked n: 37.9× wall at the third scale decade,
+    SCALE.md); the candidate join is an equi-join on the cell id,
+    and because cell count grows with n the within-cell work is
+    n × _TARGET_CELL — never corpus-quadratic; the per-anchor top-3
+    is a window partitioned by anchor over cell-bounded candidates.
+    Cell-boundary negatives are missed — SemDeDup's documented
+    recall trade, shared with semdedup_pairs.  Cosines rounded to 6
+    while comparable so the rank order (cos desc, neg_id) is
+    engine-identical; the oracle derives the same bit width from
+    count(*)."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -1297,14 +1320,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     "label_noise_knn",
     oracle=f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-{_ADAPTIVE_C0_SQL},
-a1 AS (
-  SELECT vec_id, cid FROM (
-    SELECT e.vec_id, c.cid,
-           row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY {_SQL_SQDIST}, c.cid) AS rn
-    FROM e CROSS JOIN c0 c) WHERE rn = 1
-),
+{_ADAPTIVE_CELL_SQL},
 m AS (
   SELECT a1.vec_id, a1.cid, e.v AS vec, emb.label
   FROM a1 JOIN e USING (vec_id)
@@ -1334,19 +1350,20 @@ GROUP BY vec_id, label
 )
 def label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN label-agreement audit: for every vector, the fraction of
-    its 5 nearest neighbors (cosine, within its centroid cell) that
-    share its label — the standard pre-training label-noise detector
-    (a row whose neighborhood disagrees, agree_rate < 0.4, is flagged
-    for review before the dataset ships).
+    its 5 nearest neighbors (cosine, within its hyperplane-signature
+    cell) that share its label — the standard pre-training
+    label-noise detector (a row whose neighborhood disagrees,
+    agree_rate < 0.4, is flagged for review before the dataset
+    ships).
 
     Same cell-partitioned search as hard_negative_mining — the
-    all-label twin: k = max(8, n // 64) corpus-size-derived cells
-    (see _TARGET_CELL — within-cell pairs stay LINEAR in n), one
-    equi-join on the cell id, one per-anchor window, integer-ratio
-    agreement rates (bit-identical doubles), and the flag threshold
-    evaluated in integers (5 * n_agree < 2 * n_nbrs) so no float
-    boundary exists at all.  The oracle derives the same k from
-    count(*)."""
+    all-label twin: corpus-size-derived signature cells (see
+    _cell_bits — assignment AND within-cell pairs stay LINEAR in n),
+    one equi-join on the cell id, one per-anchor window,
+    integer-ratio agreement rates (bit-identical doubles), and the
+    flag threshold evaluated in integers (5 * n_agree < 2 * n_nbrs)
+    so no float boundary exists at all.  The oracle derives the same
+    bit width from count(*)."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")

@@ -400,11 +400,11 @@ def test_semdedup_pair_search_is_cluster_equi_join(spark, sf_dir):
     the corpus (the entire point of partitioning before comparing).
 
     Shape: the ASSIGNMENT is one Arrow-batched MapInPandas over the
-    corpus (centroid matrix in the closure — each vector crosses the
-    boundary once), the narrow (vec_id, cluster) result joins back by
-    key, and the PAIR SEARCH is a FlatMapGroupsInPandas grouped by
-    the cluster id — one hash exchange on cluster, per-cell numpy
-    gram, never a corpus-vs-corpus product."""
+    corpus (hyperplane weight matrix in the closure — each vector
+    crosses the boundary once), the narrow (vec_id, cluster) result
+    joins back by key, and the PAIR SEARCH is a FlatMapGroupsInPandas
+    grouped by the cluster id — one hash exchange on cluster,
+    per-cell numpy gram, never a corpus-vs-corpus product."""
     plan = plan_of(spark, sf_dir, "semdedup_pairs")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
