@@ -71,9 +71,9 @@ HEADLINE = [
                           # degeneracy of the synthetic table as much
                           # as the plan — keep both numbers)
     "hard_negative_mining",  # cell-partitioned contrastive mining
-                          # (embedding training-data prep; fixed k=8
-                          # makes cells grow with the corpus here —
-                          # SCALE.md round-5 batch-2 note)
+                          # (embedding training-data prep; hyperplane-
+                          # signature cells sized from corpus count —
+                          # SCALE.md round-6 third-decade note)
     "drift_psi",          # the standing PSI drift monitor — benched
                           # to show monitoring is ~free (one scan
                           # into 10 counters)
