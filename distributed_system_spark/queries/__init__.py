@@ -224,6 +224,39 @@ _R5_VERIFIED = frozenset(
 
 _EXTERNALLY_VERIFIED = _EXTERNALLY_VERIFIED | _R5_VERIFIED
 
+# Green rows from the round-6 external window (CORRECTNESS_r06.json:
+# 49 oracle-green + 1 rows-only-by-design `embedding_pca_project`,
+# ZERO red).  Folding them in leaves exactly the 15-query tail of
+# ``_ADDED_R5`` unverified; the tiering fronts those 15 in round 7's
+# window, completing union driver coverage of the frozen 250-query
+# registry.
+_R6_VERIFIED = frozenset(
+    {
+        "agg_skew_twophase", "ann_pq_topk", "attribution_markov_removal",
+        "attribution_models", "cep_latency_percentiles",
+        "cep_view_to_purchase", "cluster_purity_eval", "cooccurrence_pmi",
+        "corpus_zipf_slope", "corr_matrix", "cross_source_dup_matrix",
+        "curation_funnel_report", "curation_pipeline_ctrl",
+        "dataset_card_stats", "dataset_kfold", "dataset_split_stratified",
+        "dedup_canonical_exact", "dedup_minhash_shingles",
+        "dq_freshness_lag", "embedding_norm_audit", "embedding_pca_project",
+        "embedding_standardize", "gaps_islands_streaks",
+        "hard_negative_mining", "join_asof_nearest", "join_null_safe",
+        "join_time_bucket_overlap", "k_anonymity_audit", "ks_drift",
+        "label_noise_knn", "langid_confusion_matrix", "lsh_s_curve",
+        "minhash_calibration", "mm_image_ppm_decode", "mm_scene_cuts",
+        "quantile_normalize_sources", "search_query_expansion",
+        "snapshot_state_diff", "stats_mergeable_moments",
+        "stream_cusum_monitor", "stream_dedup_sig_index",
+        "stream_drift_monitor", "text_readability", "ts_autocorrelation",
+        "ts_changepoint_cusum", "ts_hourly_profile",
+        "ts_seasonal_decompose", "udf_arrow_map", "user_feature_matrix",
+        "window_first_last",
+    }
+)
+
+_EXTERNALLY_VERIFIED = _EXTERNALLY_VERIFIED | _R6_VERIFIED
+
 _KNOWN_AT_FREEZE = _KNOWN_AT_FREEZE | (
     frozenset(_R4_VERIFIED)
     | frozenset(
