@@ -591,6 +591,9 @@ def test_random_projection_distortion_bounded(spark, sf_dir):
     assert "hashpartitioning" not in plan, plan
     assert "rangepartitioning" not in plan, plan
     assert "SinglePartition" not in plan, plan
+    # Pin out broadcast too — round-robin layout repair is the only
+    # exchange the shuffle-free claim admits.
+    assert "BroadcastExchange" not in plan, plan
 
     proj: dict[int, list[float]] = {}
     for r in df.collect():

@@ -193,6 +193,10 @@ def test_fingerprint_is_shuffle_free(spark, sf_dir):
     assert "hashpartitioning" not in plan, plan
     assert "rangepartitioning" not in plan, plan
     assert "SinglePartition" not in plan, plan
+    # Round-robin layout repair is the ONLY exchange this test admits:
+    # without this pin a BroadcastExchange would slip through the three
+    # partitioning assertions above.
+    assert "BroadcastExchange" not in plan, plan
 
 
 def test_widen_if_narrow_semantics(spark, sf_dir):

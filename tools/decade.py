@@ -63,14 +63,18 @@ def main() -> int:
         q = registry[name]
         small = min(_run(q, spark, SMALL) for _ in range(BEST_OF))
         large = _run(q, spark, LARGE)
+        # Guard the table print with the same small>0 check as the rows
+        # entry — a zero best-of-N timing must not abort the run (and
+        # lose every prior measurement) before the JSON line prints.
+        ratio = round(large / small, 1) if small > 0 else None
         rows[name] = {
             "small_s": round(small, 2),
             "large_s": round(large, 2),
-            "ratio": round(large / small, 1) if small > 0 else None,
+            "ratio": ratio,
         }
+        ratio_str = f"{ratio:.1f}x" if ratio is not None else "n/a"
         print(
-            f"| {name} | {small:.2f} s | {large:.2f} s | "
-            f"{large / small:.1f}x |",
+            f"| {name} | {small:.2f} s | {large:.2f} s | {ratio_str} |",
             flush=True,
         )
     print(json.dumps({"small": SMALL, "large": LARGE, "queries": rows}))

@@ -15,15 +15,19 @@ r * stride and rewrites text tokens with an `_r{r}` suffix, so
   content, it does not photocopy the old one) — pair-emitting dedup
   work grows linearly with replicas, which is precisely the property
   a scale-decade measurement needs to isolate plan growth;
-- embeddings are dimension-ROTATED per replica (an isometry:
-  intra-replica geometry exact, cross-replica cosines decorrelated);
+- embeddings get a per-replica isometry (dimension rotation composed
+  with stage-keyed sign flips: intra-replica geometry exact,
+  cross-replica cosines decorrelated);
 - dimension tables (region/nation/customer/supplier/part) stay
   fixed, as dimensions do at 100 TB.
 
 Chaining is closed under these transforms: sf10's tokens carry
-`_rA_rB` suffixes (still replica-disjoint), its rotations compose
-(still isometries), and its key strides scale by the replica count
-so shifted ranges never collide.
+`_rA_rB` suffixes (still replica-disjoint), its embedding isometries
+compose (rotation x stage-keyed sign flips — still isometries, and
+distinct across every chained replica path, which rotation alone is
+NOT: 7*(r1+r2) mod 64 collides by pigeonhole past 64 replicas), and
+its key strides scale by the replica count so shifted ranges never
+collide.
 
 Usage:
   python tools/scaleup.py                  # sf0.1 -> /tmp/dss-scale/sf1
@@ -37,9 +41,30 @@ import os
 import shutil
 import sys
 
+import hashlib
+
 import duckdb
 
 REPLICAS = 10
+
+
+def _sign_pattern(build_name: str, rep: int) -> str:
+    """DuckDB list literal of 64 deterministic ±1.0 sign flips.
+
+    Bits come from md5 over ``"<build_name>:r<rep>"`` (128 bits ≥ 64
+    dims), so the pattern depends on the replica AND the build stage —
+    chained transforms from different (stage, rep) paths differ except
+    with probability ~2^-64.  rep 0 is pinned to the identity so each
+    decade contains its source corpus verbatim.
+    """
+    if rep == 0:
+        signs = [1.0] * 64
+    else:
+        bits = int.from_bytes(
+            hashlib.md5(f"{build_name}:r{rep}".encode()).digest(), "big"
+        )
+        signs = [1.0 if (bits >> i) & 1 else -1.0 for i in range(64)]
+    return "[" + ", ".join(str(s) for s in signs) + "]"
 # Base strides clear _ctrl_corpus's +1,000,000 derived-dup ids; each
 # chained decade multiplies them by REPLICAS so replica key ranges
 # stay disjoint.
@@ -101,19 +126,38 @@ def build(
         FROM '{src}/documents.parquet' CROSS JOIN r""",
         "documents",
     )
-    # embeddings: shift ids and ROTATE dimensions by rep (a circular
-    # shift is an isometry — every intra-replica distance/cosine is
-    # EXACTLY the source geometry — while cross-replica cosines of the
-    # "same" vector decorrelate, so near-dup pair counts grow
-    # linearly with replicas instead of photocopy-quadratically; the
-    # identical-copy variant measured output x198 for data x10)
+    # embeddings: shift ids and apply a per-replica ISOMETRY — a
+    # circular dimension rotation COMPOSED with md5-derived per-
+    # dimension sign flips keyed by (build name, rep).  Either alone
+    # is an isometry (intra-replica distance/cosine geometry stays
+    # EXACTLY the source), but rotation alone does not survive
+    # chaining: composing shift-by-7r across two decades yields
+    # 7*(r1+r2) mod 64, and by pigeonhole >64 chained replicas share
+    # rotations, making whole replica pairs bit-identical (measured:
+    # the identical-copy variant inflated near-dup output x198 for
+    # data x10).  The sign pattern is keyed by the BUILD NAME too, so
+    # stage-1's replica a and stage-2's replica a are different
+    # transforms and (a,0)/(0,a) chains cannot cancel; rep 0 of every
+    # stage keeps the identity so each decade still contains its
+    # source corpus verbatim, as a grown corpus would.
+    con.execute(
+        "CREATE VIEW signs AS "
+        + " UNION ALL ".join(
+            f"SELECT {rep} AS rep, "
+            f"{_sign_pattern(name, rep)}::DOUBLE[] AS sgn"
+            for rep in range(REPLICAS)
+        )
+    )
     copy(
         f"""SELECT vec_id + rep * {vec_stride} AS vec_id,
                list_transform(range(1, 65),
-                   i -> embedding[1 + ((i - 1 + rep * 7) % 64)])
+                   i -> (sgn[i]
+                         * embedding[1 + ((i - 1 + rep * 7) % 64)])::FLOAT)
                  AS embedding,
                label
-        FROM '{src}/embeddings.parquet' CROSS JOIN r""",
+        FROM '{src}/embeddings.parquet'
+        CROSS JOIN r
+        JOIN signs USING (rep)""",
         "embeddings",
     )
     # dimensions: fixed
