@@ -86,6 +86,9 @@ def build_bloom(
     return packed, m
 
 
+_TREE_FANIN = 64
+
+
 def bloom_from_df(
     df: DataFrame, col: str, bits_per_key: int = 12, k: int = 6
 ) -> tuple[np.ndarray, int]:
@@ -95,12 +98,18 @@ def bloom_from_df(
     (parquet-metadata cheap) fixes m, then one Arrow-batched
     ``mapInPandas`` pass folds each partition's keys into a local
     packed m-bit array and emits it as a single binary row.  The
-    driver OR-folds the fixed-size partials (m/8 bytes each — at the
-    12-bits/key default that is ~1.5 bytes per build-side key TOTAL,
-    and each partial is the same bounded size regardless of how many
-    keys a partition holds).  At extreme executor counts the same
-    OR-fold runs as a tree by repartitioning partials in log steps;
-    the partial-emitting pass is unchanged.
+    partials (m/8 bytes each — at the 12-bits/key default that is
+    ~1.5 bytes per build-side key TOTAL, the same bounded size
+    regardless of how many keys a partition holds) are OR-folded as a
+    TREE: while more than ``_TREE_FANIN`` partials remain, they are
+    repartitioned ~FANIN-to-1 and OR-ed inside executors, a log-step
+    reduction that composes into the same single job.  The driver
+    therefore collects at most ``_TREE_FANIN`` partials no matter the
+    executor count — at 100 k input partitions and a 100 MB filter
+    the flat fold would have shipped ~10 TB to the driver; the tree
+    ships <=64 partials per level into executors and <=64 to the
+    driver.  (Reference analog: the commit fan-in the MapleJuice
+    master serializes one-at-a-time, mj_master.cpp:59-70.)
     """
     keyed = df.select(F.col(col).cast("long").alias("key")).na.drop()
     n = keyed.count()
@@ -118,9 +127,25 @@ def bloom_from_df(
         if seen:
             yield pd.DataFrame({"bloom": [acc.tobytes()]})
 
-    parts = keyed.mapInPandas(partial, schema="bloom binary").collect()
+    def or_fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = np.zeros(nbytes, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            for buf in pdf["bloom"]:
+                acc |= np.frombuffer(buf, dtype=np.uint8)
+                seen = True
+        if seen:
+            yield pd.DataFrame({"bloom": [acc.tobytes()]})
+
+    partials = keyed.mapInPandas(partial, schema="bloom binary")
+    width = keyed.rdd.getNumPartitions()  # upper bound on partial count
+    while width > _TREE_FANIN:
+        width = -(-width // _TREE_FANIN)
+        partials = partials.repartition(width).mapInPandas(
+            or_fold, schema="bloom binary"
+        )
     packed = np.zeros(nbytes, dtype=np.uint8)
-    for r in parts:
+    for r in partials.collect():
         packed |= np.frombuffer(r["bloom"], dtype=np.uint8)
     return packed, m
 

@@ -75,7 +75,11 @@ def test_lm_bigram_nll_tolerates_one_token_docs(spark, tmp_path):
     assert all(np.isfinite(r.avg_nll) and r.avg_nll > 0 for r in rows)
 
 
-def test_bloom_no_false_negatives_and_low_fp_rate():
+def test_bloom_no_false_negatives_and_low_fp_rate(spark):
+    # `spark` is unused directly, but might_contain() builds a
+    # pandas_udf whose DDL parse needs a live SparkContext — without
+    # the fixture this test only passes when another test created one
+    # first (order-dependent under -k subsets).
     rng = np.random.default_rng(7)
     members = rng.choice(10**9, size=2000, replace=False).astype(np.int64)
     bits, m = build_bloom(members)
@@ -108,6 +112,25 @@ def test_distributed_bloom_build_equals_local(spark):
         [(k,) for k in keys] + [(None,)], "k long"
     ).repartition(4)
     dist_bits, dist_m = bloom_from_df(df, "k")
+    local_bits, local_m = build_bloom(np.array(keys, dtype=np.int64))
+    assert dist_m == local_m
+    assert np.array_equal(dist_bits, local_bits)
+
+
+def test_bloom_tree_fold_equals_local(spark, monkeypatch):
+    """The log-step tree OR-fold (taken whenever partial count exceeds
+    _TREE_FANIN — forced here with fan-in 2 over 16 partitions, two
+    tree levels) must produce the identical bit array to the local
+    build: OR is associative/commutative, so the reduction shape must
+    be invisible in the result."""
+    from distributed_system_spark.operators import bloom as bloom_mod
+
+    monkeypatch.setattr(bloom_mod, "_TREE_FANIN", 2)
+    keys = list(range(0, 3000, 7))
+    df = spark.createDataFrame(
+        [(k,) for k in keys], "k long"
+    ).repartition(16)
+    dist_bits, dist_m = bloom_mod.bloom_from_df(df, "k")
     local_bits, local_m = build_bloom(np.array(keys, dtype=np.int64))
     assert dist_m == local_m
     assert np.array_equal(dist_bits, local_bits)
