@@ -835,36 +835,19 @@ def signature_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def user_totals_tws(
-    spark: SparkSession, sf_dir: str, sink_name: str = "tws_totals_sink"
-) -> DataFrame:
-    """Per-user running totals on Spark 4's ``transformWithStateInPandas``
-    — the successor stateful API to ``applyInPandasWithState`` (which
-    `running_totals_stateful` demonstrates): a ``StatefulProcessor``
-    class with typed, named state handles (ValueState here; the API
-    also offers ListState/MapState and per-key timers) instead of a
-    single opaque state tuple.  Same contract as its predecessor:
-    totals accumulate in integer ten-thousandths (exact,
-    order-insensitive across batch schedules), and the final per-user
-    snapshot equals the batch GROUP BY.  State is O(distinct users).
+def make_totals_processor():
+    """Build the ``Totals`` StatefulProcessor class for
+    :func:`user_totals_tws`.
 
-    DEPENDENCY GATE: Spark's transformWithState Python runner talks
-    protobuf to the JVM state server, so it needs the ``protobuf``
-    package — absent in this container (the applyInPandasWithState
-    path needs no extra deps and stays the tested default).  Raises
-    NotImplementedError with that explanation when protobuf is
-    missing; tests/test_streaming.py runs the full equivalence check
-    whenever the dep IS present (pytest.importorskip).
+    Defined OUTSIDE the protobuf gate on purpose: the class itself is
+    pure pandas logic (pyspark's ``stateful_processor`` module imports
+    without protobuf — only the runtime state-server protocol needs
+    it), so tests/test_streaming.py can drive ``handleInputRows``
+    directly through a fake handle in containers where the JVM runner
+    cannot start.  Deferred to a factory (not module level) only so
+    the class object is built fresh per query — Spark serializes the
+    processor instance into the stream.
     """
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "transformWithStateInPandas requires the protobuf package "
-            "(Spark's Python state-server protocol); use "
-            "running_totals_stateful (applyInPandasWithState) in this "
-            "container"
-        ) from exc
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -895,6 +878,41 @@ def user_totals_tws(
 
         def close(self) -> None:
             pass
+
+    return Totals
+
+
+def user_totals_tws(
+    spark: SparkSession, sf_dir: str, sink_name: str = "tws_totals_sink"
+) -> DataFrame:
+    """Per-user running totals on Spark 4's ``transformWithStateInPandas``
+    — the successor stateful API to ``applyInPandasWithState`` (which
+    `running_totals_stateful` demonstrates): a ``StatefulProcessor``
+    class with typed, named state handles (ValueState here; the API
+    also offers ListState/MapState and per-key timers) instead of a
+    single opaque state tuple.  Same contract as its predecessor:
+    totals accumulate in integer ten-thousandths (exact,
+    order-insensitive across batch schedules), and the final per-user
+    snapshot equals the batch GROUP BY.  State is O(distinct users).
+
+    DEPENDENCY GATE: Spark's transformWithState Python runner talks
+    protobuf to the JVM state server, so it needs the ``protobuf``
+    package — absent in this container (the applyInPandasWithState
+    path needs no extra deps and stays the tested default).  Raises
+    NotImplementedError with that explanation when protobuf is
+    missing; tests/test_streaming.py runs the full equivalence check
+    whenever the dep IS present (pytest.importorskip).
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(Spark's Python state-server protocol); use "
+            "running_totals_stateful (applyInPandasWithState) in this "
+            "container"
+        ) from exc
+    Totals = make_totals_processor()
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")

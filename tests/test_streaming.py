@@ -754,6 +754,87 @@ def test_transform_with_state_totals(spark, sf_dir):
     assert _rows(got) == _rows(want)
 
 
+def test_totals_processor_logic_via_fake_handle(spark, sf_dir):
+    """Drive the transformWithState ``Totals`` processor's
+    handleInputRows DIRECTLY through a fake ValueState handle — the
+    class is pure pandas logic, so its accumulate/emit behavior is
+    testable even where the JVM state-server runner (protobuf) cannot
+    start.  Checks: state carries across calls, totals are exact
+    integer ten-thousandths (batch-split invariant), and the final
+    snapshot equals the batch GROUP BY on real events data."""
+    import pandas as pd
+
+    from distributed_system_spark.streaming.streams import (
+        make_totals_processor,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, FakeValueState())
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "value")
+        .toPandas()
+    )
+    want = {
+        (int(uid), len(g), round(float(g["value"].sum()), 2))
+        for uid, g in ev.groupby("user_id")
+    }
+
+    def final_snapshot(batch_splits: int) -> set:
+        out = {}
+        for uid, g in ev.groupby("user_id"):
+            proc = make_totals_processor()()
+            proc.init(FakeHandle())
+            # split this user's rows into several "microbatches", each
+            # delivered as its own handleInputRows call (rows arg is
+            # itself an iterator of pandas chunks — exercise both).
+            chunks = [
+                c
+                for c in (
+                    g.iloc[i :: batch_splits]
+                    for i in range(batch_splits)
+                )
+                if len(c)
+            ]
+            for chunk in chunks:
+                half = len(chunk) // 2
+                rows = iter([chunk.iloc[:half], chunk.iloc[half:]])
+                emitted = list(
+                    proc.handleInputRows((uid,), rows, None)
+                )
+                assert len(emitted) == 1
+            last = emitted[0].iloc[0]
+            out[int(uid)] = (
+                int(last["n_events"]),
+                float(last["total_value"]),
+            )
+            proc.close()
+        return {(u, n, t) for u, (n, t) in out.items()}
+
+    # Two different batch schedules must land on the identical exact
+    # snapshot (integer ten-thousandths make the sum order-free).
+    assert final_snapshot(1) == want
+    assert final_snapshot(3) == want
+
+
 def test_drift_monitor_stream_matches_batch_and_reruns(spark, sf_dir):
     """The streaming PSI monitor's merged per-batch counters must
     equal the batch drift_psi exactly (counter mergeability), and a
