@@ -1902,3 +1902,127 @@ def embedding_distance_histogram(
         )
         .select("bin", "n_pairs", "share", "min_cos", "max_cos")
     )
+
+
+# -- production near-dup (planted-truth corpus) ----------------------
+
+# The shipped synthetic corpus has NO pairs above cosine 0.6, so the
+# production dedup regime (threshold ~0.95, 16-20 bits/band) would be
+# vacuously green on it.  lsh_neardup_prod therefore PLANTS its truth:
+# a deterministic ~2.7% of ids (id % 37 == 0) get a twin vector
+# unit(v) + 0.22 * unit(g), where g's 64 components are the first hex
+# digit of md5("<id>:<dim>") mapped to [-7.5, 7.5] — the same
+# engine-portable md5-constant trick as the hyperplane weights above,
+# so the oracle rebuilds the twins bit-for-bit.  cos(v, twin) =
+# 1/sqrt(1 + eps^2) + O(u.g) >= 0.955, comfortably above the 0.95
+# threshold, while twin-twin and twin-other cosines stay at corpus
+# background level (< 0.7).
+_PLANT_MOD = 37
+_PLANT_EPS = 0.22
+
+
+def _planted_twins(vecs: DataFrame) -> DataFrame:
+    """Deterministic near-dup twins of ids divisible by _PLANT_MOD.
+
+    Twin id = -(id + 1) (disjoint from non-negative base ids).  All
+    arithmetic accumulates per-DIMENSION in IEEE left-to-right order
+    (the oracle's list_sum fold), divisions and the eps multiply
+    happen in the same sequence as the SQL expression, and the md5
+    hex-digit weights are half-integers (exact in both decimal and
+    binary float), so every twin component is bit-identical across
+    engines."""
+    import hashlib
+
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            keep = pdf[pdf["id"] % _PLANT_MOD == 0]
+            if len(keep) == 0:
+                continue
+            ids, vecs_out = [], []
+            for vid, vec in zip(keep["id"], keep["vec"]):
+                v = np.asarray(vec, dtype=np.float64)
+                nv = 0.0
+                for d in range(64):
+                    nv += v[d] * v[d]
+                nv = math.sqrt(nv)
+                g = np.empty(64, dtype=np.float64)
+                for d in range(64):
+                    h = hashlib.md5(
+                        f"{int(vid)}:{d + 1}".encode()
+                    ).hexdigest()
+                    g[d] = int(h[0], 16) + 1 - 8.5
+                ng = 0.0
+                for d in range(64):
+                    ng += g[d] * g[d]
+                ng = math.sqrt(ng)
+                w = np.empty(64, dtype=np.float64)
+                for d in range(64):
+                    w[d] = v[d] / nv + _PLANT_EPS * (g[d] / ng)
+                ids.append(-(int(vid) + 1))
+                vecs_out.append(w)
+            yield pd.DataFrame({"id": ids, "vec": vecs_out})
+
+    return vecs.mapInPandas(gen, schema="id long, vec array<double>")
+
+
+_TWIN_SQL = """e AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS vec
+  FROM embeddings
+),
+gw AS (
+  SELECT id, vec,
+         sqrt(list_sum(list_transform(range(1, 65),
+             i -> vec[i] * vec[i]))) AS nv,
+         sqrt(list_sum(list_transform(range(1, 65),
+             i -> (strpos('0123456789abcdef',
+                     substr(md5(CAST(id AS VARCHAR) || ':'
+                                || CAST(i AS VARCHAR)), 1, 1)) - 8.5)
+                  * (strpos('0123456789abcdef',
+                     substr(md5(CAST(id AS VARCHAR) || ':'
+                                || CAST(i AS VARCHAR)), 1, 1)) - 8.5)
+             ))) AS ng
+  FROM e WHERE id % 37 = 0
+),
+tw AS (
+  SELECT -(id + 1) AS id,
+         list_transform(range(1, 65),
+           i -> vec[i] / nv + 0.22::DOUBLE *
+                ((strpos('0123456789abcdef',
+                    substr(md5(CAST(id AS VARCHAR) || ':'
+                               || CAST(i AS VARCHAR)), 1, 1)) - 8.5)
+                 / ng)) AS vec
+  FROM gw
+),
+allv AS (SELECT * FROM e UNION ALL SELECT * FROM tw)"""
+
+
+@register(
+    "lsh_neardup_prod",
+    oracle=f"""
+WITH {_TWIN_SQL}
+SELECT q.id AS id_a, c.id AS id_b, {_COS_SQL} AS cos
+FROM allv q JOIN allv c ON q.id < c.id
+WHERE {_COS_SQL} >= 0.95
+""",
+    tags=("similarity", "dedup", "production"),
+)
+def lsh_neardup_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION near-dup: threshold 0.95, 18 bits x 48 bands — the
+    knob regime ``embedding_neardup``'s docstring prescribes for real
+    dedup, on a corpus with planted md5-derived twins (see
+    _planted_twins) so the truth set is non-empty at every SF.
+
+    Candidates are ~bands/2^bits of n^2 (measured 5e-4 .. 7e-4 of
+    n^2 across sf0.01-sf1, tools/neardup_decade.py) vs the full-recall
+    demo's 3-bit banding; the oracle is the EXACT all-pairs answer, so
+    a green row certifies 100% recall of the production knobs on this
+    corpus — deterministic, because the hyperplanes are md5-derived
+    (per-pair analytic miss probability at cos >= 0.955 is
+    (1 - 0.93^18)^48 ~= 1e-7).  Scale: same banded plan as
+    lsh_neardup_pairs — no CartesianProduct (plan-asserted), decade
+    wall ratios in SCALE.md."""
+    base = _vecs(spark, sf_dir)
+    aug = base.unionByName(_planted_twins(base))
+    return lsh_neardup_pairs(aug, 0.95, bits_per_band=18, bands=48)

@@ -101,6 +101,7 @@ def test_no_cartesian_in_lsh_dedup(spark, sf_dir):
         "dedup_ngram_jaccard",
         "embedding_neardup",
         "simhash_neardup",
+        "lsh_neardup_prod",
     ):
         plan = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, (name, plan)
