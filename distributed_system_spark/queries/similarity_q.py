@@ -136,13 +136,20 @@ def _assign_adaptive_cells(e: DataFrame) -> DataFrame:
     sqrt(list_sum(..))*sqrt(list_sum(..)) because the sum-of-squares
     folds in the same dimension order in both engines and sqrt is
     IEEE-correctly-rounded."""
+    return _assign_cells_fixed(e, _cell_bits(e.count()))
+
+
+def _assign_cells_fixed(e: DataFrame, bits: int) -> DataFrame:
+    """The fixed-width core of :func:`_assign_adaptive_cells`:
+    hyperplane-signature assignment with a CALLER-pinned ``bits`` —
+    also used directly by ``ann_index_upsert``, where the quantizer
+    width is frozen at index creation (an index whose cell ids shift
+    with corpus size would invalidate its own postings)."""
     from distributed_system_spark.operators.similarity import (
         _band_weight_arrays,
         norm,
     )
 
-    n = e.count()
-    bits = _cell_bits(n)
     w = np.array(_band_weight_arrays(bits, 1), dtype=np.float64)
     shifts = 1 << np.arange(bits, dtype=np.int64)
 
@@ -2026,3 +2033,94 @@ def lsh_neardup_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _vecs(spark, sf_dir)
     aug = base.unionByName(_planted_twins(base))
     return lsh_neardup_pairs(aug, 0.95, bits_per_band=18, bands=48)
+
+
+# -- cross-snapshot ANN index maintenance ----------------------------
+
+_IDX_BITS = 6  # frozen at index creation: 64 cells
+
+
+@register(
+    "ann_index_upsert",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+a1 AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65),
+                i -> (strpos('0123456789abcdef',
+                        substr(md5(CAST(p.p AS VARCHAR) || ':'
+                                   || CAST(i AS VARCHAR)), 1, 1))
+                      - 8.5) * e.v[i])) > 0
+              THEN CAST(pow(2.0, p.p) AS BIGINT) ELSE 0 END) AS INT)
+           AS cell
+  FROM e CROSS JOIN (SELECT unnest(range(0, 6)) AS p) p
+  GROUP BY e.vec_id
+),
+n AS (
+  SELECT vec_id,
+         sqrt(list_sum(list_transform(range(1, 65),
+             i -> v[i] * v[i]))) AS nrm
+  FROM e
+)
+SELECT a1.cell,
+       count(*) AS n_vecs,
+       min(a1.vec_id) AS min_id,
+       max(a1.vec_id) AS max_id,
+       CAST(round(SUM(CAST(n.nrm AS DECIMAL(18,6))), 6) AS DOUBLE)
+         AS sum_nrm
+FROM a1 JOIN n USING (vec_id)
+GROUP BY a1.cell
+""",
+    tags=("similarity", "ann", "incremental", "index"),
+)
+def ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot ANN index MAINTENANCE: day-0 vectors build a
+    persisted hyperplane-cell postings index (cell, vec_id, nrm on
+    parquet); the day-1 and day-2 deltas each assign ONLY their own
+    vectors — history is never re-read, never re-assigned, exactly
+    the way ``stream_dedup_sig_index`` maintains its signature index
+    — and append their postings.  The returned per-cell stats come
+    from the MERGED on-disk index, and the oracle recomputes them
+    from scratch over all vectors in one pass: a green row certifies
+    incremental-maintenance == full-rebuild, which holds because the
+    quantizer (6 md5 hyperplanes -> 64 cells) is FROZEN at index
+    creation — corpus-size-adaptive widths (``_assign_adaptive_cells``)
+    are right for one-shot jobs but would invalidate standing
+    postings, the IVF analog of never resizing a live hash ring.
+
+    Scale: each delta pass is the linear n*bits*d signature
+    assignment (mapInPandas, weights in the closure), postings append
+    as day-partitioned parquet, and the stats merge is one
+    partial-aggregated groupBy on ~64 cells.  Norm sums go through
+    fixed-scale DECIMAL so the merge is order-insensitive
+    (queries/_util.py contract)."""
+    import hashlib
+
+    from distributed_system_spark.queries._util import dsum
+
+    root = (
+        "/tmp/dss-annidx-"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    )
+    base = _vecs(spark, sf_dir).select(
+        F.col("id").alias("vec_id"), F.col("vec").alias("v")
+    )
+    for day in range(3):
+        delta = base.filter(F.col("vec_id") % 3 == day)
+        postings = _assign_cells_fixed(delta, _IDX_BITS).select(
+            "vec_id",
+            F.col("cluster").cast("int").alias("cell"),
+            "nrm",
+            F.lit(day).alias("day"),
+        )
+        postings.write.mode("overwrite").parquet(f"{root}/d{day}")
+    idx = spark.read.parquet(*[f"{root}/d{d}" for d in range(3)])
+    return idx.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("vec_id").alias("min_id"),
+        F.max("vec_id").alias("max_id"),
+        dsum("nrm", scale=6, out=6).alias("sum_nrm"),
+    )

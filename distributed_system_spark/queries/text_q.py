@@ -2518,3 +2518,199 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("fertility"),
     )
+
+
+@register(
+    "prep_pipeline",
+    oracle="""
+WITH q AS (
+  SELECT doc_id, str_split(text, ' ') AS toks,
+         len(str_split(text, ' ')) AS n_toks,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+              THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+              THEN 'val' ELSE 'test' END AS split
+  FROM documents
+  WHERE len(str_split(text, ' ')) >= 5
+),
+grams AS (
+  SELECT doc_id, split,
+         unnest(list_distinct([md5(array_to_string(toks[i:i+7], ' '))
+                for i in range(1, len(toks) - 6)])) AS h
+  FROM q WHERE split IN ('train', 'test')
+),
+common AS (
+  SELECT h FROM grams WHERE split = 'train'
+  GROUP BY h HAVING count(*) <= 100
+),
+contaminated AS (
+  SELECT DISTINCT test_doc AS doc_id FROM (
+    SELECT te.doc_id AS test_doc, tr.doc_id AS train_doc
+    FROM (SELECT * FROM grams WHERE split = 'test') te
+    JOIN (SELECT * FROM grams WHERE split = 'train') tr ON te.h = tr.h
+    JOIN common c ON te.h = c.h
+    GROUP BY te.doc_id, tr.doc_id
+    HAVING count(*) >= 3)
+),
+kept AS (
+  SELECT * FROM q
+  WHERE NOT (split = 'test'
+             AND doc_id IN (SELECT doc_id FROM contaminated))
+),
+packs AS (
+  SELECT doc_id, n_toks,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+         SUM(n_toks) OVER (
+             PARTITION BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM kept WHERE split = 'train'
+),
+packstat AS (
+  SELECT 'train' AS split,
+         count(DISTINCT shard || ':'
+               || CAST((cum - n_toks) // 512 AS VARCHAR)) AS packs,
+         sum(n_toks) AS ptoks
+  FROM packs
+)
+SELECT k.split,
+       count(*) AS n_docs,
+       CAST(sum(k.n_toks) AS BIGINT) AS n_tokens,
+       coalesce(any_value(p.packs), 0) AS n_packs,
+       coalesce(round(CAST(any_value(p.ptoks) AS DOUBLE)
+                      / (any_value(p.packs) * 512), 6), 0.0)
+         AS fill_rate
+FROM kept k LEFT JOIN packstat p ON k.split = p.split
+GROUP BY k.split
+""",
+    tags=("llm", "curation", "flagship"),
+)
+def prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data prep FLAGSHIP: quality-filter -> leak-free split
+    -> test-set DECONTAMINATION -> train packing -> per-split report,
+    composed as ONE Spark plan the way ``curation_pipeline`` composes
+    dedup.  Stage semantics are the registry's own:
+    ``dataset_split``'s md5 buckets, ``contamination_check``'s
+    suppressed-8-gram rule (here applied as the removal it exists
+    for: contaminated test docs are DROPPED, not just reported), and
+    ``seq_packing``'s per-shard 512-token greedy fill (the packing
+    stats are per SHARD, embarrassingly parallel — no global cumsum).
+
+    Scale: the gram join is equi on md5 with the >100-train-doc
+    suppression capping fan-out; packing windows partition by the
+    256-way shard key; the pack-stats row reaches the report through
+    a broadcast equi-join on the split key (NOT a crossJoin — keeps
+    BroadcastNestedLoopJoin out of the plan, test_plans.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h2 = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+    )
+    split = (
+        F.when(h2 < "cd", "train").when(h2 < "e6", "val").otherwise("test")
+    )
+    q = (
+        docs.select(
+            "doc_id",
+            F.split("text", " ", -1).alias("toks"),
+            split.alias("split"),
+        )
+        .withColumn("n_toks", F.size("toks"))
+        .filter(F.col("n_toks") >= 5)
+    )
+    grams8 = F.when(
+        F.size("toks") >= 8,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 7),
+                lambda i: F.md5(
+                    F.array_join(F.slice("toks", i, 8), " ").cast(
+                        "binary"
+                    )
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        q.filter(F.col("split") != "val")
+        .select("doc_id", "split", F.explode(grams8).alias("h"))
+    )
+    train_g = grams.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "h"
+    )
+    test_g = grams.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc"), "h"
+    )
+    common = (
+        train_g.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_train"))
+        .filter(F.col("n_train") <= 100)
+        .select("h")
+    )
+    contaminated = (
+        test_g.join(common, "h")
+        .join(train_g, "h")
+        .groupBy("test_doc", "train_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+        .select(F.col("test_doc").alias("doc_id"))
+        .distinct()
+    )
+    kept = q.join(
+        contaminated,
+        (q["doc_id"] == contaminated["doc_id"])
+        & (q["split"] == "test"),
+        "left_anti",
+    )
+    h1 = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1
+    )
+    hfull = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packs = (
+        kept.filter(F.col("split") == "train")
+        .select(
+            "doc_id",
+            "split",
+            "n_toks",
+            h1.alias("shard"),
+            hfull.alias("h"),
+        )
+        .withColumn("cum", F.sum("n_toks").over(w))
+        .withColumn(
+            "pack_id", ((F.col("cum") - F.col("n_toks")) / 512).cast("long")
+        )
+    )
+    # group by the REAL split column (all 'train') rather than
+    # attaching lit("train") after a global agg: a literal key
+    # constant-folds and the report join degrades to a 1-row
+    # BroadcastNestedLoopJoin; a data-derived key keeps it equi.
+    packstat = packs.groupBy("split").agg(
+        F.countDistinct("shard", "pack_id").alias("packs"),
+        F.sum("n_toks").alias("ptoks"),
+    )
+    return (
+        kept.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+        .join(F.broadcast(packstat), "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            "n_tokens",
+            F.coalesce("packs", F.lit(0)).alias("n_packs"),
+            F.coalesce(
+                F.round(
+                    F.col("ptoks").cast("double")
+                    / (F.col("packs") * 512),
+                    6,
+                ),
+                F.lit(0.0),
+            ).alias("fill_rate"),
+        )
+    )

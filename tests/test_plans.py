@@ -736,3 +736,27 @@ def test_bucket_overlap_join_is_equi_on_bucket(spark, sf_dir):
         or "SortMergeJoin" in plan
         or "ShuffledHashJoin" in plan
     ), plan
+
+
+def test_prep_pipeline_plan_shape(spark, sf_dir):
+    """The prep flagship must compose as equi-joins only: the gram
+    contamination join equi on md5, the pack-stats row reaching the
+    report through a broadcast equi-join on the split key — never a
+    crossJoin (which would plan as BroadcastNestedLoopJoin) and never
+    a CartesianProduct.  Packing windows must partition by the shard
+    key, not run globally."""
+    plan = plan_of(spark, sf_dir, "prep_pipeline")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+def test_ann_index_upsert_incremental_plan(spark, sf_dir):
+    """Index maintenance must read the MERGED postings parquet for its
+    stats (not recompute assignment over history): the returned plan
+    scans the /tmp index files, contains no cartesian, and aggregates
+    ~64 cells with a partial (map-side) phase before the exchange."""
+    plan = plan_of(spark, sf_dir, "ann_index_upsert")
+    assert "dss-annidx-" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial" in plan.lower(), plan
