@@ -747,3 +747,43 @@ def join_time_bucket_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_overlap_ms"
         ),
     )
+
+
+@register(
+    "join_lateral_topk",
+    oracle="""
+SELECT n.n_name, c.c_name, c.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_name, c_acctbal FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+""",
+    tags=("joins", "lateral", "sql-surface"),
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join (per-nation top-2 customers by
+    account balance, name tiebreak) — the SQL surface users write for
+    per-row top-k enrichment.  Catalyst DECORRELATES it: the physical
+    plan is a c_nationkey-partitioned window with WindowGroupLimit
+    (per-partition top-k pushdown — no partition ever sorts more than
+    it must) feeding an equi BroadcastHashJoin; no nested loop, no
+    per-outer-row re-execution (plan-asserted).  That rewrite is what
+    makes the construct survive a 100 TB customer table: the naive
+    LATERAL evaluation is |nation| full scans of customer."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "lat_nation"
+    )
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "lat_customer"
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_name, c.c_acctbal
+        FROM lat_nation n
+        JOIN LATERAL (
+          SELECT c_name, c_acctbal FROM lat_customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        """
+    )

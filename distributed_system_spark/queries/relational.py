@@ -11,7 +11,7 @@ is exactly Spark's partial hash aggregate).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from distributed_system_spark.queries import register
 from distributed_system_spark.queries._util import (
@@ -1166,3 +1166,79 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
     )
     return rows.select("col_a", "col_b", "n", "corr")
+
+
+@register(
+    "grouped_mode_stat",
+    oracle="""
+WITH c AS (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS n
+  FROM orders GROUP BY 1, 2
+),
+r AS (
+  SELECT o_orderstatus, o_orderpriority, n,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY n DESC, o_orderpriority) AS rn
+  FROM c
+)
+SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_count
+FROM r WHERE rn = 1
+""",
+    tags=("agg", "statistics"),
+)
+def grouped_mode_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group MODE (most frequent value) with a DETERMINISTIC
+    tiebreak — count desc, then smallest value — via count + ranked
+    window, never the engine's native mode() (whose tie choice is
+    engine-defined and would never cross-check).  Scale shape: the
+    groupBy pre-aggregates to |groups x distinct values| rows before
+    the window, so the rank runs on group cardinality, not corpus
+    rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), "o_orderpriority"
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_count"),
+        )
+    )
+
+
+@register(
+    "hist2d_price_qty",
+    oracle="""
+SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS price_bin,
+       CAST(floor(l_quantity / 10) AS BIGINT) AS qty_bin,
+       count(*) AS n,
+       CAST(round(SUM(CAST(l_discount AS DECIMAL(18,4))), 4) AS DOUBLE)
+         AS sum_discount
+FROM lineitem
+GROUP BY 1, 2
+""",
+    tags=("agg", "histogram"),
+)
+def hist2d_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram (price x quantity bins) with a measure per cell —
+    the heatmap backing table every profiling UI wants.  One scan,
+    one partial-aggregated groupBy on integer bin ids via
+    floor(x / width) — floor of an exact double quotient is identical
+    in both engines; the discount
+    measure sums through fixed-scale DECIMAL (order-insensitive)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.floor(F.col("l_extendedprice") / 10000)
+        .cast("long")
+        .alias("price_bin"),
+        F.floor(F.col("l_quantity") / 10).cast("long").alias("qty_bin"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_discount", scale=4, out=4).alias("sum_discount"),
+    )

@@ -1789,10 +1789,10 @@ def dataset_alpha_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "score_pr_curve",
-    oracle="""
-WITH t AS (
+# Shared score/label pipeline (doc_model_score vs the
+# doc_quality_filter gate) used by the classifier-eval oracles:
+# integer micro-unit scores s_int plus boolean label per doc.
+_SCORED_SQL = """t AS (
   SELECT doc_id, lang, str_split(text, ' ') AS toks,
          length(text) AS len_chars
   FROM documents
@@ -1828,7 +1828,13 @@ WITH t AS (
            + CAST(0.15 AS DECIMAL(6,3)) * len_r, 6) AS DOUBLE)
            * 1000000) AS BIGINT) AS s_int
   FROM f
-), bucketed AS (
+)"""
+
+
+@register(
+    "score_pr_curve",
+    oracle=f"""
+WITH {_SCORED_SQL}, bucketed AS (
   SELECT CASE WHEN s_int < 400000 THEN -1
               ELSE least(15, (s_int - 400000) // 20000) END AS idx,
          count(CASE WHEN label THEN 1 END) AS n_pos,
@@ -2712,5 +2718,185 @@ def prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 F.lit(0.0),
             ).alias("fill_rate"),
+        )
+    )
+
+
+@register(
+    "score_roc_auc",
+    oracle=f"""
+WITH {_SCORED_SQL},
+per AS (
+  SELECT s_int,
+         count(CASE WHEN label THEN 1 END) AS pos,
+         count(CASE WHEN NOT label THEN 1 END) AS neg
+  FROM s GROUP BY s_int
+),
+c AS (
+  SELECT s_int, pos, neg,
+         coalesce(SUM(neg) OVER (ORDER BY s_int
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS neg_below
+  FROM per
+)
+SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST(SUM(neg) AS BIGINT) AS n_neg,
+       CAST(round(CAST(SUM(2 * neg_below * pos + neg * pos) AS DOUBLE)
+                  / CAST(2 * SUM(pos) * SUM(neg) AS DOUBLE), 6)
+            AS DOUBLE) AS auc
+FROM c
+""",
+    tags=("llm", "evaluation", "classifier"),
+)
+def score_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC AUC of the linear quality scorer against the
+    heuristic gate labels — the Mann-Whitney rank formula with proper
+    tie handling, computed without materializing pairs: group docs by
+    integer micro-unit score, cumulative negatives-below per distinct
+    score, then AUC = sum(2*neg_below*pos + neg*pos) / (2*pos*neg).
+    The numerator stays INTEGER until the final division, so both
+    engines round the identical double.
+
+    Scale shape: the corpus aggregates to at most 1,000,001 rows
+    (distinct s_int values — the score grid is bounded by
+    construction, NOT by corpus size) before the one ordered window
+    runs; pos/neg counts partial-aggregate map-side.  This is the
+    single-pass, pair-free AUC a 100 TB eval job needs — the naive
+    pos x neg comparison join is quadratic.
+
+    Completes the classifier-eval family: score_pr_curve (threshold
+    choice), score_reliability_diagram (calibration), this
+    (ranking quality)."""
+    scores = doc_model_score(spark, sf_dir).select(
+        "doc_id",
+        F.round(F.col("score") * 1000000).cast("long").alias("s_int"),
+    )
+    labels = doc_quality_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("label")
+    )
+    per = (
+        scores.join(labels, "doc_id")
+        .groupBy("s_int")
+        .agg(
+            F.count(F.when(F.col("label"), 1)).alias("pos"),
+            F.count(F.when(~F.col("label"), 1)).alias("neg"),
+        )
+    )
+    w = Window.orderBy("s_int").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    c = per.withColumn(
+        "neg_below", F.coalesce(F.sum("neg").over(w), F.lit(0))
+    )
+    return c.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.round(
+            F.sum(
+                2 * F.col("neg_below") * F.col("pos")
+                + F.col("neg") * F.col("pos")
+            ).cast("double")
+            / (2 * F.sum("pos") * F.sum("neg")).cast("double"),
+            6,
+        ).alias("auc"),
+    )
+
+
+@register(
+    "freq_count_min_estimate",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(str_split(text, ' ')) AS tok FROM documents
+),
+exact AS (
+  SELECT tok, count(*) AS exact_cnt FROM toks GROUP BY tok
+),
+rows_ AS (
+  SELECT t.tok, r.r,
+         CAST('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || t.tok),
+                             1, 8) AS BIGINT) % 512 AS bucket
+  FROM toks t CROSS JOIN (SELECT unnest(range(0, 4)) AS r) r
+),
+cms AS (
+  SELECT r, bucket, count(*) AS c FROM rows_ GROUP BY r, bucket
+),
+top AS (
+  SELECT tok, exact_cnt FROM exact
+  ORDER BY exact_cnt DESC, tok LIMIT 20
+),
+probe AS (
+  SELECT t.tok, t.exact_cnt, r.r,
+         CAST('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || t.tok),
+                             1, 8) AS BIGINT) % 512 AS bucket
+  FROM top t CROSS JOIN (SELECT unnest(range(0, 4)) AS r) r
+)
+SELECT p.tok, p.exact_cnt,
+       CAST(min(c.c) AS BIGINT) AS cms_est,
+       CAST(min(c.c) - p.exact_cnt AS BIGINT) AS overestimate
+FROM probe p JOIN cms c ON p.r = c.r AND p.bucket = c.bucket
+GROUP BY p.tok, p.exact_cnt
+""",
+    tags=("frequency", "sketch", "count-min"),
+)
+def freq_count_min_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH, audited against truth: a 4 x 512 counter grid
+    (md5 row-hashes — engine-portable, deterministic) summarizes the
+    whole token stream; the top-20 exact heavy hitters are then
+    probed back through the sketch and reported with their
+    overestimate.  A green row certifies the CMS guarantee on this
+    corpus: est >= exact always (min over rows can only overcount),
+    with the error visible per token.
+
+    Scale shape: the sketch build is ONE partial-aggregated groupBy
+    onto a FIXED 2048-cell grid (mergeable by addition — the same
+    property the HLL/moment sketches exploit; shard sketches add
+    cell-wise at 100 TB), and probing joins 80 constant rows against
+    it.  The exact top-20 is TakeOrdered, never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split("text", " ", -1)).alias("tok")
+    )
+    rs = F.array(*[F.lit(r) for r in range(4)])
+
+    def bucket(r, tok):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            r.cast("string"), F.lit(":"), tok
+                        ).cast("binary")
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 512
+        )
+
+    rows = toks.select(
+        "tok", F.explode(rs).alias("r")
+    ).withColumn("bucket", bucket(F.col("r"), F.col("tok")))
+    cms = rows.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    exact = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    top = exact.orderBy(F.col("exact_cnt").desc(), "tok").limit(20)
+    probe = top.select(
+        "tok", "exact_cnt", F.explode(rs).alias("r")
+    ).withColumn("bucket", bucket(F.col("r"), F.col("tok")))
+    return (
+        probe.join(cms, ["r", "bucket"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("c").cast("long").alias("cms_est"))
+        .select(
+            "tok",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt"))
+            .cast("long")
+            .alias("overestimate"),
         )
     )

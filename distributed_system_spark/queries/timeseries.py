@@ -1007,3 +1007,87 @@ def ts_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("seasonal_index"),
         (F.col("n") == F.col("peak")).alias("is_peak"),
     )
+
+
+@register(
+    "interval_max_concurrency",
+    oracle="""
+WITH e AS (
+  SELECT event_id, event_type, CAST(ts AS DATE) AS day,
+         epoch_us(ts) AS t0, epoch_us(ts) + 300000000 AS t1
+  FROM events
+),
+pts AS (
+  SELECT event_type, day, t0 AS t, 1 AS delta, event_id FROM e
+  UNION ALL
+  SELECT event_type, day, t1 AS t, -1 AS delta, event_id FROM e
+),
+run AS (
+  SELECT event_type, day, delta,
+         SUM(delta) OVER (PARTITION BY event_type, day
+                          ORDER BY t, delta, event_id
+                          ROWS UNBOUNDED PRECEDING) AS conc
+  FROM pts
+)
+SELECT event_type, day,
+       CAST(count(CASE WHEN delta = 1 THEN 1 END) AS BIGINT)
+         AS n_events,
+       CAST(max(conc) AS BIGINT) AS max_concurrent
+FROM run GROUP BY event_type, day
+""",
+    tags=("timeseries", "intervals", "sweepline"),
+)
+def interval_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line MAX CONCURRENCY: each event occupies a 5-minute
+    interval; the classic +1/-1 boundary-point sweep with a running
+    sum gives the peak number of simultaneously-open intervals per
+    (event_type, UTC start day).  End points are EXCLUSIVE: at a
+    shared timestamp the -1 sorts before the +1 (delta ascending in
+    the order key), so touching intervals never count as concurrent
+    — the same strict-boundary discipline as the session-window
+    oracles.  event_id breaks remaining ties, making the running sum
+    path (not just its max) deterministic.
+
+    Scale shape: two boundary rows per event, ONE window partitioned
+    by (event_type, day) — the sweep is embarrassingly parallel
+    across partition keys and never globally sorts (the naive
+    interval-overlap self-join is quadratic in the densest hour)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.to_date(F.timestamp_micros(F.expr("ts_ns div 1000"))).alias(
+            "day"
+        ),
+        F.expr("ts_ns div 1000").alias("t0"),
+        (F.expr("ts_ns div 1000") + 300_000_000).alias("t1"),
+    )
+    pts = ev.select(
+        "event_type",
+        "day",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("t0").alias("t"),
+                    F.lit(1).alias("delta"),
+                    F.col("event_id"),
+                ),
+                F.struct(
+                    F.col("t1").alias("t"),
+                    F.lit(-1).alias("delta"),
+                    F.col("event_id"),
+                ),
+            )
+        ).alias("p"),
+    ).select("event_type", "day", "p.t", "p.delta", "p.event_id")
+    w = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = pts.withColumn("conc", F.sum("delta").over(w))
+    return run.groupBy("event_type", "day").agg(
+        F.count(F.when(F.col("delta") == 1, 1))
+        .cast("long")
+        .alias("n_events"),
+        F.max("conc").cast("long").alias("max_concurrent"),
+    )

@@ -760,3 +760,51 @@ def test_ann_index_upsert_incremental_plan(spark, sf_dir):
     assert "dss-annidx-" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_lateral_topk_decorrelates(spark, sf_dir):
+    """join_lateral_topk: Catalyst must DECORRELATE the lateral
+    subquery into a partitioned window with WindowGroupLimit (the
+    per-group top-k pushdown) + equi join — never a nested loop that
+    re-executes the subquery per outer row."""
+    plan = plan_of(spark, sf_dir, "join_lateral_topk")
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_sweepline_and_mode_windows_partitioned(spark, sf_dir):
+    """interval_max_concurrency's sweep and grouped_mode_stat's rank
+    must partition by their group keys — a global (single-partition)
+    window would serialize the sweep through one task."""
+    for name in ("interval_max_concurrency", "grouped_mode_stat"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "Window" in plan, (name, plan)
+        assert "SinglePartition" not in plan, (name, plan)
+
+
+def test_hist2d_partial_agg(spark, sf_dir):
+    """hist2d_price_qty: one scan into partial+final hash aggregation
+    on the integer bin keys."""
+    plan = plan_of(spark, sf_dir, "hist2d_price_qty")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Exchange" in plan, plan
+
+
+def test_cms_probe_shape(spark, sf_dir):
+    """freq_count_min_estimate: the exact top-20 must be TakeOrdered
+    (never a global sort of the vocabulary) and the sketch probe an
+    equi join — no cartesian anywhere."""
+    plan = plan_of(spark, sf_dir, "freq_count_min_estimate")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_roc_auc_aggregates_before_window(spark, sf_dir):
+    """score_roc_auc: the corpus must collapse to distinct-score rows
+    (partial+final aggregate) BEFORE the one ordered window runs —
+    the window's input is grid-bounded (<= 1e6 rows by construction),
+    not corpus-bounded."""
+    plan = plan_of(spark, sf_dir, "score_roc_auc")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Window" in plan, plan
