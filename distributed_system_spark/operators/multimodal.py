@@ -627,3 +627,38 @@ def scene_cuts(
         run, f"{id_col} bigint, frame_idx bigint, diff bigint"
     )
     return out.withColumn("is_cut", F.col("diff") > threshold)
+
+
+def image_ahash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """16-bit AVERAGE-HASH per image, through the REAL decoder: decode
+    the payload (PPM/BMP/PNG via decode_image), sum r+g+b per pixel
+    into an integer gray value, resample 16 fixed positions
+    (p * npix // 16 — the aHash 'resize' step as index arithmetic),
+    and set bit p when the sample is above the image mean.  The mean
+    compare is cross-multiplied integers (g * npix > total) so no
+    float exists anywhere — the signature is bit-identical in any
+    engine that can read the same bytes.
+
+    One Arrow hop per image batch; output is (id, 16-bit sig) — the
+    join key for hash-bucket image dedup."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for i, p in zip(pdf[id_col], pdf["payload"]):
+                arr = decode_image(bytes(p)).astype(np.int64)
+                g = arr.reshape(-1, 3).sum(axis=1)
+                npix = int(g.size)
+                total = int(g.sum())
+                sig = 0
+                for b in range(16):
+                    if int(g[(b * npix) // 16]) * npix > total:
+                        sig |= 1 << b
+                ids.append(int(i))
+                sigs.append(sig)
+            yield pd.DataFrame({id_col: ids, "sig": sigs})
+
+    return df.select(id_col, "payload").mapInPandas(
+        run, f"{id_col} bigint, sig bigint"
+    )

@@ -787,3 +787,67 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           ORDER BY c_acctbal DESC, c_name LIMIT 2) c
         """
     )
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle=f"""
+SELECT o.o_orderpriority,
+       count(*) AS n_items,
+       {sql_dsum('l.l_extendedprice')} AS sum_price
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+    tags=("joins", "bucketing", "layout"),
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CO-LOCATED fact-fact join via BUCKETED tables: both sides are
+    written ``bucketBy(8, orderkey)`` + ``sortBy`` into the warehouse,
+    so the join consumes the on-disk bucket layout directly — the
+    physical plan has NO Exchange on the join keys (plan-asserted;
+    the only shuffle left is the final priority aggregate).  At
+    100 TB this is the difference between re-shuffling both fact
+    tables on every join and paying the layout cost ONCE at write
+    time — the same reasoning as the reference's keyed-append shard
+    layout (partitioner.cpp:50), done with Spark's native bucketing
+    so every downstream equi-join/agg on the key is exchange-free.
+
+    The write is part of the operator (idempotent overwrite per
+    sf_dir); real deployments amortize it across every consumer of
+    the table."""
+    import hashlib
+    import shutil
+    from urllib.parse import urlparse
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t_orders, t_li = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    # The catalog is in-memory per session but the warehouse dir is
+    # not: a table written by a previous session is an orphaned
+    # LOCATION the catalog refuses to adopt.  Drop both layers.
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in (t_orders, t_li):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable(t_orders)
+    load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable(t_li)
+    li, orders = spark.table(t_li), spark.table(t_orders)
+    # merge hint: at test SFs the orders side fits a broadcast, which
+    # would hide the layout property under test; at real scale both
+    # sides are facts and SMJ is what the planner picks anyway.
+    return (
+        li.hint("merge")
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+    )

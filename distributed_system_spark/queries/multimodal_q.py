@@ -269,3 +269,65 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join, output linear in total frames."""
     docs = attach_binary(load_table(spark, sf_dir, "documents"))
     return scene_cuts(docs, frame_bytes=16, threshold=300)
+
+
+@register(
+    "mm_image_phash_dedup",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text, length(text) // 24 AS h FROM documents
+  WHERE length(text) >= 24
+),
+px AS (
+  SELECT doc_id, h * 8 AS npix, i,
+         unicode(substr(text, CAST(3 * i + 1 AS INT), 1))
+       + unicode(substr(text, CAST(3 * i + 2 AS INT), 1))
+       + unicode(substr(text, CAST(3 * i + 3 AS INT), 1)) AS g
+  FROM (SELECT doc_id, text, h, unnest(range(0, h * 8)) AS i FROM d)
+),
+sig AS (
+  SELECT doc_id,
+         CAST(list_sum([CASE WHEN gl[(p * npix) // 16 + 1] * npix > total
+                             THEN CAST(pow(2.0, p) AS BIGINT)
+                             ELSE 0 END
+                        for p in range(0, 16)]) AS BIGINT) AS sig
+  FROM (SELECT doc_id, any_value(npix) AS npix, sum(g) AS total,
+               list(g ORDER BY i) AS gl
+        FROM px GROUP BY doc_id)
+)
+SELECT sig, count(*) AS n_images,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM sig GROUP BY sig
+""",
+    tags=("multimodal", "image", "dedup"),
+)
+def mm_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE dedup by perceptual hash: document bytes become binary-PPM
+    images (the mm_image_ppm_decode fixture), each image is REALLY
+    decoded and reduced to a 16-bit average-hash (operators/
+    multimodal.py::image_ahash — integer-only: resampled gray values
+    vs cross-multiplied image mean), and images sharing a signature
+    group into near-duplicate clusters.  The oracle recomputes every
+    signature from raw character codes at the r/g/b offsets, so a
+    green row certifies decode + hash + grouping end-to-end.
+
+    Scale shape: decode+hash is one Arrow-batched linear pass; the
+    cluster step is a partial-aggregated groupBy on the 16-bit key —
+    the same bucket-join discipline as every other dedup family
+    member (candidates share a bucket, never all-pairs).  A Hamming-
+    tolerant variant bands the 16 bits exactly like simhash_neardup
+    bands its 64."""
+    from distributed_system_spark.operators.multimodal import (
+        image_ahash,
+        ppm_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 24
+    )
+    sigs = image_ahash(ppm_payloads(docs))
+    return sigs.groupBy("sig").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

@@ -416,3 +416,70 @@ def stream_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return cusum_monitor_stream(spark, sf_dir)
+
+
+@register(
+    "win_session_dynamic_gap",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         CASE WHEN event_type = 'view' THEN 300000000
+              ELSE 900000000 END AS gap
+  FROM events
+),
+o AS (
+  SELECT user_id, event_id, t, gap,
+         max(t + gap) OVER (PARTITION BY user_id ORDER BY t, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_end
+  FROM e
+),
+s AS (
+  SELECT user_id, t, gap,
+         SUM(CASE WHEN prev_end IS NULL OR t > prev_end
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       min(t) AS session_start_us,
+       max(t + gap) AS session_end_us,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+""",
+    tags=("C9", "session-window", "dynamic-gap"),
+)
+def win_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a PER-EVENT gap (5 min for views, 15 min
+    otherwise) via ``session_window``'s dynamic-gap Column form — the
+    Spark-4 surface for 'cheap interactions time out fast, expensive
+    ones hold the session open'.  Each event claims [t, t + gap(e));
+    overlapping-or-touching claims merge, so the session end is
+    max(t + gap) over members (NOT last_t + gap: with mixed gaps an
+    earlier long-gap event can outlast the final short-gap one).
+
+    The oracle reconstructs that fixpoint with a RUNNING-MAX island
+    rule — new session when t strictly exceeds max(prev t + gap) —
+    the dynamic generalization of win_session's lag rule, with the
+    same strict-> merge-on-touch convention and event_id tiebreak.
+    Scale shape identical to win_session: one user-partitioned
+    value-based session aggregation, streaming-capable unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    # session_window's dynamic form wants CalendarIntervalType —
+    # INTERVAL literals parse as DayTimeIntervalType, so route the
+    # choice through make_interval(mins=...).
+    gap = F.expr(
+        "make_interval(0, 0, 0, 0, 0, "
+        "CASE WHEN event_type = 'view' THEN 5 ELSE 15 END, 0)"
+    )
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )

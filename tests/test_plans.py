@@ -808,3 +808,33 @@ def test_roc_auc_aggregates_before_window(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "score_roc_auc")
     assert plan.count("HashAggregate") >= 2, plan
     assert "Window" in plan, plan
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir):
+    """join_bucketed_colocated: both scans must report Bucketed: true
+    and the SMJ must consume the bucket layout directly — no Exchange
+    on either join key (the only shuffle allowed is the final
+    priority aggregate)."""
+    plan = plan_of(spark, sf_dir, "join_bucketed_colocated")
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Bucketed: true") >= 2, plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
+
+
+def test_dynamic_gap_session_partitioned(spark, sf_dir):
+    """win_session_dynamic_gap: the dynamic-gap session aggregation
+    must stay partitioned by user (value-based session merge inside
+    partitions), never a global single-partition pass."""
+    plan = plan_of(spark, sf_dir, "win_session_dynamic_gap")
+    assert "SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_phash_dedup_shape(spark, sf_dir):
+    """mm_image_phash_dedup: decode+hash is a linear mapInPandas pass
+    and clustering a partial-aggregated groupBy on the signature —
+    no join at all, certainly no cartesian."""
+    plan = plan_of(spark, sf_dir, "mm_image_phash_dedup")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
