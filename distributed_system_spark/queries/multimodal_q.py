@@ -331,3 +331,92 @@ def mm_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+@register(
+    "dedup_phash_hamming",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text, length(text) // 24 AS h FROM documents
+  WHERE length(text) >= 24
+),
+px AS (
+  SELECT doc_id, h * 8 AS npix, i,
+         unicode(substr(text, CAST(3 * i + 1 AS INT), 1))
+       + unicode(substr(text, CAST(3 * i + 2 AS INT), 1))
+       + unicode(substr(text, CAST(3 * i + 3 AS INT), 1)) AS g
+  FROM (SELECT doc_id, text, h, unnest(range(0, h * 8)) AS i FROM d)
+),
+sig AS (
+  SELECT doc_id,
+         CAST(list_sum([CASE WHEN gl[(p * npix) // 16 + 1] * npix > total
+                             THEN CAST(pow(2.0, p) AS BIGINT)
+                             ELSE 0 END
+                        for p in range(0, 16)]) AS BIGINT) AS sig
+  FROM (SELECT doc_id, any_value(npix) AS npix, sum(g) AS total,
+               list(g ORDER BY i) AS gl
+        FROM px GROUP BY doc_id)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 2
+""",
+    tags=("multimodal", "image", "dedup", "hamming"),
+)
+def dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAMMING-tolerant image near-dup pairs: 16-bit average-hashes
+    (same real-decode pipeline as mm_image_phash_dedup) banded into
+    4 x 4-bit blocks; candidate pairs share at least one intact band,
+    then the exact popcount filter keeps hamming <= 2.  Recall is
+    EXACT by pigeonhole — 2 differing bits can dirty at most 2 of the
+    4 bands, so every qualifying pair collides somewhere — which is
+    why the oracle can be the all-pairs answer (the simhash_neardup
+    argument, at image scale).  The candidate join is equi on
+    (band, 4-bit block): work is sum(bucket^2), never n^2
+    (plan-asserted no-cartesian)."""
+    from distributed_system_spark.operators.multimodal import (
+        image_ahash,
+        ppm_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 24
+    )
+    sigs = image_ahash(ppm_payloads(docs))
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(4)])
+        ).alias("band"),
+    ).withColumn(
+        # pyspark's shiftright only takes a literal bit count; the
+        # per-row band shift needs the SQL form.
+        "block",
+        F.expr("shiftright(sig, band * 4) & 15"),
+    )
+    left = bands.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sig").alias("sig_a"),
+        "band",
+        "block",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("sig").alias("sig_b"),
+        "band",
+        "block",
+    )
+    cand = (
+        left.join(right, ["band", "block"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    ham = F.bit_count(
+        F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    ).cast("long")
+    return cand.select(
+        "id_a", "id_b", ham.alias("hamming")
+    ).filter(F.col("hamming") <= 2)

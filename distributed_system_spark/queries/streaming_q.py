@@ -483,3 +483,54 @@ def win_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "stream_cms_monitor",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(str_split(text, ' ')) AS tok FROM documents
+),
+rows_ AS (
+  SELECT t.tok, r.r,
+         CAST('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || t.tok),
+                             1, 8) AS BIGINT) % 512 AS bucket
+  FROM toks t CROSS JOIN (SELECT unnest(range(0, 4)) AS r) r
+),
+cms AS (
+  SELECT r, bucket, count(*) AS c FROM rows_ GROUP BY r, bucket
+),
+watch AS (
+  SELECT tok, count(*) AS exact_cnt FROM toks
+  WHERE tok IN ('the','a','of','and','to','is','in')
+  GROUP BY tok
+),
+probe AS (
+  SELECT w.tok, w.exact_cnt, r.r,
+         CAST('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || w.tok),
+                             1, 8) AS BIGINT) % 512 AS bucket
+  FROM watch w CROSS JOIN (SELECT unnest(range(0, 4)) AS r) r
+)
+SELECT p.tok, p.exact_cnt,
+       CAST(min(c.c) AS BIGINT) AS cms_est,
+       CAST(min(c.c) - p.exact_cnt AS BIGINT) AS overestimate
+FROM probe p JOIN cms c ON p.r = c.r AND p.bucket = c.bucket
+GROUP BY p.tok, p.exact_cnt
+""",
+    tags=("C9", "sketch", "count-min", "monitor"),
+)
+def stream_cms_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming COUNT-MIN SKETCH maintenance: documents arrive as
+    microbatches, each batch appends only its 4x512 grid DELTA (plus
+    exact counters for a 7-token watchlist) to a checkpointed piece
+    sink, and the drained report merges the grids and probes the
+    watch tokens — EXACTLY equal to the batch-built sketch
+    (freq_count_min_estimate's machinery) because counter grids are
+    mergeable by addition.  The standing-monitor face of the sketch
+    family: per-batch state <= 2048 + 7 rows regardless of batch
+    size; see streaming/streams.py::cms_monitor_stream."""
+    from distributed_system_spark.streaming.streams import (
+        cms_monitor_stream,
+    )
+
+    return cms_monitor_stream(spark, sf_dir)

@@ -1083,3 +1083,139 @@ def cusum_monitor_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cnt").alias("cnt"))
     )
     return cusum_from_day_counts(spark, merged)
+
+
+_CMS_WATCH = ("the", "a", "of", "and", "to", "is", "in")
+
+
+def cms_monitor_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming COUNT-MIN maintenance: each documents microbatch
+    appends only its 4x512 sketch-grid DELTA (plus exact counters for
+    the 7-token watchlist) to a checkpointed piece sink — counter
+    grids are mergeable by addition, so the drained merge equals the
+    batch-built sketch EXACTLY and the report (watch token, exact
+    count, CMS estimate, overestimate) matches the batch oracle.
+    Same standing-monitor shape as drift_monitor_stream /
+    cusum_monitor_stream: per-batch state is <= 2048 + 7 rows
+    regardless of batch size, history is never rescanned, re-runs are
+    exactly-once via the checkpoint + deterministic pieces."""
+    import os
+
+    src = f"{sf_dir.rstrip('/')}/documents.parquet"
+    root = f"/tmp/dss-cms-monitor-{_src_tag(src)}"
+    out_dir, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
+    watch_dir = os.path.join(root, "watch")
+
+    raw = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_docs_stage_dir(spark, sf_dir))
+    )
+    toks = raw.select(
+        F.explode(F.split("text", " ", -1)).alias("tok")
+    )
+    rs = F.array(*[F.lit(r) for r in range(4)])
+    cells = toks.select(
+        "tok", F.explode(rs).alias("r")
+    ).select(
+        "r",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("r").cast("string"),
+                            F.lit(":"),
+                            F.col("tok"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 512
+        ).alias("bucket"),
+        "tok",
+    )
+
+    def write_deltas(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            (
+                batch_df.groupBy("r", "bucket")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .write.mode("overwrite")
+                .parquet(f"{out_dir}/piece={batch_id}")
+            )
+            (
+                batch_df.filter(
+                    (F.col("r") == 0) & F.col("tok").isin(*_CMS_WATCH)
+                )
+                .groupBy("tok")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .write.mode("overwrite")
+                .parquet(f"{watch_dir}/piece={batch_id}")
+            )
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        cells.writeStream.foreachBatch(write_deltas)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    grid = (
+        spark.read.schema("r INT, bucket BIGINT, c BIGINT")
+        .parquet(out_dir)
+        .groupBy("r", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    exact = (
+        spark.read.schema("tok STRING, cnt BIGINT")
+        .parquet(watch_dir)
+        .groupBy("tok")
+        .agg(F.sum("cnt").alias("exact_cnt"))
+    )
+    probe = exact.select(
+        "tok", "exact_cnt", F.explode(rs).alias("r")
+    ).select(
+        "tok",
+        "exact_cnt",
+        "r",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("r").cast("string"),
+                            F.lit(":"),
+                            F.col("tok"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 512
+        ).alias("bucket"),
+    )
+    return (
+        probe.join(grid, ["r", "bucket"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("c").cast("long").alias("cms_est"))
+        .select(
+            "tok",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt"))
+            .cast("long")
+            .alias("overestimate"),
+        )
+    )

@@ -838,3 +838,12 @@ def test_phash_dedup_shape(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "mm_image_phash_dedup")
     assert "CartesianProduct" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_phash_hamming_no_cartesian(spark, sf_dir):
+    """dedup_phash_hamming: candidates come from the (band, block)
+    equi-join; an accidental cross join is the all-pairs failure mode
+    the banding exists to avoid."""
+    plan = plan_of(spark, sf_dir, "dedup_phash_hamming")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -866,3 +866,35 @@ def test_cusum_monitor_stream_matches_batch_and_reruns(spark, sf_dir):
     want = _rows(ts_changepoint_cusum(spark, sf_dir))
     assert _rows(cusum_monitor_stream(spark, sf_dir)) == want
     assert _rows(cusum_monitor_stream(spark, sf_dir)) == want
+
+
+def test_cms_monitor_stream_matches_batch_and_reruns(spark, sf_dir):
+    """The streaming count-min monitor's merged grid must equal the
+    batch sketch exactly (counter mergeability), and a re-run over
+    the same checkpoint must be a no-op (exactly-once: replayed
+    batch_ids skipped, pieces rewritten deterministically)."""
+    from distributed_system_spark.queries import load_all
+    from distributed_system_spark.streaming.streams import (
+        cms_monitor_stream,
+    )
+
+    batch = load_all()["freq_count_min_estimate"].fn(spark, sf_dir)
+    watch = {"the", "a", "of", "and", "to", "is", "in"}
+    want = {
+        (r["tok"], r["exact_cnt"], r["cms_est"])
+        for r in batch.collect()
+        if r["tok"] in watch
+    }
+    got1 = {
+        (r["tok"], r["exact_cnt"], r["cms_est"])
+        for r in cms_monitor_stream(spark, sf_dir).collect()
+    }
+    got2 = {
+        (r["tok"], r["exact_cnt"], r["cms_est"])
+        for r in cms_monitor_stream(spark, sf_dir).collect()
+    }
+    # every watch token that IS a top-20 heavy hitter must agree with
+    # the batch sketch row-for-row; the streaming probe itself covers
+    # all 7 watch tokens
+    assert want <= got1
+    assert got1 == got2
