@@ -2124,3 +2124,89 @@ def ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("vec_id").alias("max_id"),
         dsum("nrm", scale=6, out=6).alias("sum_nrm"),
     )
+
+
+_COS16_SQL = """
+round(list_sum(list_transform(range(1, 17), i -> q.vec[i] * c.vec[i]))
+      / (sqrt(list_sum(list_transform(range(1, 17), i -> q.vec[i] * q.vec[i])))
+       * sqrt(list_sum(list_transform(range(1, 17), i -> c.vec[i] * c.vec[i])))),
+      6)
+"""
+
+
+@register(
+    "embedding_matryoshka_truncate",
+    oracle=f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec
+           FROM embeddings),
+full_r AS (
+  SELECT q_id, n_id, rnk FROM (
+    SELECT q.id AS q_id, c.id AS n_id,
+           row_number() OVER (PARTITION BY q.id
+                              ORDER BY {_COS_SQL} DESC, c.id) AS rnk
+    FROM e q JOIN e c ON q.id < 10 AND c.id >= 10
+  ) WHERE rnk <= 5
+),
+trunc_r AS (
+  SELECT q_id, n_id FROM (
+    SELECT q.id AS q_id, c.id AS n_id,
+           row_number() OVER (PARTITION BY q.id
+                              ORDER BY {_COS16_SQL} DESC, c.id) AS rnk
+    FROM e q JOIN e c ON q.id < 10 AND c.id >= 10
+  ) WHERE rnk <= 5
+)
+SELECT f.q_id,
+       CAST(count(t.n_id) AS BIGINT) AS overlap_at_5,
+       CAST(round(count(t.n_id) / 5.0, 2) AS DOUBLE) AS recall_at_5
+FROM full_r f LEFT JOIN trunc_r t
+  ON f.q_id = t.q_id AND f.n_id = t.n_id
+GROUP BY f.q_id
+""",
+    tags=("similarity", "ann", "matryoshka"),
+)
+def embedding_matryoshka_truncate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MATRYOSHKA truncation audit: how much top-5 retrieval quality
+    survives keeping only the FIRST 16 of 64 dimensions — the
+    measure-before-trust report for prefix-truncated (MRL-style)
+    embeddings, where a 4x smaller index is bought with whatever
+    recall this table shows.  Per query: overlap@5 between the
+    full-dimension exact top-5 and the truncated top-5 (same
+    deterministic n_id tiebreak on both sides).
+
+    Scale shape: two brute-force rankings over the SAME bounded query
+    set (10 queries — the ann_topk_cosine baseline shape), joined on
+    (query, neighbor); at index scale the truncated ranking runs on
+    the prefix-sliced vectors, 1/4 the bytes scanned, which is the
+    point of the technique."""
+    from distributed_system_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    vecs = _vecs(spark, sf_dir)
+    q = vecs.filter(F.col("id") < 10)
+    c = vecs.filter(F.col("id") >= 10)
+    full_r = brute_force_topk(q, c, k=5).select(
+        "q_id", "n_id"
+    )
+    qt = q.select("id", F.slice("vec", 1, 16).alias("vec"))
+    ct = c.select("id", F.slice("vec", 1, 16).alias("vec"))
+    trunc_r = brute_force_topk(qt, ct, k=5).select(
+        F.col("q_id").alias("tq"), F.col("n_id").alias("tn")
+    )
+    return (
+        full_r.join(
+            trunc_r,
+            (F.col("q_id") == F.col("tq"))
+            & (F.col("n_id") == F.col("tn")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count("tn").cast("long").alias("overlap_at_5"),
+            F.round(F.count("tn") / 5.0, 2)
+            .cast("double")
+            .alias("recall_at_5"),
+        )
+    )

@@ -847,3 +847,13 @@ def test_phash_hamming_no_cartesian(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_phash_hamming")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_matryoshka_windows_partitioned(spark, sf_dir):
+    """embedding_matryoshka_truncate: both rankings window-partition
+    by the query id (bounded query set beats the corpus side; the
+    scoring join is the deliberate brute-force baseline shape), and
+    the overlap join is equi."""
+    plan = plan_of(spark, sf_dir, "embedding_matryoshka_truncate")
+    assert "SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
