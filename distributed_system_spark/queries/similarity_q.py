@@ -740,9 +740,12 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-recall-at-0.4 contract pins the banding at 3 bits x 32
     bands, so candidate volume grows ~n^2 * bands / 2^bits — this is
     the registry's one deliberately contract-superlinear query, the
-    window_ntile of dedup.  A production near-dup pass runs at ~0.95
-    cosine with 16-20 bits/band (candidates ~1e-5 of n^2, ~99.8%
-    recall) — same operator, different knobs."""
+    window_ntile of dedup.  The production pass is now REGISTERED and
+    MEASURED: ``lsh_neardup_prod`` (threshold 0.95, 18 bits x 48
+    bands, exact-recall oracle on planted twins) with the adaptive
+    width bits = ceil(log2 n) + 6 measured at 1.8x / 2.7x wall per
+    10x data across sf0.1 -> sf1 -> sf10 at recall 1.0000
+    (SCALE.md round-7) — same operator, different knobs."""
     return lsh_neardup_pairs(_vecs(spark, sf_dir), 0.4)
 
 
