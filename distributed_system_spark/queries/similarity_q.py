@@ -16,11 +16,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from distributed_system_spark.operators.similarity import (
+    _band_weight_arrays,
     banded_lsh_topk,
     brute_force_topk,
     ivf_topk,
     lsh_bucket_topk,
     lsh_neardup_pairs,
+    norm,
     quantize_int8,
     vec_double,
 )
@@ -57,12 +59,23 @@ _SQL_SQDIST = (
 # the third decade exposed at 37.9x wall for 10x data (4e10 flops at
 # 200 k vectors).  Signature assignment is n * bits * d — linear up
 # to the log factor — and is exactly the sign-LSH the ann_lsh_topk /
-# embedding_neardup family already oracle-checks; measured cell
-# balance at 200 k vectors: mean 50, p99 176, max 303 (no skew
-# blow-up, sum-of-cell^2 candidate pairs grow ~1.6x-per-1x-data at
-# the tail vs 100x for flat assignment).
+# embedding_neardup family already oracle-checks.  The FOURTH scale
+# decade (2 M vectors, SCALE.md) exposed the residual flaw of a
+# single-LEVEL signature: plane signs are correlated on clustered
+# corpora, so a minority of cells collect several hundred rows and
+# their c^2 pair cost compounds as bits grow (measured 16.0x wall for
+# 10x data; 21% of the pair mass in the 446 cells above 256 rows) —
+# hence the second-level split below.
 _TARGET_CELL = 64
 _MIN_CELL_BITS = 3
+# Second-level split: coarse cells above _SPLIT_CAP rows are re-split
+# by up to _EXTRA_BITS additional signature planes (integer threshold
+# ladder — extra = #{j : cnt > _SPLIT_CAP * 2^j}), bounding the c²
+# pair blow-up that correlated hyperplane signs cause on clustered
+# corpora (measured: 21% of pair mass sat in 446 over-256-row cells
+# at 2 M vectors before the split — SCALE.md fourth decade).
+_SPLIT_CAP = 2 * _TARGET_CELL
+_EXTRA_BITS = 8
 
 
 def _cell_bits(n: int) -> int:
@@ -88,18 +101,36 @@ _ADAPTIVE_CELL_SQL = """nb AS (
   SELECT greatest(3, CAST(ceil(log2(greatest(8, count(*) // 64)))
                      AS INT)) AS bits FROM e
 ),
-a1 AS (
+sg AS (
   SELECT e.vec_id,
          CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65),
                 i -> (strpos('0123456789abcdef',
                         substr(md5(CAST(p.p AS VARCHAR) || ':'
                                    || CAST(i AS VARCHAR)), 1, 1))
                       - 8.5) * e.v[i])) > 0
-              THEN CAST(pow(2.0, p.p) AS BIGINT) ELSE 0 END) AS INT)
-           AS cid
-  FROM e CROSS JOIN (SELECT unnest(range(0, (SELECT bits FROM nb)))
-                     AS p) p
+              THEN CAST(pow(2.0, p.p) AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS sig
+  FROM e CROSS JOIN (SELECT unnest(range(0,
+                       (SELECT bits FROM nb) + 8)) AS p) p
   GROUP BY e.vec_id
+),
+cg AS (
+  SELECT sig % CAST(pow(2.0, (SELECT bits FROM nb)) AS BIGINT)
+           AS coarse,
+         CAST(count(*) > 128 AS INT) + CAST(count(*) > 256 AS INT)
+         + CAST(count(*) > 512 AS INT) + CAST(count(*) > 1024 AS INT)
+         + CAST(count(*) > 2048 AS INT) + CAST(count(*) > 4096 AS INT)
+         + CAST(count(*) > 8192 AS INT) + CAST(count(*) > 16384 AS INT)
+           AS extra
+  FROM sg GROUP BY 1
+),
+a1 AS (
+  SELECT sg.vec_id,
+         sg.sig % CAST(pow(2.0, (SELECT bits FROM nb) + cg.extra)
+                       AS BIGINT) AS cid
+  FROM sg JOIN cg
+    ON sg.sig % CAST(pow(2.0, (SELECT bits FROM nb)) AS BIGINT)
+       = cg.coarse
 )"""
 
 
@@ -135,8 +166,106 @@ def _assign_adaptive_cells(e: DataFrame) -> DataFrame:
     cosines are dot/(nrm_a*nrm_b), bit-identical to the oracle's
     sqrt(list_sum(..))*sqrt(list_sum(..)) because the sum-of-squares
     folds in the same dimension order in both engines and sqrt is
-    IEEE-correctly-rounded."""
-    return _assign_cells_fixed(e, _cell_bits(e.count()))
+    IEEE-correctly-rounded.
+
+    SECOND LEVEL (the fourth scale decade's lesson): hyperplane signs
+    are correlated for clustered corpora, so a few cells collect far
+    more than _TARGET_CELL rows and their c² pair cost compounds as
+    bits grow — measured 16.0× wall for 10× data at 2 M vectors, with
+    21% of the pair mass in the 446 cells above 256 rows (SCALE.md
+    fourth decade).  Every vector therefore gets a signature of
+    bits + _EXTRA_BITS planes; coarse cells (low ``bits`` bits — the
+    identical id the single-level design produced) exceeding
+    _SPLIT_CAP rows are RE-SPLIT by the next
+    ceil(log2(cnt/_SPLIT_CAP)) signature bits, an integer threshold
+    ladder with no float log anywhere, so the oracle derives the same
+    widths from its own count.  Cells at or under the cap keep their
+    single-level id unchanged.  Post-fix pairs-per-row: 74→65 at
+    200 k, 114→76 at 2 M — the residual growth is the bounded ±2×
+    ceil(log2) cell-size wobble, not compounding skew."""
+    n = e.count()
+    bits = _cell_bits(n)
+    width = bits + _EXTRA_BITS
+    w = np.array(_band_weight_arrays(width, 1), dtype=np.float64)
+    shifts = 1 << np.arange(width, dtype=np.int64)
+
+    def assign_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.vstack(pdf["v"].to_numpy())
+            acc = mat[:, 0, None] * w[:, 0][None, :]
+            # The vector NORM rides the same numpy pass (sum of
+            # squares accumulated per DIMENSION, left to right — the
+            # oracle's list_sum fold order, so sqrt is bit-identical):
+            # computing it as a JVM zip_with/aggregate per row instead
+            # puts an interpreted (non-codegen) higher-order fold in
+            # the join stage's hot loop — the fourth decade measured
+            # that stage at 5x the CPU of its identical-I/O twin.
+            nsq = mat[:, 0] * mat[:, 0]
+            for i in range(1, mat.shape[1]):
+                acc = acc + mat[:, i, None] * w[:, i][None, :]
+                nsq = nsq + mat[:, i] * mat[:, i]
+            sig = ((acc > 0).astype(np.int64) * shifts[None, :]).sum(
+                axis=1
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "sig": sig,
+                    "nrm": np.sqrt(nsq),
+                }
+            )
+
+    # One hash exchange on the coarse id feeds BOTH consumers (the
+    # count aggregate and the width join-back), so the Arrow pass and
+    # its exchange are planned once and deduplicated by Spark's
+    # ReusedExchange — without the explicit repartition the two
+    # branches each re-run the scan + mapInPandas subtree (measured:
+    # 2 MapInPandas nodes in the executed plan).  Only the few cells
+    # that actually need splitting (cnt > _SPLIT_CAP — 446 of 32 768
+    # at 2 M vectors) are broadcast; everyone else takes extra = 0
+    # through the left join's null.
+    sigp = (
+        e.select("vec_id", "v")
+        .mapInPandas(
+            assign_batches, "vec_id long, sig long, nrm double"
+        )
+        .withColumn(
+            "coarse", F.col("sig") % F.lit(1 << bits).cast("long")
+        )
+        .repartition(F.col("coarse"))
+    )
+    extra_col = None
+    for j in range(_EXTRA_BITS):
+        rung = (F.col("cnt") > (_SPLIT_CAP << j)).cast("int")
+        extra_col = rung if extra_col is None else extra_col + rung
+    splitw = (
+        sigp.groupBy("coarse")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > _SPLIT_CAP)
+        .select("coarse", extra_col.alias("extra"))
+    )
+    assign = (
+        sigp.join(F.broadcast(splitw), "coarse", "left")
+        .select(
+            "vec_id",
+            "nrm",
+            (
+                F.col("sig")
+                % F.pow(
+                    F.lit(2.0),
+                    F.lit(bits) + F.coalesce(F.col("extra"), F.lit(0)),
+                ).cast("long")
+            ).alias("cluster"),
+        )
+    )
+    return e.join(assign, "vec_id").select(
+        "vec_id", "v", "nrm", "cluster"
+    )
 
 
 def _assign_cells_fixed(e: DataFrame, bits: int) -> DataFrame:

@@ -680,3 +680,65 @@ def test_pca_projection_matches_numpy(spark, sf_dir):
     # Variance ordering: PC1 explains at least as much as PC2.
     arr = np.array([got[v] for v in ids])
     assert arr[:, 0].var() >= arr[:, 1].var() - 1e-9
+
+
+def test_adaptive_cell_split_engages_and_matches_oracle(spark, tmp_path):
+    """The second-level cell split (similarity_q._assign_adaptive_cells)
+    never fires on the driver's test corpora — their coarse cells all
+    sit under _SPLIT_CAP — so this test plants a 300-vector blob that
+    lands 270 rows in one 3-bit coarse cell (seed frozen after a
+    numpy-mirror search) and checks, through the REAL Spark query and
+    the REAL DuckDB oracle at that corpus:
+
+    1. engagement — some emitted cluster id >= 2^bits, impossible
+       unless a coarse cell was re-split by extra planes;
+    2. cross-engine parity on the ENGAGED path — semdedup_pairs and
+       hard_negative_mining match their oracles row-for-row (the
+       integer threshold ladder and signature modulus must derive
+       identical widths in both engines).
+    """
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_system_spark.queries import load_all
+
+    rng = np.random.default_rng(12)
+    center = rng.normal(size=64)
+    blob = center[None, :] + 0.35 * rng.normal(size=(300, 64))
+    rest = rng.normal(size=(260, 64))
+    mat = np.vstack([blob, rest]).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(mat)), type=pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, r)) for r in mat],
+                type=pa.list_(pa.float32()),
+            ),
+            "label": pa.array(
+                [int(i % 5) for i in range(len(mat))], type=pa.int32()
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    registry = load_all()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{tmp_path}/embeddings.parquet'"
+    )
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reindex(sorted(df.columns), axis=1)
+        return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+    sd = registry["semdedup_pairs"].fn(spark, str(tmp_path)).toPandas()
+    # bits = 3 for 560 vectors: any cluster id >= 8 proves a re-split.
+    assert sd["cluster"].max() >= 8, sorted(sd["cluster"].unique())
+    for name in ("semdedup_pairs", "hard_negative_mining"):
+        got = canon(registry[name].fn(spark, str(tmp_path)).toPandas())
+        want = canon(con.execute(registry[name].oracle).df())
+        pd.testing.assert_frame_equal(got, want, check_exact=True)

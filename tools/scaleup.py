@@ -166,6 +166,53 @@ def build(
     return out
 
 
+def build_embeddings_only(
+    out_root: str,
+    name: str,
+    src: str,
+    stride_scale: int,
+) -> str:
+    """Chain ONLY the embeddings table another decade (same isometry
+    transform as :func:`build`), symlinking every other table from the
+    source dir.  Exists for the FOURTH scale decade: 2 M vectors is a
+    30 MB build, while a full sf100 would be a 6-billion-row lineitem
+    — the embedding-family queries are the only ones whose fourth
+    decade is worth the disk."""
+    out = os.path.join(out_root, name)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW r AS SELECT unnest(range({REPLICAS})) AS rep")
+    con.execute(
+        "CREATE VIEW signs AS "
+        + " UNION ALL ".join(
+            f"SELECT {rep} AS rep, "
+            f"{_sign_pattern(name, rep)}::DOUBLE[] AS sgn"
+            for rep in range(REPLICAS)
+        )
+    )
+    vec_stride = VEC_STRIDE * stride_scale
+    con.execute(
+        f"""COPY (
+        SELECT vec_id + rep * {vec_stride} AS vec_id,
+               list_transform(range(1, 65),
+                   i -> (sgn[i]
+                         * embedding[1 + ((i - 1 + rep * 7) % 64)])::FLOAT)
+                 AS embedding,
+               label
+        FROM '{src}/embeddings.parquet'
+        CROSS JOIN r
+        JOIN signs USING (rep)
+        ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents"
+    ).split():
+        os.symlink(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
+    return out
+
+
 if __name__ == "__main__":
     root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/dss-scale"
     which = sys.argv[2] if len(sys.argv) > 2 else "sf1"
@@ -176,5 +223,16 @@ if __name__ == "__main__":
         if not os.path.isdir(sf1):
             build(root, "sf1")
         print(build(root, "sf10", src=sf1, stride_scale=REPLICAS))
+    elif which == "sf100e":
+        sf10 = os.path.join(root, "sf10")
+        if not os.path.isdir(sf10):
+            raise SystemExit("build sf10 first")
+        print(
+            build_embeddings_only(
+                root, "sf100e", src=sf10, stride_scale=REPLICAS**2
+            )
+        )
     else:
-        raise SystemExit(f"unknown target {which!r}; use sf1 or sf10")
+        raise SystemExit(
+            f"unknown target {which!r}; use sf1, sf10, or sf100e"
+        )
