@@ -371,6 +371,65 @@ def image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def resize_pixels(
+    df: DataFrame, width: int, height: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched REAL decode -> nearest-neighbor resize ->
+    long-form pixel emission: each payload decodes through the native
+    codec chain (``decode_image``), resizes to (width x height) with
+    ``resize_nearest`` (pixel-center index map, the standard
+    thumbnailer kernel), and emits one row per OUTPUT pixel — the
+    long form keeps the oracle comparison row-wise, exactly like
+    ``image_features``.
+
+    At 100 TB: one mapInPandas hop, no shuffle anywhere — resize is
+    embarrassingly parallel per payload, and output volume is the
+    FIXED width*height rows per image regardless of source
+    resolution (the reason thumbnailing belongs inside the scan-side
+    map, not after a collect)."""
+    import numpy as np
+
+    yy, xx = np.meshgrid(
+        np.arange(height, dtype=np.int64),
+        np.arange(width, dtype=np.int64),
+        indexing="ij",
+    )
+    yf, xf = yy.ravel(), xx.ravel()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ys, xs, rs, gs, bs = [], [], [], [], [], []
+            for i, p in zip(pdf[id_col], pdf["payload"]):
+                arr = resize_nearest(
+                    decode_image(bytes(p)), width, height
+                )
+                flat = arr.reshape(-1, 3).astype(np.int64)
+                ids.append(np.full(flat.shape[0], i, dtype=np.int64))
+                ys.append(yf)
+                xs.append(xf)
+                rs.append(flat[:, 0])
+                gs.append(flat[:, 1])
+                bs.append(flat[:, 2])
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(ids),
+                    "y": np.concatenate(ys),
+                    "x": np.concatenate(xs),
+                    "r": np.concatenate(rs),
+                    "g": np.concatenate(gs),
+                    "b": np.concatenate(bs),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        run,
+        f"{id_col} bigint, y bigint, x bigint, "
+        "r bigint, g bigint, b bigint",
+    )
+
+
 def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Arrow-batched REAL audio decode + per-clip stats via the stdlib
     WAV codec: sample count, duration, RMS and peak amplitude."""

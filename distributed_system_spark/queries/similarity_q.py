@@ -2342,3 +2342,236 @@ def embedding_matryoshka_truncate(
             .alias("recall_at_5"),
         )
     )
+
+
+@register(
+    "semdedup_threshold_sweep",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_ADAPTIVE_CELL_SQL},
+m AS (SELECT a1.vec_id, a1.cid, e.v AS vec FROM a1 JOIN e USING (vec_id)),
+p AS (
+  SELECT {_COS_SQL} AS cos
+  FROM m q JOIN m c ON q.cid = c.cid AND q.vec_id < c.vec_id
+)
+SELECT CAST(floor(cos * 20) AS BIGINT) AS bucket,
+       count(*) AS n_pairs
+FROM p WHERE cos >= 0.2
+GROUP BY 1
+""",
+    tags=("similarity", "dedup", "calibration"),
+)
+def semdedup_threshold_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Threshold-calibration report for semantic dedup: how many
+    within-cell pairs would each cosine cutoff remove?  One pass over
+    the SAME cell-bounded pair set as semdedup_pairs, bucketed into
+    0.05-wide cosine bins (bucket = floor(cos*20) on the rounded
+    cosine — identical double arithmetic in both engines) — the
+    operator a curator runs BEFORE committing to a threshold, instead
+    of re-running the dedup per candidate cutoff (the same
+    one-scan-many-thresholds shape as lsh_s_curve and
+    minhash_calibration).
+
+    At 100 TB: identical candidate plan to semdedup_pairs (signature
+    cells + per-cell gram, never all-pairs); the sweep itself adds
+    one integer groupBy over ~16 buckets."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    m = _assign_adaptive_cells(e).select(
+        F.col("cluster").cast("long").alias("cluster"),
+        "vec_id",
+        "v",
+        "nrm",
+    )
+    pairs = _cell_pair_dots(m, with_labels=False)
+    cos = F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+    return (
+        pairs.filter(F.col("id_a") < F.col("id_b"))
+        .select(cos.alias("cos"))
+        .filter(F.col("cos") >= 0.2)
+        .groupBy(F.floor(F.col("cos") * 20).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "ann_mutual_knn_graph",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_ADAPTIVE_CELL_SQL},
+m AS (SELECT a1.vec_id, a1.cid, e.v AS vec FROM a1 JOIN e USING (vec_id)),
+knn AS (
+  SELECT q.vec_id AS id_a, c.vec_id AS id_b, {_COS_SQL} AS cos,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_COS_SQL} DESC, c.vec_id)
+           AS rk
+  FROM m q JOIN m c ON q.cid = c.cid AND q.vec_id != c.vec_id
+)
+SELECT f.id_a, f.id_b, f.cos
+FROM knn f JOIN knn r ON f.id_a = r.id_b AND f.id_b = r.id_a
+WHERE f.rk <= 5 AND r.rk <= 5 AND f.id_a < f.id_b
+""",
+    tags=("similarity", "ann", "graph"),
+)
+def ann_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN graph construction — the edge set behind
+    density-based clustering and agreement-filtered near-dup review:
+    an undirected edge (a, b) survives only if b is in a's top-5
+    cosine neighbors AND a is in b's (mutuality prunes hub vectors
+    that are 'near' everything — the classic kNN-graph asymmetry
+    fix).  Neighborhoods are searched within hyperplane-signature
+    cells (see _cell_bits), rank ties broken on the rounded cosine
+    then neighbor id so both engines rank identically; the gram
+    matrix is bitwise symmetric (IEEE multiply commutes, additions
+    fold per dimension), so f/r cosines are equal exactly.
+
+    At 100 TB: cell-bounded directed pairs (n x ~cell rows), two
+    narrow windows partitioned by source id, and the mutuality check
+    is a self-equi-join on the (id, id) edge key — no stage touches
+    n^2."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    m = _assign_adaptive_cells(e).select(
+        F.col("cluster").cast("long").alias("cluster"),
+        "vec_id",
+        "v",
+        "nrm",
+    )
+    pairs = _cell_pair_dots(m, with_labels=False).select(
+        "id_a",
+        "id_b",
+        F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+            "cos"
+        ),
+    )
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("cos").desc(), "id_b"
+    )
+    top = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("id_a", "id_b", "cos")
+    )
+    rev = top.select(
+        F.col("id_a").alias("id_b"), F.col("id_b").alias("id_a")
+    )
+    return top.join(rev, ["id_a", "id_b"]).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+
+
+@register(
+    "embedding_outlier_score",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+flat AS (
+  SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM e
+),
+st AS (
+  SELECT dim,
+         CAST(SUM(CAST(x AS DECIMAL(25,10))) AS DOUBLE) / count(*)
+           AS mu,
+         CAST(SUM(CAST(x * x AS DECIMAL(25,10))) AS DOUBLE) / count(*)
+           AS m2,
+         count(*) AS n
+  FROM flat GROUP BY dim
+),
+arrs AS (
+  SELECT list(mu ORDER BY dim) AS mu,
+         list(m2 - mu * mu ORDER BY dim) AS vr
+  FROM st
+)
+SELECT e.vec_id,
+       round(list_sum(list_transform(range(1, 65),
+               i -> (e.v[i] - a.mu[i]) * (e.v[i] - a.mu[i]) / a.vr[i])),
+             6) AS score
+FROM e CROSS JOIN arrs a
+""",
+    tags=("similarity", "quality", "outlier"),
+)
+def embedding_outlier_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-vector outlier score — diagonal Mahalanobis distance
+    sum_d (x_d - mu_d)^2 / var_d against the corpus's own per-dim
+    moments — the embedding-space analog of z-score document-quality
+    filtering (catches corrupt encoders, wrong-modality rows, and
+    truncated vectors that L2-norm audits miss because their norm is
+    ordinary).
+
+    Parity spine: per-dim mean and raw second moment are EXACT
+    DECIMAL(25,10) sums (parquet floats are exactly representable, so
+    the cast rounds nothing and the sum is order-insensitive — the
+    embedding_centroid_by_lang idiom), divided into identical doubles
+    in both engines; the 64 (mu, var) doubles are then collected
+    driver-side (bounded: exactly d rows, the k*d-centroid-literal
+    idiom) and ride the closure of one Arrow pass whose per-DIMENSION
+    accumulation replays the oracle's list_sum fold order
+    bit-for-bit.
+
+    At 100 TB: two scans (a mergeable 64-group moment aggregate, then
+    a shuffle-free scoring map) — nothing quadratic, nothing wide on
+    the driver."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    flat = e.select(
+        F.posexplode("v").alias("pos", "x")
+    ).select((F.col("pos") + 1).alias("dim"), "x")
+    st = (
+        flat.groupBy("dim")
+        .agg(
+            F.sum(F.col("x").cast("decimal(25,10)")).alias("s1"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(25,10)")).alias(
+                "s2"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    # Mirror the oracle's operation ORDER exactly: exact decimal sum
+    # -> cast to double (float(Decimal) is correctly rounded, the same
+    # as CAST(S AS DOUBLE)) -> double division by n.  Dividing the
+    # Decimal first would round at 28 significant digits instead and
+    # can differ in the last ulp.
+    mu = np.zeros(64)
+    vr = np.zeros(64)
+    for r in sorted(st, key=lambda r: r["dim"]):
+        m = float(r["s1"]) / r["n"]
+        mu[r["dim"] - 1] = m
+        vr[r["dim"] - 1] = float(r["s2"]) / r["n"] - m * m
+    del st
+
+    def score_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.vstack(pdf["v"].to_numpy())
+            d0 = mat[:, 0] - mu[0]
+            acc = d0 * d0 / vr[0]
+            for i in range(1, mat.shape[1]):
+                di = mat[:, i] - mu[i]
+                acc = acc + di * di / vr[i]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "score": acc,
+                }
+            )
+
+    # Round JVM-side: numpy's round is half-to-even while Spark and
+    # DuckDB both round half away from zero — emit the raw double
+    # (bit-exact through Arrow) and let the engines round identically.
+    return e.mapInPandas(
+        score_batches, "vec_id long, score double"
+    ).select("vec_id", F.round("score", 6).alias("score"))

@@ -2900,3 +2900,49 @@ def freq_count_min_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overestimate"),
         )
     )
+
+
+@register(
+    "text_code_detect",
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) - length(translate(text, '{};()=<>[]#', ''))
+            AS BIGINT) AS sym_cnt,
+       round(CAST(length(text)
+                  - length(translate(text, '{};()=<>[]#', ''))
+                  AS DOUBLE) / length(text), 6) AS sym_ratio,
+       (CAST(length(text)
+             - length(translate(text, '{};()=<>[]#', ''))
+             AS DOUBLE) / length(text)) >= 0.03 AS is_code
+FROM documents
+WHERE length(text) > 0
+""",
+    tags=("text", "quality", "code-detect"),
+)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection — the pretraining corpus router that
+    decides whether a document goes to the code pipeline or the
+    natural-language one.  Signal: density of code-punctuation
+    characters ({};()=<>[]#), counted by the translate-delete trick
+    (length minus length-after-deleting) — two codepoint scans, NO
+    regex, per the measured per-token-regex lesson (SCALE.md: a JVM
+    regexp_replace in a hot path costs ~50 us/call; translate is
+    ~50x cheaper).  The threshold comparison runs on the UNROUNDED
+    ratio in both engines (identical doubles), with the reported
+    ratio rounded to 6 for display.
+
+    At 100 TB: pure per-row projection fused into the scan —
+    no shuffle, no UDF, whole-stage codegen end to end."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    sym = F.length("text") - F.length(
+        F.translate(F.col("text"), "{};()=<>[]#", "")
+    )
+    ratio = sym.cast("double") / F.length("text")
+    return docs.select(
+        "doc_id",
+        sym.cast("long").alias("sym_cnt"),
+        F.round(ratio, 6).alias("sym_ratio"),
+        (ratio >= 0.03).alias("is_code"),
+    )

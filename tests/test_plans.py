@@ -857,3 +857,57 @@ def test_matryoshka_windows_partitioned(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "embedding_matryoshka_truncate")
     assert "SinglePartition" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_image_resize_is_shuffle_free_map(spark, sf_dir):
+    """mm_image_resize: encode -> decode -> resample is two fused
+    mapInPandas hops over the scan — no exchange of any kind (output
+    is a fixed 16 rows per image; nothing to redistribute)."""
+    plan = plan_of(spark, sf_dir, "mm_image_resize")
+    assert "MapInPandas" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_code_detect_is_pure_codegen_projection(spark, sf_dir):
+    """text_code_detect: the router must stay a per-row JVM projection
+    fused into the scan — no shuffle, no Python worker, whole-stage
+    codegen (the translate-delete counter, not a regex or UDF)."""
+    plan = plan_of(spark, sf_dir, "text_code_detect")
+    assert "*(1)" in plan, plan  # whole-stage codegen span
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+    assert "MapInPandas" not in plan, plan
+
+
+def test_threshold_sweep_shares_cell_pair_plan(spark, sf_dir):
+    """semdedup_threshold_sweep: identical candidate shape to
+    semdedup_pairs (signature-cell equi-grouping, per-cell gram —
+    never corpus-cartesian) plus one bounded integer aggregate."""
+    plan = plan_of(spark, sf_dir, "semdedup_threshold_sweep")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "MapInPandas assign_batches" in plan, plan
+    assert re.search(r"FlatMapGroupsInPandas \[cluster", plan), plan
+
+
+def test_mutual_knn_graph_cell_bounded(spark, sf_dir):
+    """ann_mutual_knn_graph: neighborhoods come from the cell-bounded
+    pair set (no cartesian anywhere); the mutuality check is an
+    equi-join on the (id, id) edge key, and the per-source top-5 is a
+    rank window, not a global sort."""
+    plan = plan_of(spark, sf_dir, "ann_mutual_knn_graph")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert re.search(r"FlatMapGroupsInPandas \[cluster", plan), plan
+    assert "RunningWindowFunction" in plan or "Window" in plan, plan
+
+
+def test_outlier_score_is_single_arrow_pass(spark, sf_dir):
+    """embedding_outlier_score: after the bounded (d-row) moment
+    collect, the returned plan is scan -> one Arrow-batched scoring
+    pass — no shuffle, no join (the stats ride the closure, the
+    k*d-literal idiom)."""
+    plan = plan_of(spark, sf_dir, "embedding_outlier_score")
+    assert "MapInPandas" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
