@@ -688,18 +688,27 @@ def scene_cuts(
     return out.withColumn("is_cut", F.col("diff") > threshold)
 
 
-def image_ahash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """16-bit AVERAGE-HASH per image, through the REAL decoder: decode
-    the payload (PPM/BMP/PNG via decode_image), sum r+g+b per pixel
-    into an integer gray value, resample 16 fixed positions
-    (p * npix // 16 — the aHash 'resize' step as index arithmetic),
-    and set bit p when the sample is above the image mean.  The mean
-    compare is cross-multiplied integers (g * npix > total) so no
-    float exists anywhere — the signature is bit-identical in any
-    engine that can read the same bytes.
+def image_ahash(
+    df: DataFrame, id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """``bits``-wide AVERAGE-HASH per image, through the REAL decoder:
+    decode the payload (PPM/BMP/PNG via decode_image), sum r+g+b per
+    pixel into an integer gray value, resample ``bits`` fixed
+    positions (p * npix // bits — the aHash 'resize' step as index
+    arithmetic), and set bit p when the sample is above the image
+    mean.  The mean compare is cross-multiplied integers
+    (g * npix > total) so no float exists anywhere — the signature is
+    bit-identical in any engine that can read the same bytes.
 
-    One Arrow hop per image batch; output is (id, 16-bit sig) — the
-    join key for hash-bucket image dedup."""
+    Width picks the use: 16 bits groups aggressively (cluster
+    counting — the space saturates by design, like a coarse LSH
+    band); 32 bits is the pair-emitting near-dup width (space does
+    not saturate at any plausible image count, so same-sig buckets
+    stay near-singleton; keep ``bits`` <= 62 so 1 << p stays in a
+    signed 64-bit long in every engine).
+
+    One Arrow hop per image batch; output is (id, ``bits``-bit sig) —
+    the join key for hash-bucket image dedup."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -711,8 +720,8 @@ def image_ahash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 npix = int(g.size)
                 total = int(g.sum())
                 sig = 0
-                for b in range(16):
-                    if int(g[(b * npix) // 16]) * npix > total:
+                for b in range(bits):
+                    if int(g[(b * npix) // bits]) * npix > total:
                         sig |= 1 << b
                 ids.append(int(i))
                 sigs.append(sig)
