@@ -730,3 +730,51 @@ def image_ahash(
     return df.select(id_col, "payload").mapInPandas(
         run, f"{id_col} bigint, sig bigint"
     )
+
+
+def image_channel_stats(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-channel (R/G/B) integer statistics per image, through the
+    REAL decoder: decode the payload (PPM/BMP/PNG via decode_image)
+    and reduce each channel plane to (min, max, sum, npix) — the
+    color-profile feature extraction step of an image-curation
+    pipeline (dead channels, clipped exposure, and grayscale-encoded-
+    as-RGB all show up here before any model sees the image).
+
+    All-integer outputs, so the reduction is bit-identical in any
+    engine that can read the same bytes; one Arrow hop per image
+    batch, three rows per image."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, chans, mins, maxs, sums, ns = [], [], [], [], [], []
+            for i, p in zip(pdf[id_col], pdf["payload"]):
+                arr = decode_image(bytes(p)).reshape(-1, 3).astype(
+                    np.int64
+                )
+                for c in range(3):
+                    plane = arr[:, c]
+                    ids.append(int(i))
+                    chans.append(c)
+                    mins.append(int(plane.min()))
+                    maxs.append(int(plane.max()))
+                    sums.append(int(plane.sum()))
+                    ns.append(int(plane.size))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "channel": chans,
+                    "cmin": mins,
+                    "cmax": maxs,
+                    "csum": sums,
+                    "npix": ns,
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        run,
+        f"{id_col} bigint, channel bigint, cmin bigint, cmax bigint,"
+        " csum bigint, npix bigint",
+    )

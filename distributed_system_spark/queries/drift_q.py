@@ -558,3 +558,144 @@ def quantile_normalize_sources(
         F.col("n_chars").cast("long").alias("n_chars"),
         F.col("v").cast("long").alias("norm_chars"),
     )
+
+
+@register(
+    "source_js_divergence",
+    oracle="""
+WITH t AS (
+  SELECT source, least(19, n_chars // 50) AS bucket FROM documents
+),
+h AS (
+  SELECT source, bucket, count(*) AS cnt FROM t GROUP BY source, bucket
+),
+n AS (
+  SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY source
+),
+grid AS (
+  SELECT n.source, n.n, g.bucket
+  FROM n CROSS JOIN (SELECT DISTINCT bucket FROM h) g
+),
+dense AS (
+  SELECT grid.source, grid.bucket, grid.n, coalesce(h.cnt, 0) AS cnt
+  FROM grid LEFT JOIN h
+    ON h.source = grid.source AND h.bucket = grid.bucket
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         a.n AS n_a, b.n AS n_b, a.cnt AS ca, b.cnt AS cb
+  FROM dense a JOIN dense b
+    ON a.bucket = b.bucket AND a.source < b.source
+),
+terms AS (
+  SELECT source_a, source_b, n_a, n_b,
+         CASE WHEN ca > 0 THEN
+           ca * CAST(ln(CAST(2 * ca * n_b AS DOUBLE)
+                        / CAST(ca * n_b + cb * n_a AS DOUBLE))
+                     AS DECIMAL(18,12))
+         ELSE CAST(0 AS DECIMAL(18,12)) END AS ta,
+         CASE WHEN cb > 0 THEN
+           cb * CAST(ln(CAST(2 * cb * n_a AS DOUBLE)
+                        / CAST(ca * n_b + cb * n_a AS DOUBLE))
+                     AS DECIMAL(18,12))
+         ELSE CAST(0 AS DECIMAL(18,12)) END AS tb
+  FROM pairs
+)
+SELECT source_a, source_b,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(0.5 * (CAST(SUM(ta) AS DOUBLE) / n_a
+                    + CAST(SUM(tb) AS DOUBLE) / n_b), 6) AS js_nats
+FROM terms
+GROUP BY source_a, source_b, n_a, n_b
+""",
+    tags=("drift", "divergence", "source"),
+)
+def source_js_divergence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between sources over their
+    document-length distributions (20 integer buckets of n_chars) —
+    the symmetric, always-finite drift measure an operator reads to
+    decide which sources are interchangeable and which need their own
+    mixing weight (PSI, drift_psi, is its one-cohort-vs-baseline
+    sibling; this is the all-pairs matrix form).
+
+    Parity spine: each JS term is cnt * ln(ratio-of-integer-products)
+    — the log argument 2*ca*n_b / (ca*n_b + cb*n_a) is a ratio of
+    exact int64 products, so both engines evaluate ln on the
+    identical double; the ln result is rounded through DECIMAL(18,12)
+    (the text_lm_bigram_nll idiom) before the integer-weighted
+    decimal sum, burying last-ulp libm differences.  Zero-count
+    buckets contribute exactly 0 (their p log p/m limit).
+
+    At 100 TB: the corpus reduces to a (source x 20-bucket) count
+    grid in one partial+final aggregate; the pair matrix is built
+    from the GRID (|sources|^2 x 20 rows, broadcast-sized) — corpus
+    size never enters the pairing."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = (
+        docs.select(
+            "source",
+            F.least(F.lit(19), F.expr("n_chars div 50")).alias("bucket"),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n = h.groupBy("source").agg(F.sum("cnt").cast("long").alias("n"))
+    grid = n.select("source", "n").crossJoin(
+        h.select("bucket").distinct()
+    )
+    dense = grid.join(h, ["source", "bucket"], "left").select(
+        "source", "bucket", "n", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    a = dense.select(
+        F.col("source").alias("source_a"),
+        "bucket",
+        F.col("n").alias("n_a"),
+        F.col("cnt").alias("ca"),
+    )
+    b = dense.select(
+        F.col("source").alias("source_b"),
+        "bucket",
+        F.col("n").alias("n_b"),
+        F.col("cnt").alias("cb"),
+    )
+    pairs = a.join(F.broadcast(b), "bucket").filter(
+        F.col("source_a") < F.col("source_b")
+    )
+    denom = (
+        F.col("ca") * F.col("n_b") + F.col("cb") * F.col("n_a")
+    ).cast("double")
+    ta = F.when(
+        F.col("ca") > 0,
+        F.col("ca")
+        * F.log((2 * F.col("ca") * F.col("n_b")).cast("double") / denom)
+        .cast("decimal(18,12)"),
+    ).otherwise(F.lit(0).cast("decimal(18,12)"))
+    tb = F.when(
+        F.col("cb") > 0,
+        F.col("cb")
+        * F.log((2 * F.col("cb") * F.col("n_a")).cast("double") / denom)
+        .cast("decimal(18,12)"),
+    ).otherwise(F.lit(0).cast("decimal(18,12)"))
+    return (
+        pairs.select("source_a", "source_b", "n_a", "n_b", ta.alias("ta"), tb.alias("tb"))
+        .groupBy("source_a", "source_b", "n_a", "n_b")
+        .agg(
+            F.round(
+                0.5
+                * (
+                    F.sum("ta").cast("double") / F.col("n_a")
+                    + F.sum("tb").cast("double") / F.col("n_b")
+                ),
+                6,
+            ).alias("js_nats")
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "js_nats",
+        )
+    )

@@ -503,3 +503,70 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text") >= 24
     )
     return resize_pixels(ppm_payloads(docs), 4, 4)
+
+
+@register(
+    "mm_image_channel_stats",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text, length(text) // 24 AS h FROM documents
+  WHERE length(text) >= 24
+),
+px AS (
+  SELECT doc_id, h * 8 AS npix, c.c AS channel,
+         unicode(substr(text, CAST(3 * i.i + c.c + 1 AS INT), 1)) AS v
+  FROM d
+  CROSS JOIN (SELECT unnest(range(0, 3)) AS c) c
+  JOIN (SELECT doc_id AS d2, unnest(range(0, h * 8)) AS i FROM d) i
+    ON i.d2 = d.doc_id
+)
+SELECT doc_id, CAST(channel AS BIGINT) AS channel,
+       CAST(min(v) AS BIGINT) AS cmin,
+       CAST(max(v) AS BIGINT) AS cmax,
+       CAST(sum(v) AS BIGINT) AS csum,
+       CAST(any_value(npix) AS BIGINT) AS npix,
+       round(CAST(sum(v) AS DOUBLE) / any_value(npix), 6) AS cmean
+FROM px GROUP BY doc_id, channel
+""",
+    tags=("multimodal", "image", "features"),
+)
+def mm_image_channel_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-image, per-channel color profile through the REAL decode
+    path: document bytes become binary-PPM containers, decode through
+    the native codec, and each R/G/B plane reduces to integer
+    min/max/sum plus the derived mean — the exposure/dead-channel
+    screen an image-curation pipeline runs before any model-side
+    feature extraction (a channel with cmin = cmax is dead; a cmax
+    pinned at 255 is clipped).  The oracle recomputes every statistic
+    from raw character codes at the r/g/b offsets, so a green row
+    certifies container -> decode -> plane split -> reduction
+    end-to-end.
+
+    All-integer until the single display division (rounded at 6 on
+    identical int64 operands in both engines).
+
+    At 100 TB: one Arrow-batched linear pass emitting exactly 3 rows
+    per image — the reduction happens INSIDE the decode hop (numpy,
+    per plane), so no pixel ever crosses a shuffle."""
+    from distributed_system_spark.operators.multimodal import (
+        image_channel_stats,
+        ppm_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 24
+    )
+    stats = image_channel_stats(ppm_payloads(docs))
+    return stats.select(
+        "doc_id",
+        "channel",
+        "cmin",
+        "cmax",
+        "csum",
+        "npix",
+        F.round(
+            F.col("csum").cast("double") / F.col("npix"), 6
+        ).alias("cmean"),
+    )

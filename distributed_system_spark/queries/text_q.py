@@ -2946,3 +2946,287 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio, 6).alias("sym_ratio"),
         (ratio >= 0.03).alias("is_code"),
     )
+
+
+@register(
+    "truncation_loss_report",
+    oracle="""
+WITH t AS (
+  SELECT source, len(str_split(text, ' ')) AS n_tokens FROM documents
+), b AS (
+  SELECT source, n_tokens, unnest([64, 128]) AS budget FROM t
+)
+SELECT source, CAST(budget AS BIGINT) AS budget,
+       count(*) AS n_docs,
+       CAST(count(CASE WHEN n_tokens > budget THEN 1 END) AS BIGINT)
+         AS docs_truncated,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(greatest(0, n_tokens - budget)) AS BIGINT)
+         AS tokens_lost,
+       round(CAST(sum(greatest(0, n_tokens - budget)) AS DOUBLE)
+             / sum(n_tokens), 6) AS loss_share
+FROM b GROUP BY source, budget
+""",
+    tags=("llm", "tokenizer", "truncation"),
+)
+def truncation_loss_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sequence-length budget planning: for each candidate context
+    budget, how many documents a source would truncate and what
+    fraction of its tokens fall off the end — the report an operator
+    reads BEFORE fixing max_seq_len for a training run (the
+    complement of packing_efficiency, which assumes the budget and
+    measures padding waste; this one measures the data you LOSE).
+
+    All integer token counts; the only division is the final
+    small-integer ratio, rounded at 6 identically in both engines.
+
+    At 100 TB: one scan, one partial+final aggregate on
+    (source, budget) — the budget grid rides a 2-element explode, so
+    adding a candidate budget adds |sources| output rows, never
+    another scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        F.size(F.split("text", " ", -1)).cast("long").alias("n_tokens"),
+    )
+    b = t.select(
+        "source",
+        "n_tokens",
+        F.explode(F.array(F.lit(64), F.lit(128))).alias("budget"),
+    )
+    lost = F.greatest(F.lit(0), F.col("n_tokens") - F.col("budget"))
+    return b.groupBy("source", F.col("budget").cast("long").alias("budget")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("n_tokens") > F.col("budget"), 1))
+        .cast("long")
+        .alias("docs_truncated"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(lost).cast("long").alias("tokens_lost"),
+        F.round(
+            F.sum(lost).cast("double") / F.sum("n_tokens"), 6
+        ).alias("loss_share"),
+    )
+
+
+@register(
+    "shard_manifest_balance",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 8 AS shard,
+         len(str_split(text, ' ')) AS n_tokens
+  FROM documents
+), s AS (
+  SELECT shard, count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+         min(doc_id) AS min_doc, max(doc_id) AS max_doc
+  FROM t GROUP BY shard
+), tot AS (SELECT sum(shard_tokens) AS total_tokens FROM s)
+SELECT CAST(shard AS BIGINT) AS shard, n_docs, shard_tokens,
+       min_doc, max_doc,
+       round(CAST(shard_tokens AS DOUBLE) / total_tokens, 6)
+         AS token_share,
+       round(CAST(shard_tokens AS DOUBLE) * 8 / total_tokens, 6)
+         AS balance_ratio
+FROM s CROSS JOIN tot
+""",
+    tags=("llm", "export", "sharding"),
+)
+def shard_manifest_balance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Training-export shard manifest: deterministic md5-hash
+    assignment of documents to 8 output shards plus the balance audit
+    (per-shard token share and its ratio to the uniform ideal) that
+    decides whether the export is safe to ship — a shard 2x the mean
+    becomes the straggler every epoch of every downstream run.
+
+    Hash sharding (not size-sorted bin packing) is the deliberate
+    100 TB design: LPT-style packing needs a global sort and a
+    sequential greedy pass, while the hash assignment is a pure
+    per-row projection and the law of large numbers makes shard skew
+    vanish as shards fill (the audit PROVES it did).  Same md5 idiom
+    as dataset_split, so shard membership is stable across engines,
+    re-runs, and corpus additions.
+
+    At 100 TB: one scan, one 8-group partial+final aggregate, and a
+    broadcast 1-row total — the manifest costs less than listing the
+    input files."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 8
+    )
+    t = docs.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.size(F.split("text", " ", -1)).cast("long").alias("n_tokens"),
+    )
+    s = t.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("shard_tokens"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+    tot = s.agg(F.sum("shard_tokens").alias("total_tokens"))
+    return s.crossJoin(F.broadcast(tot)).select(
+        F.col("shard").cast("long").alias("shard"),
+        "n_docs",
+        "shard_tokens",
+        "min_doc",
+        "max_doc",
+        F.round(
+            F.col("shard_tokens").cast("double") / F.col("total_tokens"),
+            6,
+        ).alias("token_share"),
+        F.round(
+            F.col("shard_tokens").cast("double")
+            * 8
+            / F.col("total_tokens"),
+            6,
+        ).alias("balance_ratio"),
+    )
+
+
+@register(
+    "score_brier_decomposition",
+    oracle=f"""
+WITH {_SCORED_SQL},
+p AS (
+  SELECT doc_id, label,
+         least(1000000, greatest(0, s_int)) AS p_int
+  FROM s
+),
+tot AS (
+  SELECT count(*) AS n,
+         count(CASE WHEN label THEN 1 END) AS n_pos,
+         CAST(SUM(CAST((p_int - CASE WHEN label THEN 1000000 ELSE 0 END)
+                       * (p_int - CASE WHEN label THEN 1000000 ELSE 0 END)
+                       AS DECIMAL(38,0))) AS DOUBLE) AS sq_sum
+  FROM p
+),
+bins AS (
+  SELECT least(9, p_int // 100000) AS bin,
+         count(*) AS n_k,
+         count(CASE WHEN label THEN 1 END) AS pos_k,
+         CAST(sum(p_int) AS BIGINT) AS sum_p_k
+  FROM p GROUP BY 1
+),
+comp AS (
+  SELECT
+    CAST(SUM(CAST(n_k * (CAST(sum_p_k AS DOUBLE) / n_k / 1000000
+                         - CAST(pos_k AS DOUBLE) / n_k)
+                      * (CAST(sum_p_k AS DOUBLE) / n_k / 1000000
+                         - CAST(pos_k AS DOUBLE) / n_k)
+                  AS DECIMAL(18,12))) AS DOUBLE) AS rel_sum,
+    CAST(SUM(CAST(n_k * (CAST(pos_k AS DOUBLE) / n_k
+                         - (SELECT CAST(n_pos AS DOUBLE) / n FROM tot))
+                      * (CAST(pos_k AS DOUBLE) / n_k
+                         - (SELECT CAST(n_pos AS DOUBLE) / n FROM tot))
+                  AS DECIMAL(18,12))) AS DOUBLE) AS res_sum
+  FROM bins
+)
+SELECT CAST(tot.n AS BIGINT) AS n_docs,
+       CAST(tot.n_pos AS BIGINT) AS n_pos,
+       round(tot.sq_sum / 1000000000000.0 / tot.n, 6) AS brier,
+       round(comp.rel_sum / tot.n, 6) AS reliability,
+       round(comp.res_sum / tot.n, 6) AS resolution,
+       round((CAST(tot.n_pos AS DOUBLE) / tot.n)
+             * (1 - CAST(tot.n_pos AS DOUBLE) / tot.n), 6)
+         AS uncertainty
+FROM tot CROSS JOIN comp
+""",
+    tags=("llm", "evaluation", "calibration"),
+)
+def score_brier_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Murphy decomposition of the quality scorer's Brier score
+    against the heuristic gate labels: raw Brier (mean squared error
+    of the clamped probability), plus the 10-bin reliability
+    (calibration error), resolution (how much the bins separate the
+    base rate), and uncertainty (base-rate variance) components —
+    reliability - resolution + uncertainty reproduces the binned
+    Brier, and the gap between a LOW reliability and a HIGH
+    resolution is what score_reliability_diagram shows per-bin and
+    this query reduces to two decision numbers.
+
+    Parity spine: probabilities are integer micro-units, so the raw
+    Brier numerator is an EXACT integer (sum of (p_int - l*1e6)^2 in
+    DECIMAL(38,0) — order-insensitive); the per-bin component terms
+    are identical doubles built from integer bin aggregates, each
+    rounded through DECIMAL(18,12) before the 10-term sum.
+
+    At 100 TB: one scan feeding two bounded aggregates (a 1-row total
+    and a 10-row bin table) — every component falls out of integer
+    bin counts, the corpus is never re-read."""
+    scores = doc_model_score(spark, sf_dir).select(
+        "doc_id",
+        F.round(F.col("score") * 1000000).cast("long").alias("s_int"),
+    )
+    labels = doc_quality_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("label")
+    )
+    p = scores.join(labels, "doc_id").select(
+        "label",
+        F.least(
+            F.lit(1000000), F.greatest(F.lit(0), F.col("s_int"))
+        ).alias("p_int"),
+    )
+    lbl_int = F.when(F.col("label"), 1000000).otherwise(0)
+    sq = (F.col("p_int") - lbl_int) * (F.col("p_int") - lbl_int)
+    tot = p.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("label"), 1)).alias("n_pos"),
+        F.sum(sq.cast("decimal(38,0)")).cast("double").alias("sq_sum"),
+    )
+    bins = p.groupBy(
+        F.least(F.lit(9), F.expr("p_int div 100000")).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_k"),
+        F.count(F.when(F.col("label"), 1)).alias("pos_k"),
+        F.sum("p_int").cast("long").alias("sum_p_k"),
+    )
+    j = bins.crossJoin(F.broadcast(tot))
+    obar = F.col("n_pos").cast("double") / F.col("n")
+    pbar_k = F.col("sum_p_k").cast("double") / F.col("n_k") / 1000000
+    o_k = F.col("pos_k").cast("double") / F.col("n_k")
+    comp = j.agg(
+        F.sum(
+            (F.col("n_k") * (pbar_k - o_k) * (pbar_k - o_k)).cast(
+                "decimal(18,12)"
+            )
+        )
+        .cast("double")
+        .alias("rel_sum"),
+        F.sum(
+            (F.col("n_k") * (o_k - obar) * (o_k - obar)).cast(
+                "decimal(18,12)"
+            )
+        )
+        .cast("double")
+        .alias("res_sum"),
+    )
+    return tot.crossJoin(F.broadcast(comp)).select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.round(
+            F.col("sq_sum") / F.lit(1000000000000.0) / F.col("n"), 6
+        ).alias("brier"),
+        F.round(F.col("rel_sum") / F.col("n"), 6).alias("reliability"),
+        F.round(F.col("res_sum") / F.col("n"), 6).alias("resolution"),
+        F.round(
+            (F.col("n_pos").cast("double") / F.col("n"))
+            * (F.lit(1) - F.col("n_pos").cast("double") / F.col("n")),
+            6,
+        ).alias("uncertainty"),
+    )

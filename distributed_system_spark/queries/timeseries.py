@@ -1091,3 +1091,114 @@ def interval_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_events"),
         F.max("conc").cast("long").alias("max_concurrent"),
     )
+
+
+@register(
+    "ts_downsample_lttb",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_id, ts_ns // 1000 AS x, value AS y,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         lag(ts_ns // 1000) OVER w AS xp,
+         lag(value) OVER w AS yp,
+         lead(ts_ns // 1000) OVER w AS xn,
+         lead(value) OVER w AS yn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)
+),
+a AS (
+  SELECT user_id, event_id, x, y,
+         ((rn - 1) * 10) // n AS bucket,
+         CASE WHEN xp IS NULL OR xn IS NULL THEN 0.0
+              ELSE abs(CAST(xp - xn AS DOUBLE) * (y - yp)
+                       - CAST(xp - x AS DOUBLE) * (yn - yp)) END
+           AS area
+  FROM s
+),
+r AS (
+  SELECT user_id, bucket, event_id, x, y, area,
+         row_number() OVER (PARTITION BY user_id, bucket
+                            ORDER BY area DESC, event_id) AS pick
+  FROM a
+)
+SELECT user_id, CAST(bucket AS BIGINT) AS bucket, event_id,
+       CAST(x AS BIGINT) AS ts_us, y AS value,
+       CAST(round(CAST(area AS DECIMAL(25,6)), 6) AS DOUBLE) AS area
+FROM r WHERE pick = 1
+""",
+    tags=("timeseries", "downsample", "lttb"),
+)
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-triangle downsampling of each user's value series to
+    10 representative points — the dashboard-rendering reduction that
+    keeps spikes a uniform stride would erase.  Per point, the
+    triangle area against its immediate neighbors (the
+    largest-triangle-one-bucket form of LTTB — neighbor-based, so
+    every point's score is a pure window expression; classic LTTB's
+    previously-selected-point recurrence is sequential by
+    construction and cannot parallelize); per (user, time-bucket),
+    the max-area point wins, ties broken by event id, series
+    endpoints score 0 and win only empty-tie buckets.
+
+    Parity spine: x is integer microseconds, y the raw double —
+    every area is |int_diff * double_diff - int_diff * double_diff|
+    on identical operands, so the argmax ORDERING compares identical
+    doubles in both engines; the reported area is rounded through
+    DECIMAL only for display.
+
+    At 100 TB: windows and ranks all partition by user_id (no global
+    window anywhere); one shuffle on the partition key serves the
+    lag/lead pass and the per-bucket rank reuses it — output is a
+    fixed 10 rows per user regardless of series length."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    s = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("ts_ns div 1000").alias("x"),
+        F.col("value").alias("y"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("user_id"))
+        .alias("n"),
+        F.lag(F.expr("ts_ns div 1000")).over(w).alias("xp"),
+        F.lag("value").over(w).alias("yp"),
+        F.lead(F.expr("ts_ns div 1000")).over(w).alias("xn"),
+        F.lead("value").over(w).alias("yn"),
+    )
+    area = F.when(
+        F.col("xp").isNull() | F.col("xn").isNull(), F.lit(0.0)
+    ).otherwise(
+        F.abs(
+            (F.col("xp") - F.col("xn")).cast("double")
+            * (F.col("y") - F.col("yp"))
+            - (F.col("xp") - F.col("x")).cast("double")
+            * (F.col("yn") - F.col("yp"))
+        )
+    )
+    a = s.select(
+        "user_id",
+        "event_id",
+        "x",
+        "y",
+        F.expr("((rn - 1) * 10) div n").alias("bucket"),
+        area.alias("area"),
+    )
+    pick = Window.partitionBy("user_id", "bucket").orderBy(
+        F.col("area").desc(), "event_id"
+    )
+    return (
+        a.withColumn("pick", F.row_number().over(pick))
+        .filter(F.col("pick") == 1)
+        .select(
+            "user_id",
+            F.col("bucket").cast("long").alias("bucket"),
+            "event_id",
+            F.col("x").cast("long").alias("ts_us"),
+            F.col("y").alias("value"),
+            F.round(F.col("area").cast("decimal(25,6)"), 6)
+            .cast("double")
+            .alias("area"),
+        )
+    )

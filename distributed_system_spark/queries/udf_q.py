@@ -260,3 +260,55 @@ def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("text_md5")),
         "doc_id",
     )
+
+
+@register(
+    "udf_pandas_iter",
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) - length(replace(text, 'a', '')) AS BIGINT)
+         AS n_a,
+       CAST(length(text) + 7 AS BIGINT) AS enriched
+FROM documents
+""",
+    tags=("C10", "udf", "pandas-iter"),
+)
+def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SCALAR_ITER`` pandas UDF — the rung of the C10 ladder between
+    the per-batch scalar pandas_udf and mapInPandas: the function
+    receives an ITERATOR of Series for one whole partition, so
+    expensive per-task setup (a tokenizer, an ONNX session, a
+    compiled regex set) is paid ONCE per partition instead of once
+    per Arrow batch.  The 'model' here is a deterministic stand-in
+    (a constant bias resolved at setup time) so the oracle stays
+    SQL-expressible; the amortization structure — setup before the
+    loop, batches streamed through it — is the real surface under
+    test.
+
+    At 100 TB: identical plan shape to any scalar pandas UDF (one
+    linear Arrow-batched projection, no shuffle); the iterator form
+    only changes WHERE the Python-side constant cost lands, which at
+    thousands of partitions is exactly the difference that matters."""
+    from collections.abc import Iterator as _It
+
+    @pandas_udf("long")
+    def count_a(batches: _It[pd.Series]) -> _It[pd.Series]:
+        # per-partition setup: happens once, before the batch loop
+        import re as _re
+
+        pat = _re.compile("a")
+        for s in batches:
+            yield s.map(lambda t: len(pat.findall(t))).astype("int64")
+
+    @pandas_udf("long")
+    def enrich(batches: _It[pd.Series]) -> _It[pd.Series]:
+        bias = 7  # stands in for a model/config loaded at setup
+        for s in batches:
+            yield (s.str.len() + bias).astype("int64")
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        count_a(F.col("text")).alias("n_a"),
+        enrich(F.col("text")).alias("enriched"),
+    )
