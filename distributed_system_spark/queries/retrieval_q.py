@@ -781,7 +781,9 @@ def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(18,12)")
             .cast("double")
         )
-        gain = F.shiftleft(F.lit(1), rel_col.cast("int")) - 1
+        # pyspark's shiftleft() only takes a literal bit count; the
+        # column-count form must go through SQL expr.
+        gain = F.expr("shiftleft(1, CAST(rel AS INT))") - 1
         return (gain * ln2 / disc).cast("decimal(18,12)")
 
     dcg = (

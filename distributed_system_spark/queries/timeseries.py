@@ -1097,34 +1097,35 @@ def interval_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_downsample_lttb",
     oracle="""
 WITH s AS (
-  SELECT user_id, event_id, ts_ns // 1000 AS x, value AS y,
+  SELECT user_id, event_id, epoch_us(ts) AS x, value AS y,
+         CAST(round(value * 100) AS BIGINT) AS yc,
          row_number() OVER w AS rn,
          count(*) OVER (PARTITION BY user_id) AS n,
-         lag(ts_ns // 1000) OVER w AS xp,
-         lag(value) OVER w AS yp,
-         lead(ts_ns // 1000) OVER w AS xn,
-         lead(value) OVER w AS yn
+         lag(epoch_us(ts)) OVER w AS xp,
+         lag(CAST(round(value * 100) AS BIGINT)) OVER w AS ycp,
+         lead(epoch_us(ts)) OVER w AS xn,
+         lead(CAST(round(value * 100) AS BIGINT)) OVER w AS ycn
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
 ),
 a AS (
   SELECT user_id, event_id, x, y,
          ((rn - 1) * 10) // n AS bucket,
-         CASE WHEN xp IS NULL OR xn IS NULL THEN 0.0
-              ELSE abs(CAST(xp - xn AS DOUBLE) * (y - yp)
-                       - CAST(xp - x AS DOUBLE) * (yn - yp)) END
-           AS area
+         CASE WHEN xp IS NULL OR xn IS NULL THEN CAST(0 AS BIGINT)
+              ELSE abs((xp - xn) * (yc - ycp)
+                       - (xp - x) * (ycn - ycp)) END
+           AS area_c
   FROM s
 ),
 r AS (
-  SELECT user_id, bucket, event_id, x, y, area,
+  SELECT user_id, bucket, event_id, x, y, area_c,
          row_number() OVER (PARTITION BY user_id, bucket
-                            ORDER BY area DESC, event_id) AS pick
+                            ORDER BY area_c DESC, event_id) AS pick
   FROM a
 )
 SELECT user_id, CAST(bucket AS BIGINT) AS bucket, event_id,
        CAST(x AS BIGINT) AS ts_us, y AS value,
-       CAST(round(CAST(area AS DECIMAL(25,6)), 6) AS DOUBLE) AS area
+       CAST(area_c AS DOUBLE) / 100.0 AS area
 FROM r WHERE pick = 1
 """,
     tags=("timeseries", "downsample", "lttb"),
@@ -1141,40 +1142,50 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     the max-area point wins, ties broken by event id, series
     endpoints score 0 and win only empty-tie buckets.
 
-    Parity spine: x is integer microseconds, y the raw double —
-    every area is |int_diff * double_diff - int_diff * double_diff|
-    on identical operands, so the argmax ORDERING compares identical
-    doubles in both engines; the reported area is rounded through
-    DECIMAL only for display.
+    Parity spine: x is integer microseconds and y is quantized to
+    integer cents (``round(value*100)`` — the data is 2-decimal, and
+    the quantizer is the same deterministic double op in both
+    engines), so every triangle area is EXACT bigint arithmetic —
+    ``a*b - c*d`` on doubles differs by one ulp between engines at
+    the ~1e13 magnitudes these areas reach, which no display
+    rounding can mask, and an integer argmax cannot tie-break
+    differently.  The reported area divides the exact cents by 100
+    in identical double ops.
 
     At 100 TB: windows and ranks all partition by user_id (no global
     window anywhere); one shuffle on the partition key serves the
     lag/lead pass and the per-bucket rank reuses it — output is a
     fixed 10 rows per user regardless of series length."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    # Order at MICROSECOND grain on both sides: DuckDB's TIMESTAMP view
+    # truncates the nano-grain parquet to us, so a ts_ns order here
+    # could disagree on same-us ties.
+    w = Window.partitionBy("user_id").orderBy(
+        F.expr("ts_ns div 1000"), "event_id"
+    )
+    yc = F.round(F.col("value") * 100).cast("long")
     s = ev.select(
         "user_id",
         "event_id",
         F.expr("ts_ns div 1000").alias("x"),
         F.col("value").alias("y"),
+        yc.alias("yc"),
         F.row_number().over(w).alias("rn"),
         F.count(F.lit(1))
         .over(Window.partitionBy("user_id"))
         .alias("n"),
         F.lag(F.expr("ts_ns div 1000")).over(w).alias("xp"),
-        F.lag("value").over(w).alias("yp"),
+        F.lag(yc).over(w).alias("ycp"),
         F.lead(F.expr("ts_ns div 1000")).over(w).alias("xn"),
-        F.lead("value").over(w).alias("yn"),
+        F.lead(yc).over(w).alias("ycn"),
     )
-    area = F.when(
-        F.col("xp").isNull() | F.col("xn").isNull(), F.lit(0.0)
+    area_c = F.when(
+        F.col("xp").isNull() | F.col("xn").isNull(),
+        F.lit(0).cast("long"),
     ).otherwise(
         F.abs(
-            (F.col("xp") - F.col("xn")).cast("double")
-            * (F.col("y") - F.col("yp"))
-            - (F.col("xp") - F.col("x")).cast("double")
-            * (F.col("yn") - F.col("yp"))
+            (F.col("xp") - F.col("xn")) * (F.col("yc") - F.col("ycp"))
+            - (F.col("xp") - F.col("x")) * (F.col("ycn") - F.col("ycp"))
         )
     )
     a = s.select(
@@ -1183,10 +1194,10 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x",
         "y",
         F.expr("((rn - 1) * 10) div n").alias("bucket"),
-        area.alias("area"),
+        area_c.alias("area_c"),
     )
     pick = Window.partitionBy("user_id", "bucket").orderBy(
-        F.col("area").desc(), "event_id"
+        F.col("area_c").desc(), "event_id"
     )
     return (
         a.withColumn("pick", F.row_number().over(pick))
@@ -1197,8 +1208,8 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             F.col("x").cast("long").alias("ts_us"),
             F.col("y").alias("value"),
-            F.round(F.col("area").cast("decimal(25,6)"), 6)
-            .cast("double")
-            .alias("area"),
+            (F.col("area_c").cast("double") / F.lit(100.0)).alias(
+                "area"
+            ),
         )
     )

@@ -14,6 +14,7 @@ applyInPandas / mapInPandas are exercised by the MapleJuice layer
 from __future__ import annotations
 
 import re
+from typing import Iterator
 
 import pandas as pd
 import pyspark.sql.functions as F
@@ -289,10 +290,12 @@ def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear Arrow-batched projection, no shuffle); the iterator form
     only changes WHERE the Python-side constant cost lands, which at
     thousands of partitions is exactly the difference that matters."""
-    from collections.abc import Iterator as _It
-
+    # The hint must spell ``Iterator[pd.Series]`` with a module-global
+    # ``Iterator``: under ``from __future__ import annotations`` pyspark
+    # re-resolves the string against the function's globals, so a
+    # local alias raises UNSUPPORTED_SIGNATURE.
     @pandas_udf("long")
-    def count_a(batches: _It[pd.Series]) -> _It[pd.Series]:
+    def count_a(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         # per-partition setup: happens once, before the batch loop
         import re as _re
 
@@ -301,7 +304,7 @@ def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield s.map(lambda t: len(pat.findall(t))).astype("int64")
 
     @pandas_udf("long")
-    def enrich(batches: _It[pd.Series]) -> _It[pd.Series]:
+    def enrich(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         bias = 7  # stands in for a model/config loaded at setup
         for s in batches:
             yield (s.str.len() + bias).astype("int64")

@@ -911,3 +911,87 @@ def test_outlier_score_is_single_arrow_pass(spark, sf_dir):
     assert "MapInPandas" in plan, plan
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_ndcg_rankings_are_takeordered(spark, sf_dir):
+    """search_ndcg_eval: both the run and the ideal ranking must cut
+    to 20 rows via TakeOrderedAndProject — a global sort of the
+    scored corpus is the shape that dies at scale.  The rank windows
+    then run on the 20-row frames (their single partition is the
+    bounded-output idiom, not a corpus-wide window)."""
+    plan = plan_of(spark, sf_dir, "search_ndcg_eval")
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_lttb_windows_partition_by_user(spark, sf_dir):
+    """ts_downsample_lttb: every window (lag/lead, count, per-bucket
+    argmax) partitions by user_id — no single-partition pass, no
+    join at all."""
+    plan = plan_of(spark, sf_dir, "ts_downsample_lttb")
+    assert "Window" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_pandas_iter_is_one_arrow_projection(spark, sf_dir):
+    """udf_pandas_iter: the SCALAR_ITER pair must fuse into one
+    Arrow-batched projection over the scan — no shuffle, no join;
+    the iterator form only moves Python-side setup cost, never the
+    plan shape."""
+    plan = plan_of(spark, sf_dir, "udf_pandas_iter")
+    assert "ArrowEvalPython" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_channel_stats_reduce_inside_decode(spark, sf_dir):
+    """mm_image_channel_stats: the per-plane reduction happens INSIDE
+    the Arrow decode hop (3 rows out per image) — no pixel-level
+    shuffle, no aggregate after the map, no join."""
+    plan = plan_of(spark, sf_dir, "mm_image_channel_stats")
+    assert "MapInPandas" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_js_divergence_pairs_from_grid(spark, sf_dir):
+    """source_js_divergence: the corpus collapses to the (source x
+    bucket) count grid via partial+final aggregation; the pair matrix
+    is a broadcast equi-join on bucket over that grid — the corpus
+    never enters a join input."""
+    plan = plan_of(spark, sf_dir, "source_js_divergence")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_truncation_report_partial_aggs(spark, sf_dir):
+    """truncation_loss_report: the 2-budget explode feeds one
+    partial+final aggregate on (source, budget) — token counting is
+    map-side, the shuffle carries |sources| x 2 partial rows."""
+    plan = plan_of(spark, sf_dir, "truncation_loss_report")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Generate explode" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_shard_manifest_is_hash_projection(spark, sf_dir):
+    """shard_manifest_balance: shard assignment is a pure per-row md5
+    projection into an 8-group partial+final aggregate; the total
+    rides a broadcast 1-row join — no sort-merge, no cartesian
+    product anywhere."""
+    plan = plan_of(spark, sf_dir, "shard_manifest_balance")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_brier_decomposition_bounded_aggregates(spark, sf_dir):
+    """score_brier_decomposition: one scored scan feeds a 1-row total
+    and a 10-row bin aggregate (both partial+final); the component
+    arithmetic joins broadcast-sized frames only."""
+    plan = plan_of(spark, sf_dir, "score_brier_decomposition")
+    assert plan.count("HashAggregate") >= 4, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
