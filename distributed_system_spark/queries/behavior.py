@@ -1920,3 +1920,153 @@ def pareto_user_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("share"),
         )
     )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT p, count(*) AS d FROM (
+    SELECT u AS p FROM edges UNION ALL SELECT v AS p FROM edges
+  ) GROUP BY p
+),
+oriented AS (
+  SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v)
+              THEN u ELSE v END AS src,
+         CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v)
+              THEN v ELSE u END AS dst,
+         CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v)
+              THEN dv.d ELSE du.d END AS dst_d
+  FROM edges
+  JOIN deg du ON du.p = u
+  JOIN deg dv ON dv.p = v
+),
+tri AS (
+  SELECT w1.src AS x, w1.dst AS y, w2.dst AS z
+  FROM oriented w1
+  JOIN oriented w2 ON w1.src = w2.src
+   AND ((w1.dst_d < w2.dst_d)
+        OR (w1.dst_d = w2.dst_d AND w1.dst < w2.dst))
+  JOIN oriented c ON c.src = w1.dst AND c.dst = w2.dst
+),
+node_tri AS (
+  SELECT p, count(*) AS tri_count FROM (
+    SELECT x AS p FROM tri
+    UNION ALL SELECT y AS p FROM tri
+    UNION ALL SELECT z AS p FROM tri
+  ) GROUP BY p
+)
+SELECT part, tri_count, rnk FROM (
+  SELECT p AS part, CAST(tri_count AS BIGINT) AS tri_count,
+         row_number() OVER (ORDER BY tri_count DESC, p) AS rnk
+  FROM node_tri
+) WHERE rnk <= 20
+""",
+    tags=("C4", "graph", "triangles"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counting on the co-purchase graph (parts are
+    nodes, an edge when two parts ever share an order), reported as
+    the top-20 parts by triangle participation — the graph-motif
+    operator behind clustering-coefficient / community-density
+    curation signals, and the third graph rung after
+    reachability_bfs (traversal) and pagerank_transitions
+    (stationary mass).
+
+    The scale design is the classic degree-ORIENTED wedge count
+    (Suri & Vassilvitskii's MapReduce partition trick's successor;
+    public textbook algorithm): every edge is directed from its
+    lower-(degree, id) endpoint to the higher, which turns the
+    triangle {x,y,z} into exactly ONE wedge (x->y, x->z) plus one
+    closing-edge probe (y->z), and bounds every out-neighborhood by
+    O(sqrt(|E|)) — wedge volume is sum(out_deg^2), not
+    sum(deg^2), so the hub that would explode a naive wedge join
+    (deg 10^6 -> 10^12 wedges) caps at |E| wedges.  All three hops
+    are equi-joins on node keys (no cartesian anywhere,
+    plan-asserted); degrees and the orientation predicate are pure
+    integers, so both engines build bit-identical edge sets.
+
+    At 100 TB: edge derivation is the basket_lift_pairs shape
+    (within-order self-join, bounded by basket size squared); the
+    wedge and closure joins shuffle on src/(dst,dst) node keys —
+    co-partitioned by the same hash — and the top-20 is TakeOrdered,
+    never a global sort.
+
+    Reference analog: the reference ships no graph operators; this
+    extends SURVEY §2.C's analytics families the way its MapleJuice
+    word-count would need composed map+reduce rounds
+    (mj_master.cpp job chaining) to express at all."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("p"))
+        .unionAll(edges.select(F.col("v").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("p").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("p").alias("v"), F.col("d").alias("dv"))
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias(
+                "dst_d"
+            ),
+        )
+    )
+    w1 = oriented.select(
+        "src", F.col("dst").alias("y"), F.col("dst_d").alias("y_d")
+    )
+    w2 = oriented.select(
+        "src", F.col("dst").alias("z"), F.col("dst_d").alias("z_d")
+    )
+    wedges = w1.join(w2, "src").filter(
+        (F.col("y_d") < F.col("z_d"))
+        | ((F.col("y_d") == F.col("z_d")) & (F.col("y") < F.col("z")))
+    )
+    closing = oriented.select(
+        F.col("src").alias("y"), F.col("dst").alias("z")
+    )
+    tri = wedges.join(closing, ["y", "z"]).select(
+        F.col("src").alias("x"), "y", "z"
+    )
+    node_tri = (
+        tri.select(F.col("x").alias("p"))
+        .unionAll(tri.select(F.col("y").alias("p")))
+        .unionAll(tri.select(F.col("z").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("tri_count"))
+    )
+    top = node_tri.orderBy(
+        F.col("tri_count").desc(), "p"
+    ).limit(20)
+    w = Window.orderBy(F.col("tri_count").desc(), "p")
+    return top.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    ).select(
+        F.col("p").alias("part"),
+        F.col("tri_count").cast("long").alias("tri_count"),
+        "rnk",
+    )

@@ -1242,3 +1242,136 @@ def hist2d_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dsum("l_discount", scale=4, out=4).alias("sum_discount"),
     )
+
+
+@register(
+    "approx_percentile_audit",
+    oracle="""
+WITH n AS (
+  SELECT l_returnflag, count(*) AS n_rows
+  FROM lineitem GROUP BY l_returnflag
+),
+vals AS (
+  SELECT l_returnflag, l_extendedprice, count(*) AS cnt
+  FROM lineitem GROUP BY l_returnflag, l_extendedprice
+),
+cum AS (
+  SELECT l_returnflag, l_extendedprice,
+         sum(cnt) OVER (PARTITION BY l_returnflag
+                        ORDER BY l_extendedprice) AS cum
+  FROM vals
+),
+targets AS (
+  SELECT n.l_returnflag, n.n_rows, g.p_label, g.p_num,
+         (g.p_num * n.n_rows + 99) // 100 AS r
+  FROM n CROSS JOIN (
+    SELECT * FROM (VALUES ('p50', 50), ('p90', 90), ('p99', 99))
+      AS t(p_label, p_num)
+  ) g
+),
+exact AS (
+  SELECT t.l_returnflag, t.p_label, t.n_rows,
+         min(c.l_extendedprice) AS exact_price
+  FROM targets t JOIN cum c
+    ON c.l_returnflag = t.l_returnflag AND c.cum >= t.r
+  GROUP BY t.l_returnflag, t.p_label, t.n_rows
+)
+SELECT l_returnflag, p_label, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(exact_price AS DOUBLE) AS exact_price,
+       TRUE AS within_one_pct
+FROM exact
+""",
+    tags=("C4", "percentile", "sketch-audit"),
+)
+def approx_percentile_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audit of Spark's `approx_percentile` sketch against the exact
+    discrete percentile — the measure-don't-guess gate
+    (ann_recall_report / freq_count_min_estimate's pattern) for the
+    quantile sketch `agg_percentiles`' docstring prescribes at
+    100 TB: a green row proves the sketch's p50/p90/p99 land within
+    1% of the engine-neutral exact answer, so the scale path is
+    certified, not assumed.
+
+    The exact side is deliberately NOT a per-group sort: prices
+    aggregate to distinct (group, value) counts, a value-ordered
+    cumulative window runs over that value-cardinality-bounded
+    table (the quantile_normalize_sources idiom), and the discrete
+    percentile is the least value whose cumulative count reaches
+    rank ceil(p*n) — computed as (p_num*n + 99) div 100 in pure
+    integers, so both engines pick bit-identical target ranks and
+    values.  The audit flag compares decimals exactly
+    (|approx - exact| * 100 <= exact); only the display cast is
+    double.
+
+    At 100 TB: the sketch side is one mergeable partial aggregate
+    (no sort anywhere); the exact side's window is bounded by
+    distinct price cardinality, not row count; the audit join is 9
+    rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    vals = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cum = vals.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("cnt")
+        .over(
+            Window.partitionBy("l_returnflag").orderBy(
+                "l_extendedprice"
+            )
+        )
+        .alias("cum"),
+    )
+    grid = spark.createDataFrame(
+        [("p50", 50), ("p90", 90), ("p99", 99)], "p_label string, p_num long"
+    )
+    targets = n.crossJoin(F.broadcast(grid)).select(
+        "l_returnflag",
+        "n_rows",
+        "p_label",
+        F.expr("(p_num * n_rows + 99) div 100").alias("r"),
+    )
+    exact = (
+        targets.join(cum, "l_returnflag")
+        .filter(F.col("cum") >= F.col("r"))
+        .groupBy("l_returnflag", "p_label", "n_rows")
+        .agg(F.min("l_extendedprice").alias("exact_price"))
+    )
+    appx = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice",
+                F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+                F.lit(10000),
+            ).alias("ap")
+        )
+        .select(
+            "l_returnflag",
+            F.posexplode("ap").alias("pos", "approx_price"),
+        )
+        .select(
+            "l_returnflag",
+            F.element_at(
+                F.array(F.lit("p50"), F.lit("p90"), F.lit("p99")),
+                F.col("pos") + 1,
+            ).alias("p_label"),
+            "approx_price",
+        )
+    )
+    return exact.join(appx, ["l_returnflag", "p_label"]).select(
+        "l_returnflag",
+        "p_label",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("exact_price").cast("double").alias("exact_price"),
+        (
+            F.abs(F.col("approx_price") - F.col("exact_price"))
+            * 100
+            <= F.col("exact_price")
+        ).alias("within_one_pct"),
+    )

@@ -995,3 +995,27 @@ def test_brier_decomposition_bounded_aggregates(spark, sf_dir):
     assert plan.count("HashAggregate") >= 4, plan
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_triangle_count_oriented_equi_joins(spark, sf_dir):
+    """graph_triangle_count: wedge and closure hops must be equi-joins
+    on node keys (the degree orientation exists to make the wedge
+    volume sum(out_deg^2) — an accidental cross join is the hub
+    explosion it prevents), and the top-20 is TakeOrdered, never a
+    global sort of the node table."""
+    plan = plan_of(spark, sf_dir, "graph_triangle_count")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_percentile_audit_sketch_mergeable_no_global_sort(spark, sf_dir):
+    """approx_percentile_audit: the sketch side must be a mergeable
+    partial+final ObjectHashAggregate (no sort anywhere near the
+    corpus scan), and the exact side's cumulative window partitions
+    by group over the distinct-value table — never a single
+    partition, never a cartesian on data-sized inputs."""
+    plan = plan_of(spark, sf_dir, "approx_percentile_audit")
+    assert plan.count("ObjectHashAggregate") >= 2, plan
+    assert "SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
