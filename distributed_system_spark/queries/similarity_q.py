@@ -2161,7 +2161,17 @@ def lsh_neardup_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-pair analytic miss probability at cos >= 0.955 is
     (1 - 0.93^18)^48 ~= 1e-7).  Scale: same banded plan as
     lsh_neardup_pairs — no CartesianProduct (plan-asserted), decade
-    wall ratios in SCALE.md."""
+    wall ratios in SCALE.md.
+
+    The PINNED 18-bit width is part of this query's certified
+    contract, not the production sizing rule: candidates are
+    ~bands/2^bits of n^2, so any fixed width goes quadratic —
+    measured 11.5x wall at the sf10 decade and out-of-disk at 2 M
+    vectors (SCALE.md fourth decade).  Real deployments grow the
+    width with the corpus, bits = ceil(log2 n) + 6
+    (tools/neardup_decade.py::bits_for): measured 1.8x/2.7x/3.0x
+    wall per 10x data across sf0.1 -> sf100e with recall >= 0.9977
+    at every decade."""
     base = _vecs(spark, sf_dir)
     aug = base.unionByName(_planted_twins(base))
     return lsh_neardup_pairs(aug, 0.95, bits_per_band=18, bands=48)
