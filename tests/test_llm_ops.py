@@ -742,3 +742,65 @@ def test_adaptive_cell_split_engages_and_matches_oracle(spark, tmp_path):
         got = canon(registry[name].fn(spark, str(tmp_path)).toPandas())
         want = canon(con.execute(registry[name].oracle).df())
         pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_topk_prune_is_exact_superset_of_rounded_ranking(spark, sf_dir):
+    """_cell_pair_dots(prune_topk=5) must yield EXACTLY the same
+    mutual-kNN edges as the unpruned pair set under the identical
+    JVM round/rank/mutuality pipeline — the 2e-6 raw-cosine margin
+    is proven to cover the 6-decimal rounding displacement, and this
+    test checks the proof against the engine on a corpus where
+    pruning genuinely engages (sf0.01 cells hold ~50 rows >> 6)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from distributed_system_spark.queries.similarity_q import (
+        _assign_adaptive_cells,
+        _cell_pair_dots,
+    )
+    from distributed_system_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    m = _assign_adaptive_cells(e).select(
+        F.col("cluster").cast("long").alias("cluster"),
+        "vec_id",
+        "v",
+        "nrm",
+    )
+
+    def edges(pairs):
+        p = pairs.select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("dot") / (F.col("na") * F.col("nb")), 6
+            ).alias("cos"),
+        )
+        w = Window.partitionBy("id_a").orderBy(
+            F.col("cos").desc(), "id_b"
+        )
+        top = (
+            p.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .select("id_a", "id_b", "cos")
+        )
+        rev = top.select(
+            F.col("id_a").alias("id_b"), F.col("id_b").alias("id_a")
+        )
+        return top.join(rev, ["id_a", "id_b"]).filter(
+            F.col("id_a") < F.col("id_b")
+        )
+
+    full = _cell_pair_dots(m, with_labels=False)
+    pruned = _cell_pair_dots(m, with_labels=False, prune_topk=5)
+    n_full = full.count()
+    n_pruned = pruned.count()
+    assert n_pruned < n_full, (n_pruned, n_full)  # pruning engaged
+
+    got_full = {tuple(r) for r in edges(full).collect()}
+    got_pruned = {tuple(r) for r in edges(pruned).collect()}
+    assert got_pruned == got_full
+    assert got_full  # non-vacuous: the corpus has mutual edges
