@@ -1529,7 +1529,13 @@ def label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-ratio agreement rates (bit-identical doubles), and the
     flag threshold evaluated in integers (5 * n_agree < 2 * n_nbrs)
     so no float boundary exists at all.  The oracle derives the same
-    bit width from count(*)."""
+    bit width from count(*).
+
+    The ranking has no pre-filter (unlike hard_negative_mining's
+    different-label cut), so the per-cell stage pre-prunes to the
+    provable rounded-top-5 superset (``prune_topk=5``, proof in
+    _cell_pair_dots) — the pair shuffle is ~n*5 rows, not
+    n*cell."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -1539,7 +1545,7 @@ def label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(emb.select("vec_id", "label"), "vec_id")
         .select("cluster", "vec_id", "v", "nrm", "label")
     )
-    scored = _cell_pair_dots(m, with_labels=True).select(
+    scored = _cell_pair_dots(m, with_labels=True, prune_topk=5).select(
         F.col("id_a").alias("vec_id"),
         F.col("label_a").alias("label"),
         F.col("id_b").alias("nbr_id"),
