@@ -709,6 +709,10 @@ def image_ahash(
 
     One Arrow hop per image batch; output is (id, ``bits``-bit sig) —
     the join key for hash-bucket image dedup."""
+    if not 1 <= bits <= 62:
+        # enforce the documented contract: 1 << p must stay inside a
+        # signed 64-bit long when Arrow serializes the Python int.
+        raise ValueError(f"image_ahash bits must be in [1, 62], got {bits}")
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

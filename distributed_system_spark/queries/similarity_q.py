@@ -96,9 +96,18 @@ def _cell_bits(n: int) -> int:
 # expressions, not data.  list_sum(list_transform(..)) folds the
 # projection left-to-right over dims — the same IEEE order as the
 # per-dimension numpy accumulation below — so the sign decision is
-# bit-identical in both engines.
-_ADAPTIVE_CELL_SQL = """nb AS (
-  SELECT greatest(3, CAST(ceil(log2(greatest(8, count(*) // 64)))
+# bit-identical in both engines.  The nb width rule, the extra-plane
+# count, and the cg threshold ladder are all INTERPOLATED from the
+# same Python constants (_MIN_CELL_BITS/_TARGET_CELL/_SPLIT_CAP/
+# _EXTRA_BITS) that drive the Spark side — one constant, two engines;
+# editing a constant can never desynchronize the oracles.
+_SPLIT_LADDER_SQL = "\n         + ".join(
+    f"CAST(count(*) > {_SPLIT_CAP << j} AS INT)"
+    for j in range(_EXTRA_BITS)
+)
+_ADAPTIVE_CELL_SQL = f"""nb AS (
+  SELECT greatest({_MIN_CELL_BITS},
+                  CAST(ceil(log2(greatest(8, count(*) // {_TARGET_CELL})))
                      AS INT)) AS bits FROM e
 ),
 sg AS (
@@ -111,16 +120,13 @@ sg AS (
               THEN CAST(pow(2.0, p.p) AS BIGINT) ELSE 0 END) AS BIGINT)
            AS sig
   FROM e CROSS JOIN (SELECT unnest(range(0,
-                       (SELECT bits FROM nb) + 8)) AS p) p
+                       (SELECT bits FROM nb) + {_EXTRA_BITS})) AS p) p
   GROUP BY e.vec_id
 ),
 cg AS (
   SELECT sig % CAST(pow(2.0, (SELECT bits FROM nb)) AS BIGINT)
            AS coarse,
-         CAST(count(*) > 128 AS INT) + CAST(count(*) > 256 AS INT)
-         + CAST(count(*) > 512 AS INT) + CAST(count(*) > 1024 AS INT)
-         + CAST(count(*) > 2048 AS INT) + CAST(count(*) > 4096 AS INT)
-         + CAST(count(*) > 8192 AS INT) + CAST(count(*) > 16384 AS INT)
+         {_SPLIT_LADDER_SQL}
            AS extra
   FROM sg GROUP BY 1
 ),

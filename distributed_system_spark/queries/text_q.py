@@ -2604,7 +2604,8 @@ def prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the gram join is equi on md5 with the >100-train-doc
     suppression capping fan-out; packing windows partition by the
-    256-way shard key; the pack-stats row reaches the report through
+    16-way shard key (one md5 hex char — widen the substring for
+    more shards); the pack-stats row reaches the report through
     a broadcast equi-join on the split key (NOT a crossJoin — keeps
     BroadcastNestedLoopJoin out of the plan, test_plans.py)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -2686,9 +2687,10 @@ def prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             hfull.alias("h"),
         )
         .withColumn("cum", F.sum("n_toks").over(w))
-        .withColumn(
-            "pack_id", ((F.col("cum") - F.col("n_toks")) / 512).cast("long")
-        )
+        # all-integer floor division (the seq_packing idiom): the
+        # double path is exact only below 2^53 cumulative tokens,
+        # while the oracle's `// 512` is exact everywhere.
+        .withColumn("pack_id", F.expr("(cum - n_toks) div 512"))
     )
     # group by the REAL split column (all 'train') rather than
     # attaching lit("train") after a global agg: a literal key

@@ -738,7 +738,14 @@ def test_adaptive_cell_split_engages_and_matches_oracle(spark, tmp_path):
     sd = registry["semdedup_pairs"].fn(spark, str(tmp_path)).toPandas()
     # bits = 3 for 560 vectors: any cluster id >= 8 proves a re-split.
     assert sd["cluster"].max() >= 8, sorted(sd["cluster"].unique())
-    for name in ("semdedup_pairs", "hard_negative_mining"):
+    # label_noise_knn is included so its post-r6 changes (prune_topk=5
+    # + the second-level split) carry an in-repo oracle check on the
+    # engaged-split path, not just the r6 external-window tier.
+    for name in (
+        "semdedup_pairs",
+        "hard_negative_mining",
+        "label_noise_knn",
+    ):
         got = canon(registry[name].fn(spark, str(tmp_path)).toPandas())
         want = canon(con.execute(registry[name].oracle).df())
         pd.testing.assert_frame_equal(got, want, check_exact=True)
