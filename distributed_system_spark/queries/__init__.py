@@ -257,6 +257,40 @@ _R6_VERIFIED = frozenset(
 
 _EXTERNALLY_VERIFIED = _EXTERNALLY_VERIFIED | _R6_VERIFIED
 
+# CORRECTNESS_r07.json: the driver's round-7 window — all 50 green
+# (rows+schema+hash).  That window drained the verification backlog:
+# with this fold, every oracle-bearing query in the registry has an
+# external green row, so the round-8 window fronts only round-8
+# additions.
+_R7_VERIFIED = frozenset(
+    {
+        "ann_index_balance", "ann_index_upsert", "ann_mutual_knn_graph",
+        "approx_percentile_audit", "conversion_wilson_ci",
+        "corpus_heaps_law", "dataset_alpha_mix", "dedup_exact",
+        "dedup_modality_agreement", "dedup_phash_hamming",
+        "doc_ngram_novelty", "drift_psi",
+        "embedding_distance_histogram", "embedding_matryoshka_truncate",
+        "embedding_outlier_score", "freq_count_min_estimate",
+        "gdpr_erasure_audit", "graph_triangle_count",
+        "grouped_mode_stat", "growth_accounting", "hist2d_price_qty",
+        "interval_max_concurrency", "join_broadcast",
+        "join_bucketed_colocated", "join_lateral_topk",
+        "lsh_neardup_prod", "mm_image_channel_stats",
+        "mm_image_phash_dedup", "mm_image_resize", "packing_efficiency",
+        "pareto_user_share", "prep_pipeline", "q3_shipping_priority",
+        "score_brier_decomposition", "score_pr_curve",
+        "score_reliability_diagram", "score_roc_auc",
+        "search_ndcg_eval", "semdedup_threshold_sweep",
+        "sessionize_events", "shard_manifest_balance",
+        "source_js_divergence", "source_lang_entropy",
+        "stream_cms_monitor", "text_code_detect", "tokenizer_fertility",
+        "truncation_loss_report", "ts_downsample_lttb",
+        "udf_pandas_iter", "win_session_dynamic_gap",
+    }
+)
+
+_EXTERNALLY_VERIFIED = _EXTERNALLY_VERIFIED | _R7_VERIFIED
+
 _KNOWN_AT_FREEZE = _KNOWN_AT_FREEZE | (
     frozenset(_R4_VERIFIED)
     | frozenset(

@@ -2206,14 +2206,65 @@ def lsh_neardup_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract, not the production sizing rule: candidates are
     ~bands/2^bits of n^2, so any fixed width goes quadratic —
     measured 11.5x wall at the sf10 decade and out-of-disk at 2 M
-    vectors (SCALE.md fourth decade).  Real deployments grow the
-    width with the corpus, bits = ceil(log2 n) + 6
-    (tools/neardup_decade.py::bits_for): measured 1.8x/2.7x/3.0x
-    wall per 10x data across sf0.1 -> sf100e with recall >= 0.9977
-    at every decade."""
+    vectors (SCALE.md fourth decade).  This query is therefore the
+    fixed-knob CONTRACT DEMO; the production entry point is
+    ``lsh_neardup_adaptive`` below, which derives the width from the
+    corpus count (bits = ceil(log2 n) + 6) — the sizing rule measured
+    at 1.8x/2.7x/3.0x wall per 10x data across sf0.1 -> sf100e with
+    recall >= 0.9977 at every decade (tools/neardup_decade.py,
+    SCALE.md)."""
     base = _vecs(spark, sf_dir)
     aug = base.unionByName(_planted_twins(base))
     return lsh_neardup_pairs(aug, 0.95, bits_per_band=18, bands=48)
+
+
+@register(
+    "lsh_neardup_adaptive",
+    oracle=f"""
+WITH {_TWIN_SQL}
+SELECT q.id AS id_a, c.id AS id_b, {_COS_SQL} AS cos
+FROM allv q JOIN allv c ON q.id < c.id
+WHERE {_COS_SQL} >= 0.95
+""",
+    tags=("similarity", "dedup", "production"),
+)
+def lsh_neardup_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION near-dup entry point: same planted-twin corpus,
+    threshold, and banded plan as ``lsh_neardup_prod``, but the band
+    width is DERIVED FROM THE CORPUS COUNT instead of pinned:
+    bits = max(18, ceil(log2 n) + 6), the sizing rule measured across
+    four decades in tools/neardup_decade.py (wall 1.8x/2.7x/3.0x per
+    10x data, recall 1.0000 -> 0.9977 at 2 M vectors) — where the
+    pinned 18-bit contract demo goes quadratic (11.5x wall at sf10,
+    out-of-disk at 2 M).  Expected candidates stay ~(n/64)*bands —
+    LINEAR by construction, the same occupancy-tracking design as
+    ``_cell_bits``.
+
+    The width derivation is pure integer arithmetic —
+    ``(n - 1).bit_length() + 6`` == ceil(log2 n) + 6 with no float
+    log anywhere — computed from one driver-side metadata count of
+    the base table (the planted twins are a deterministic test
+    fixture; production sizing keys off the corpus).  The oracle is
+    the EXACT all-pairs answer, so a green row certifies 100% recall
+    of the derived width on this corpus — at the driver SFs the
+    derived width floors at 18 (sf0.01: ceil(log2 2k)+6 = 17) and at
+    sf0.1 it steps to 21, where recall against the exact oracle was
+    re-measured green before registration (twins sit at cos ~ 0.977;
+    per-pair analytic miss at 21 bits x 48 bands is ~5e-6).
+
+    Scale: identical plan shape to lsh_neardup_pairs — banded
+    signatures (shuffle-free), equi-join on (band, bucket), exact
+    rounded-cosine verify; no CartesianProduct (plan-asserted in
+    tests/test_plans.py)."""
+    # Width from the RAW table count — parquet answers a bare count()
+    # from footer metadata without executing the widen/cast pipeline
+    # _vecs builds (measured: counting the widened frame re-ran the
+    # whole repartition, ~9 s of pure overhead at sf0.01).
+    n = load_table(spark, sf_dir, "embeddings").count()
+    bits = max(18, (max(2, n) - 1).bit_length() + 6)
+    base = _vecs(spark, sf_dir)
+    aug = base.unionByName(_planted_twins(base))
+    return lsh_neardup_pairs(aug, 0.95, bits_per_band=bits, bands=48)
 
 
 # -- cross-snapshot ANN index maintenance ----------------------------

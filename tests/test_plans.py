@@ -102,6 +102,7 @@ def test_no_cartesian_in_lsh_dedup(spark, sf_dir):
         "embedding_neardup",
         "simhash_neardup",
         "lsh_neardup_prod",
+        "lsh_neardup_adaptive",
     ):
         plan = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, (name, plan)
