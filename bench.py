@@ -77,6 +77,20 @@ HEADLINE = [
     "drift_psi",          # the standing PSI drift monitor — benched
                           # to show monitoring is ~free (one scan
                           # into 10 counters)
+    # -- round-8 additions (one-time total-seconds rebaseline: the
+    # round-over-round regression gate keys on per-query deltas, so
+    # new names simply have no delta their first round) --
+    "lsh_neardup_prod",   # pinned-knob production near-dup contract
+                          # (planted-twin corpus, exact-recall oracle)
+    "lsh_neardup_adaptive",  # the production entry: corpus-count-
+                          # derived band width (ceil(log2 n)+6)
+    "ann_index_upsert",   # incremental ANN postings maintenance
+                          # (delta-only assignment == full rebuild)
+    "prep_pipeline",      # training-data prep flagship: filter ->
+                          # split -> decontaminate -> pack -> report
+                          # in ONE plan
+    "ann_mutual_knn_graph",  # mutual-kNN graph over adaptive cells
+                          # with the provable top-k gram prune
 ]
 # NOT here: dedup_minhash_lsh / dedup_ngram_jaccard.  They are correct
 # (oracle-green at the driver's sf0.01) but this synthetic corpus has a
