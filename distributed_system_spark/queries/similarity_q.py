@@ -2329,7 +2329,9 @@ def ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregated groupBy on ~64 cells.  Norm sums go through
     fixed-scale DECIMAL so the merge is order-insensitive
     (queries/_util.py contract)."""
+    import atexit
     import hashlib
+    import shutil
 
     from distributed_system_spark.queries._util import dsum
 
@@ -2337,6 +2339,12 @@ def ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "/tmp/dss-annidx-"
         + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     )
+    # Retention: the postings dir is overwritten per day-partition on
+    # every run (idempotent, never grows), and removed at interpreter
+    # exit — AFTER any action on the returned lazy frame, which still
+    # has to read it.  An inline rmtree-in-finally would delete the
+    # index before the caller's collect.
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     base = _vecs(spark, sf_dir).select(
         F.col("id").alias("vec_id"), F.col("vec").alias("v")
     )

@@ -38,7 +38,12 @@ from distributed_system_spark.session import get_spark  # noqa: E402
 
 SMALL = os.environ.get("DECADE_SMALL", "/root/testdata/sf0.1")
 LARGE = os.environ.get("DECADE_LARGE", "/tmp/dss-scale/sf1")
-BEST_OF = 3
+BEST_OF = int(os.environ.get("DECADE_BEST_OF", "3"))
+# Large-side repeat count, separately tunable: the text family's
+# fourth-decade runs are 5-20 MINUTES each, where best-of-3 would
+# cost more wall than it buys precision — best-of-2 bounds the JIT/GC
+# band while keeping a decade sweep under an hour.
+BEST_OF_LARGE = int(os.environ.get("DECADE_BEST_OF_LARGE", str(BEST_OF)))
 
 
 def _run(q, spark, sf_dir: str) -> float:
@@ -68,7 +73,7 @@ def main() -> int:
     for name in names:
         q = registry[name]
         small = min(_run(q, spark, SMALL) for _ in range(BEST_OF))
-        large = min(_run(q, spark, LARGE) for _ in range(BEST_OF))
+        large = min(_run(q, spark, LARGE) for _ in range(BEST_OF_LARGE))
         # Guard the table print with the same small>0 check as the rows
         # entry — a zero best-of-N timing must not abort the run (and
         # lose every prior measurement) before the JSON line prints.

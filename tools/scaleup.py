@@ -213,6 +213,43 @@ def build_embeddings_only(
     return out
 
 
+def build_documents_only(
+    out_root: str,
+    name: str,
+    src: str,
+    stride_scale: int,
+) -> str:
+    """Chain ONLY the documents table another decade (same id-shift +
+    replica-disjoint token-suffix transform as :func:`build`),
+    symlinking every other table from the source dir.  Exists for the
+    text/MinHash family's FOURTH scale decade: 5 M documents is a
+    ~3 GB build, while a full sf100 would be a 6-billion-row
+    lineitem — the documents-family queries (curation, incremental
+    dedup, controlled-rate MinHash) are the only ones whose fourth
+    decade is worth the disk here, mirroring build_embeddings_only."""
+    out = os.path.join(out_root, name)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW r AS SELECT unnest(range({REPLICAS})) AS rep")
+    doc_stride = DOC_STRIDE * stride_scale
+    con.execute(
+        f"""COPY (
+        SELECT doc_id + rep * {doc_stride} AS doc_id,
+               array_to_string(list_transform(str_split(text, ' '),
+                   x -> x || '_r' || CAST(rep AS VARCHAR)), ' ') AS text,
+               lang, source, n_chars
+        FROM '{src}/documents.parquet' CROSS JOIN r
+        ) TO '{out}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events embeddings"
+    ).split():
+        os.symlink(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
+    return out
+
+
 if __name__ == "__main__":
     root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/dss-scale"
     which = sys.argv[2] if len(sys.argv) > 2 else "sf1"
@@ -232,7 +269,16 @@ if __name__ == "__main__":
                 root, "sf100e", src=sf10, stride_scale=REPLICAS**2
             )
         )
+    elif which == "sf100d":
+        sf10 = os.path.join(root, "sf10")
+        if not os.path.isdir(sf10):
+            raise SystemExit("build sf10 first")
+        print(
+            build_documents_only(
+                root, "sf100d", src=sf10, stride_scale=REPLICAS**2
+            )
+        )
     else:
         raise SystemExit(
-            f"unknown target {which!r}; use sf1, sf10, or sf100e"
+            f"unknown target {which!r}; use sf1, sf10, sf100e, or sf100d"
         )
