@@ -1483,3 +1483,165 @@ def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("agreement_jaccard"),
     )
+
+
+@register(
+    "dedup_paragraph_exact",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+),
+s AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           [md5(array_to_string(toks[20*j+1: 20*j+20], ' '))
+            for j in range(0, CAST((len(toks) + 19) // 20 AS BIGINT))]))
+           AS h
+  FROM t
+),
+df AS (SELECT h, count(*) AS nd FROM s GROUP BY h)
+SELECT s.doc_id,
+       count(*) AS n_segs,
+       CAST(sum(CASE WHEN df.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_segs,
+       CAST(round(CAST(CAST(sum(CASE WHEN df.nd > 1 THEN 1 ELSE 0 END)
+                            AS DOUBLE) / count(*)
+                  AS DECIMAL(18,12)), 6) AS DOUBLE) AS dup_rate
+FROM s JOIN df USING (h)
+GROUP BY s.doc_id
+""",
+    tags=("dedup", "paragraph", "llm"),
+)
+def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUB-document exact dedup diagnostic (the CCNet/RefinedWeb
+    line-level dedup shape): each document is cut into non-overlapping
+    20-token segments — the paragraph stand-in for this
+    newline-free corpus — each distinct segment is md5-hashed, and a
+    segment counts as duplicated when its hash occurs in MORE THAN
+    ONE document.  Per doc: distinct-segment count, duplicated-
+    segment count, and the dup rate that drives the drop/trim
+    decision (whole-doc dedup misses boilerplate that rides inside
+    otherwise-unique pages; this is the operator that catches it).
+
+    Scale shape: segmentation is per-row array math (explode bounded
+    by n_tokens/20); the segment-frequency table is one groupBy on
+    the 16-byte hash; the per-doc report joins back on that hash —
+    all equi-joins on hashes, no pair emission, linear in total
+    segments.  dup_rate goes through DECIMAL so both engines round
+    the same ties."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ", -1)
+    nseg = F.expr("(size(split(text, ' ', -1)) + 19) div 20")
+    segs = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), nseg - 1),
+            lambda j: F.md5(
+                F.array_join(
+                    F.slice(toks, (j * 20 + 1).cast("int"), 20), " "
+                ).cast("binary")
+            ),
+        )
+    )
+    u = docs.select("doc_id", F.explode(segs).alias("h"))
+    freq = u.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+    dup = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+    return (
+        u.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            dup.cast("long").alias("n_dup_segs"),
+            F.round(
+                (dup.cast("double") / F.count(F.lit(1))).cast(
+                    "decimal(18,12)"
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("dup_rate"),
+        )
+    )
+
+
+@register(
+    "split_leakage_simhash",
+    oracle=f"""
+WITH {_SIMHASH_SQL},
+sp AS (
+  SELECT doc_id AS id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+              THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+              THEN 'val' ELSE 'test' END AS split
+  FROM documents
+)
+SELECT CASE WHEN sa.split = 'test' THEN a.id ELSE b.id END AS test_doc,
+       CASE WHEN sa.split = 'test' THEN b.id ELSE a.id END AS train_doc,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM fp a
+JOIN fp b ON a.id < b.id
+JOIN sp sa ON sa.id = a.id
+JOIN sp sb ON sb.id = b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+  AND ((sa.split = 'test' AND sb.split = 'train')
+    OR (sa.split = 'train' AND sb.split = 'test'))
+""",
+    tags=("dedup", "leakage", "split", "llm"),
+)
+def split_leakage_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY train/test leakage audit: near-duplicate pairs that
+    straddle the md5-bucket split (`dataset_split`'s assignment) —
+    the companion to `contamination_check`, which only sees EXACT
+    8-gram overlap; a lightly paraphrased eval document slips past
+    exact grams but not past a Hamming<=3 64-bit SimHash match.
+    Output is the leak list (test_doc, train_doc, hamming) a curation
+    pass must resolve before the split ships.
+
+    Scale shape: same 8x8-bit banded bucketing as simhash_neardup —
+    pigeonhole-lossless for Hamming<=3, so the exhaustive-oracle
+    parity is a proof, not a recall gamble; the split sides join in
+    AFTER candidate generation (two equi-joins on doc_id), so the
+    banded pair volume — not the corpus — bounds the work."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_neardup_pairs(simhash64(doc_tokens(docs)), max_hamming=3)
+    b = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+    )
+    sp = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(b < "cd", "train")
+        .when(b < "e6", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    j = (
+        pairs.join(
+            sp.select(
+                F.col("id").alias("id_a"), F.col("split").alias("split_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sp.select(
+                F.col("id").alias("id_b"), F.col("split").alias("split_b")
+            ),
+            "id_b",
+        )
+        .filter(
+            (
+                (F.col("split_a") == "test") & (F.col("split_b") == "train")
+            )
+            | (
+                (F.col("split_a") == "train") & (F.col("split_b") == "test")
+            )
+        )
+    )
+    return j.select(
+        F.when(F.col("split_a") == "test", F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("test_doc"),
+        F.when(F.col("split_a") == "test", F.col("id_b"))
+        .otherwise(F.col("id_a"))
+        .alias("train_doc"),
+        "hamming",
+    )

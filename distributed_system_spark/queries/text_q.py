@@ -3232,3 +3232,421 @@ def score_brier_decomposition(
             6,
         ).alias("uncertainty"),
     )
+
+
+@register(
+    "dataset_token_budget",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source, len(str_split(text, ' ')) AS n_toks
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, n_toks,
+         sum(n_toks) OVER (PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT source,
+       count(*) AS n_docs_total,
+       CAST(sum(CASE WHEN cum <= 20000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_kept,
+       CAST(sum(CASE WHEN cum <= 20000 THEN n_toks ELSE 0 END) AS BIGINT)
+         AS n_tokens_kept,
+       CAST(round(CAST(CAST(sum(CASE WHEN cum <= 20000 THEN n_toks
+                                 ELSE 0 END) AS DOUBLE) / 20000.0
+                  AS DECIMAL(18,12)), 6) AS DOUBLE) AS budget_frac
+FROM r GROUP BY source
+""",
+    tags=("llm", "sampling", "mixing"),
+)
+def dataset_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE TOKEN-BUDGET sampling — the quota step of dataset
+    mixing: within each source, documents are ranked by md5(doc_id)
+    (pseudorandom yet deterministic, the dataset_split idiom) and the
+    greedy prefix whose INCLUSIVE cumulative token count stays within
+    the 20,000-token budget is kept.  Report per source: totals,
+    kept counts, and budget utilisation — the knob a data-mixing run
+    turns when one source must not dominate the token mix.
+
+    Scale shape: one window per source (single shuffle on the
+    bounded-cardinality source key), all-integer cumulative sums —
+    no sampling randomness to reconcile across engines, re-runs, or
+    engine versions; the same rule at 100 TB keeps whole-corpus
+    reproducibility because the rank is content-addressed, not
+    row-order-dependent."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ", -1)).cast("long").alias("n_toks"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = t.withColumn("cum", F.sum("n_toks").over(w))
+    kept = F.when(F.col("cum") <= 20000, F.col("n_toks")).otherwise(0)
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_total"),
+        F.sum(F.when(F.col("cum") <= 20000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_kept"),
+        F.sum(kept).cast("long").alias("n_tokens_kept"),
+        F.round(
+            (F.sum(kept).cast("double") / F.lit(20000.0)).cast(
+                "decimal(18,12)"
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("budget_frac"),
+    )
+
+
+@register(
+    "filter_attribution_report",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, str_split(text, ' ') AS toks FROM documents
+), m AS (
+  SELECT doc_id, lang,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_unique,
+         len(list_filter(toks, x -> list_contains(
+             ['the','a','of','and','to','is','in'], x))) AS n_stop
+  FROM t
+), fl AS (
+  SELECT n_tokens,
+         NOT (n_tokens BETWEEN 20 AND 5000) AS f_len,
+         NOT (CAST(n_unique AS DOUBLE) / n_tokens >= 0.2) AS f_div,
+         NOT (lang <> 'en'
+              OR CAST(n_stop AS DOUBLE) / n_tokens >= 0.02) AS f_stop
+  FROM m
+)
+SELECT 'length' AS rule,
+       CAST(sum(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+       CAST(sum(CASE WHEN f_len AND NOT f_div AND NOT f_stop
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_fail,
+       CAST(sum(CASE WHEN f_len THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS n_tokens_fail
+FROM fl
+UNION ALL
+SELECT 'diversity',
+       CAST(sum(CASE WHEN f_div THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN f_div AND NOT f_len AND NOT f_stop
+                THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN f_div THEN n_tokens ELSE 0 END) AS BIGINT)
+FROM fl
+UNION ALL
+SELECT 'stopword',
+       CAST(sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN f_stop AND NOT f_len AND NOT f_div
+                THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN f_stop THEN n_tokens ELSE 0 END) AS BIGINT)
+FROM fl
+""",
+    tags=("llm", "quality", "report"),
+)
+def filter_attribution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER ATTRIBUTION for the quality gate: per rule (length
+    band, lexical diversity, English stopword floor — exactly
+    doc_quality_filter's predicate, decomposed), how many documents
+    fail it, how many fail ONLY it (the marginal removal a rule-
+    ablation would recover), and how many tokens it removes.  The
+    report that tells a curation owner which rule is doing the work
+    and which is dead weight before they tune thresholds.
+
+    Scale shape: one scan computes the three boolean flags per doc,
+    one explode x3 unpivots them into (rule, fail, uniq, tokens)
+    rows, one groupBy on the 3-value rule key aggregates — no joins,
+    no second pass over text."""
+    docs = load_table(spark, sf_dir, "documents")
+    stops = F.array(*[F.lit(w) for w in
+                      ("the", "a", "of", "and", "to", "is", "in")])
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array(F.split("text", " ", -1))).alias("toks"),
+    )
+    m = t.select(
+        "lang",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_unique"),
+        F.size(F.filter("toks", lambda x: F.array_contains(stops, x)))
+        .cast("long")
+        .alias("n_stop"),
+    )
+    f_len = ~F.col("n_tokens").between(20, 5000)
+    f_div = ~(F.col("n_unique").cast("double") / F.col("n_tokens") >= 0.2)
+    f_stop = ~(
+        (F.col("lang") != "en")
+        | (F.col("n_stop").cast("double") / F.col("n_tokens") >= 0.02)
+    )
+    fl = m.select(
+        "n_tokens",
+        f_len.alias("f_len"),
+        f_div.alias("f_div"),
+        f_stop.alias("f_stop"),
+    )
+    rules = F.array(
+        F.struct(
+            F.lit("length").alias("rule"),
+            F.col("f_len").alias("fail"),
+            (F.col("f_len") & ~F.col("f_div") & ~F.col("f_stop")).alias(
+                "uniq"
+            ),
+        ),
+        F.struct(
+            F.lit("diversity").alias("rule"),
+            F.col("f_div").alias("fail"),
+            (F.col("f_div") & ~F.col("f_len") & ~F.col("f_stop")).alias(
+                "uniq"
+            ),
+        ),
+        F.struct(
+            F.lit("stopword").alias("rule"),
+            F.col("f_stop").alias("fail"),
+            (F.col("f_stop") & ~F.col("f_len") & ~F.col("f_div")).alias(
+                "uniq"
+            ),
+        ),
+    )
+    ex = fl.select("n_tokens", F.explode(rules).alias("r"))
+    return ex.groupBy(F.col("r.rule").alias("rule")).agg(
+        F.sum(F.when(F.col("r.fail"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_fail"),
+        F.sum(F.when(F.col("r.uniq"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unique_fail"),
+        F.sum(F.when(F.col("r.fail"), F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("n_tokens_fail"),
+    )
+
+
+@register(
+    "eval_set_builder",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, text, str_split(text, ' ') AS toks FROM documents
+), m AS (
+  SELECT doc_id, lang, text, toks,
+         len(toks) AS n_toks,
+         len(list_distinct(toks)) AS n_unique,
+         len(list_filter(toks, x -> list_contains(
+             ['the','a','of','and','to','is','in'], x))) AS n_stop
+  FROM t
+), gated AS (
+  SELECT doc_id, lang, text, toks, n_toks FROM m
+  WHERE n_toks BETWEEN 20 AND 5000
+    AND CAST(n_unique AS DOUBLE) / n_toks >= 0.2
+    AND (lang <> 'en' OR CAST(n_stop AS DOUBLE) / n_toks >= 0.02)
+), deduped AS (
+  SELECT doc_id, lang, toks, n_toks FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                 ORDER BY doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+), ranked AS (
+  SELECT doc_id, lang, toks, n_toks,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM deduped
+), split AS (
+  SELECT doc_id, lang, toks, n_toks,
+         CASE WHEN rn * 10 <= n * 8 THEN 'train'
+              WHEN rn * 10 <= n * 9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM ranked
+), grams AS (
+  SELECT doc_id, split,
+         unnest(list_distinct([md5(array_to_string(toks[i:i+7], ' '))
+                for i in range(1, len(toks) - 6)])) AS h
+  FROM split WHERE split <> 'val' AND len(toks) >= 8
+), common AS (
+  SELECT h FROM grams WHERE split = 'train'
+  GROUP BY h HAVING count(*) <= 100
+), contaminated AS (
+  SELECT DISTINCT te.doc_id
+  FROM (SELECT * FROM grams WHERE split = 'test') te
+  JOIN common USING (h)
+  JOIN (SELECT * FROM grams WHERE split = 'train') tr ON te.h = tr.h
+  GROUP BY te.doc_id, tr.doc_id
+  HAVING count(*) >= 3
+), eval_kept AS (
+  SELECT s.doc_id, s.lang, s.n_toks
+  FROM split s ANTI JOIN contaminated c ON s.doc_id = c.doc_id
+  WHERE s.split = 'test'
+), packs AS (
+  SELECT lang, n_toks,
+         (sum(n_toks) OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              ROWS UNBOUNDED PRECEDING) - n_toks) // 512 AS pack_id
+  FROM eval_kept
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+       CAST(round(CAST(CAST(sum(n_toks) AS DOUBLE)
+                       / (count(DISTINCT pack_id) * 512)
+                  AS DECIMAL(18,12)), 6) AS DOUBLE) AS fill_rate
+FROM packs GROUP BY lang
+""",
+    tags=("llm", "curation", "eval", "flagship"),
+)
+def eval_set_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVAL-SET BUILDER flagship: quality gate -> exact dedup ->
+    per-language STRATIFIED split -> decontaminate the eval slice
+    against its own train slice -> pack eval docs into 512-token
+    sequences, composed as ONE Spark plan — the companion flagship to
+    ``prep_pipeline`` (which preps the TRAIN side); this builds the
+    held-out set a multilingual benchmark actually ships.  Stage
+    semantics are the registry's own: ``doc_quality_filter``'s gate,
+    ``dedup_exact``'s md5 keep-min rule, ``dataset_split_stratified``'s
+    all-integer per-language 80/10/10, ``contamination_check``'s
+    suppressed-8-gram >=3 rule (applied as the REMOVAL it exists for),
+    and ``seq_packing``'s integer-division pack ids.
+
+    Per language out: eval docs kept, their token count, 512-token
+    pack count, and fill rate — the size/balance report that decides
+    whether the eval set is usable per language.
+
+    Scale shape: every join is equi (md5 text hash, 8-gram hash,
+    doc_id anti-join, broadcast-size lang key); the gram join
+    fan-out is capped by the >100-train-doc suppression; the two
+    windows shuffle on bounded-cardinality keys (md5-hash partitions,
+    lang) — no crossJoin, no driver loop, no collect (plan-asserted
+    in tests/test_plans.py).  All split/pack arithmetic is integer,
+    so engine parity is exact; fill_rate rounds through DECIMAL."""
+    docs = load_table(spark, sf_dir, "documents")
+    stops = F.array(*[F.lit(w) for w in
+                      ("the", "a", "of", "and", "to", "is", "in")])
+    toks = F.split("text", " ", -1)
+    m = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.explode(F.array(toks)).alias("toks"),
+    ).select(
+        "doc_id",
+        "lang",
+        "text",
+        "toks",
+        F.size("toks").cast("long").alias("n_toks"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_unique"),
+        F.size(F.filter("toks", lambda x: F.array_contains(stops, x)))
+        .cast("long")
+        .alias("n_stop"),
+    )
+    gated = m.filter(
+        F.col("n_toks").between(20, 5000)
+        & (F.col("n_unique").cast("double") / F.col("n_toks") >= 0.2)
+        & (
+            (F.col("lang") != "en")
+            | (F.col("n_stop").cast("double") / F.col("n_toks") >= 0.02)
+        )
+    )
+    wd = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy(
+        "doc_id"
+    )
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "toks", "n_toks")
+    )
+    ws = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    wn = Window.partitionBy("lang")
+    split = deduped.select(
+        "doc_id",
+        "lang",
+        "toks",
+        "n_toks",
+        F.row_number().over(ws).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).select(
+        "doc_id",
+        "lang",
+        "toks",
+        "n_toks",
+        F.when(F.col("rn") * 10 <= F.col("n") * 8, "train")
+        .when(F.col("rn") * 10 <= F.col("n") * 9, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    grams8 = F.when(
+        F.size("toks") >= 8,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 7),
+                lambda i: F.md5(
+                    F.array_join(F.slice("toks", i, 8), " ").cast(
+                        "binary"
+                    )
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = split.filter(F.col("split") != "val").select(
+        "doc_id", "split", F.explode(grams8).alias("h")
+    )
+    train_g = grams.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "h"
+    )
+    test_g = grams.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc"), "h"
+    )
+    common = (
+        train_g.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_train"))
+        .filter(F.col("n_train") <= 100)
+        .select("h")
+    )
+    contaminated = (
+        test_g.join(common, "h")
+        .join(train_g, "h")
+        .groupBy("test_doc", "train_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+        .select(F.col("test_doc").alias("doc_id"))
+        .distinct()
+    )
+    eval_kept = (
+        split.filter(F.col("split") == "test")
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang", "n_toks")
+    )
+    wp = (
+        Window.partitionBy("lang")
+        .orderBy(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packs = eval_kept.withColumn(
+        "cum", F.sum("n_toks").over(wp)
+    ).withColumn("pack_id", F.expr("(cum - n_toks) div 512"))
+    return packs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.countDistinct("pack_id").cast("long").alias("n_packs"),
+        F.round(
+            (
+                F.sum("n_toks").cast("double")
+                / (F.countDistinct("pack_id") * 512)
+            ).cast("decimal(18,12)"),
+            6,
+        )
+        .cast("double")
+        .alias("fill_rate"),
+    )

@@ -1020,3 +1020,59 @@ def test_percentile_audit_sketch_mergeable_no_global_sort(spark, sf_dir):
     assert plan.count("ObjectHashAggregate") >= 2, plan
     assert "SinglePartition" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_eval_set_builder_plan_shape(spark, sf_dir):
+    """The eval-set flagship must compose as equi-joins only (md5
+    text hash dedup window, 8-gram contamination equi-join, doc_id
+    anti-join, lang windows) — never a CartesianProduct or
+    BroadcastNestedLoopJoin, never a global (SinglePartition)
+    window: the dedup window partitions by the md5 hash, the
+    split/pack windows by lang."""
+    plan = plan_of(spark, sf_dir, "eval_set_builder")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_paragraph_dedup_equi_join_on_segment_hash(spark, sf_dir):
+    """dedup_paragraph_exact: the segment-frequency join back to the
+    per-doc segment stream must be an equi-join on the 16-byte md5
+    (hash or sort-merge), with partial aggregation on both the
+    frequency and report sides — never a cartesian."""
+    plan = plan_of(spark, sf_dir, "dedup_paragraph_exact")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_split_leakage_banded_candidates(spark, sf_dir):
+    """split_leakage_simhash: candidates must come from the banded
+    (band, bucket) equi-join — the pigeonhole-lossless simhash
+    bucketing — and the split labels join in by doc_id equi-joins;
+    an accidental cross join is the all-pairs failure the banding
+    exists to avoid."""
+    plan = plan_of(spark, sf_dir, "split_leakage_simhash")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_token_budget_window_partitions_by_source(spark, sf_dir):
+    """dataset_token_budget: ONE window, partitioned by source (the
+    quota is per source — a global window would single-partition the
+    corpus), then a partial+final aggregate on the same key."""
+    plan = plan_of(spark, sf_dir, "dataset_token_budget")
+    assert "Window" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_filter_attribution_single_scan_no_join(spark, sf_dir):
+    """filter_attribution_report: one scan, one explode x3 unpivot,
+    one partial+final aggregate — no join anywhere (the flags are
+    computed per row; attribution must not re-scan text per rule)."""
+    plan = plan_of(spark, sf_dir, "filter_attribution_report")
+    for op in ("Join", "CartesianProduct"):
+        assert op not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
