@@ -570,3 +570,104 @@ def mm_image_channel_stats(
             F.col("csum").cast("double") / F.col("npix"), 6
         ).alias("cmean"),
     )
+
+
+def _crossmodal_oracle() -> str:
+    """Composed oracle for crossmodal_dedup_pipeline: the
+    dedup_phash_hamming 32-bit signature chain (inline below, same
+    literals) plus dedup_q's shared 64-bit SimHash CTE."""
+    from distributed_system_spark.queries.dedup_q import _SIMHASH_SQL
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) // 24 AS h FROM documents
+  WHERE length(text) >= 24
+),
+px AS (
+  SELECT doc_id, h * 8 AS npix, i,
+         unicode(substr(text, CAST(3 * i + 1 AS INT), 1))
+       + unicode(substr(text, CAST(3 * i + 2 AS INT), 1))
+       + unicode(substr(text, CAST(3 * i + 3 AS INT), 1)) AS g
+  FROM (SELECT doc_id, text, h, unnest(range(0, h * 8)) AS i FROM d)
+),
+sig AS (
+  SELECT doc_id,
+         CAST(list_sum([CASE WHEN gl[(p * npix) // 32 + 1] * npix > total
+                             THEN CAST(pow(2.0, p) AS BIGINT)
+                             ELSE 0 END
+                        for p in range(0, 32)]) AS BIGINT) AS sig
+  FROM (SELECT doc_id, any_value(npix) AS npix, sum(g) AS total,
+               list(g ORDER BY i) AS gl
+        FROM px GROUP BY doc_id)
+),
+{_SIMHASH_SQL.lstrip()},
+ip AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sig, b.sig)) <= 2
+),
+tp AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM fp a JOIN fp b ON a.id < b.id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+j AS (
+  SELECT coalesce(i.id_b, t.id_b) AS doc_id,
+         CASE WHEN i.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_img,
+         CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_txt
+  FROM ip i FULL OUTER JOIN tp t
+    ON i.id_a = t.id_a AND i.id_b = t.id_b
+)
+SELECT doc_id,
+       CAST(sum(in_img) > 0 AS BOOLEAN) AS by_image,
+       CAST(sum(in_txt) > 0 AS BOOLEAN) AS by_text,
+       count(*) AS n_pairs
+FROM j GROUP BY doc_id
+"""
+
+
+@register(
+    "crossmodal_dedup_pipeline",
+    oracle=_crossmodal_oracle(),
+    tags=("multimodal", "dedup", "flagship"),
+)
+def crossmodal_dedup_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CROSS-MODALITY dedup flagship: the IMAGE near-dup pass
+    (``dedup_phash_hamming`` — real PPM decode -> 32-bit average-hash
+    -> pigeonhole-lossless banded Hamming<=2 pairs) and the TEXT
+    near-dup pass (``simhash_neardup`` — 64-bit SimHash, banded
+    Hamming<=3) run over the SAME corpus in ONE composed plan, their
+    pair sets full-outer joined on the pair key, and reduced to the
+    multimodal DROP LIST: for every near-dup pair the keep-min rule
+    drops the higher doc_id, and each dropped doc carries WHICH
+    modality caught it (by_image / by_text) plus its pair count.
+    This is ``dedup_modality_agreement``'s one-row report turned into
+    the per-document curation artifact — the list an image+caption
+    pipeline actually applies, where text-only or image-only flags
+    mark the disagreement cases a reviewer samples.
+
+    Scale shape: both candidate generators are banded equi-joins
+    (signature-distinct on the image side, (band, bucket) on the
+    text side — each documented in its own query); the agreement
+    join is equi on (id_a, id_b); the final reduction is one groupBy
+    on the dropped id.  No cartesian anywhere (plan-asserted)."""
+    from distributed_system_spark.queries.dedup_q import simhash_neardup
+
+    img = dedup_phash_hamming(spark, sf_dir).select(
+        "id_a", "id_b", F.lit(1).alias("in_img")
+    )
+    txt = simhash_neardup(spark, sf_dir).select(
+        "id_a", "id_b", F.lit(1).alias("in_txt")
+    )
+    j = img.join(txt, ["id_a", "id_b"], "full_outer").select(
+        F.col("id_b").alias("doc_id"),
+        F.coalesce("in_img", F.lit(0)).alias("in_img"),
+        F.coalesce("in_txt", F.lit(0)).alias("in_txt"),
+    )
+    return j.groupBy("doc_id").agg(
+        (F.sum("in_img") > 0).alias("by_image"),
+        (F.sum("in_txt") > 0).alias("by_text"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )

@@ -804,3 +804,108 @@ def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("idcg", 6).alias("idcg_at_20"),
         F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_20"),
     )
+
+
+@register(
+    "retrieval_hard_negatives",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+), dl AS (
+  SELECT doc_id, len(toks) AS dl FROM d
+), stats AS (
+  SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl
+), toks AS (
+  SELECT d.doc_id, unnest(d.toks) AS term FROM d
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN {_BM25_TERMS!r}
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), contrib AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(
+           (ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+            * tf.tf * {_K1 + 1})
+           / (tf.tf + {_K1} * ({1 - _B} + {_B}
+              * (CAST(dl.dl AS DOUBLE)
+                 / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs))))
+           AS DECIMAL(18,6)) AS score
+  FROM tf
+  JOIN dft ON tf.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+)
+SELECT term, doc_id AS neg_doc, CAST(score AS DOUBLE) AS score, rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY term
+                               ORDER BY score DESC, doc_id) AS rnk
+  FROM contrib
+) WHERE rnk BETWEEN 2 AND 6
+""",
+    tags=("retrieval", "bm25", "training-data"),
+)
+def retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING from BM25 (the standard recipe for
+    training dense retrievers/rerankers: for each query, the
+    top-ranked lexical matches that are NOT the positive make the
+    hardest negatives).  Each query term's single-term BM25 ranking
+    is computed; rank 1 is taken as the positive and ranks 2-6 are
+    emitted as that query's hard negatives with their scores — the
+    (query, negative) table a contrastive training run joins against
+    its positives, and the lexical twin of the embedding-space
+    ``hard_negative_mining``.
+
+    Scale shape: identical posting discipline to text_bm25_topk —
+    tokens filtered to the query terms BEFORE any shuffle (|terms|
+    rows per doc max), df/corpus stats broadcast; the per-term rank
+    is a rank<=6 filter over a window partitioned by term, which
+    Spark executes as WindowGroupLimit (per-partition top-k heaps,
+    never a full per-term sort).  Scores are single DECIMAL-cast
+    contributions — no summation, so no ordering hazard."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.split("text", " ", -1).alias("toks"))
+    dl = d.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    )
+    toks = d.select("doc_id", F.explode("toks").alias("term")).filter(
+        F.col("term").isin(*_BM25_TERMS)
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    joined = (
+        tf.join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(_K1) * (
+        F.lit(1 - _B) + F.lit(_B) * (F.col("dl").cast("double") / avgdl)
+    )
+    score = ((idf * F.col("tf") * F.lit(_K1 + 1)) / denom).cast(
+        "decimal(18,6)"
+    )
+    scored = joined.select("term", "doc_id", score.alias("score"))
+    w = Window.partitionBy("term").orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk").between(2, 6))
+        .select(
+            "term",
+            F.col("doc_id").alias("neg_doc"),
+            F.col("score").cast("double").alias("score"),
+            "rnk",
+        )
+    )

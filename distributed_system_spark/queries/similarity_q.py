@@ -2695,3 +2695,80 @@ def embedding_outlier_score(
     return e.mapInPandas(
         score_batches, "vec_id long, score double"
     ).select("vec_id", F.round("score", 6).alias("score"))
+
+
+@register(
+    "semdedup_keep_best",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_ADAPTIVE_CELL_SQL},
+m AS (SELECT a1.vec_id, a1.cid, e.v AS vec FROM a1 JOIN e USING (vec_id)),
+p AS (
+  SELECT q.vec_id AS id_a, c.vec_id AS id_b, {_COS_SQL} AS cos,
+         sqrt(list_sum(list_transform(range(1, 65),
+              i -> q.vec[i] * q.vec[i]))) AS na,
+         sqrt(list_sum(list_transform(range(1, 65),
+              i -> c.vec[i] * c.vec[i]))) AS nb
+  FROM m q JOIN m c ON q.cid = c.cid AND q.vec_id < c.vec_id
+  WHERE {_COS_SQL} >= 0.4
+),
+l AS (
+  SELECT CASE WHEN na < nb OR (na = nb AND id_a > id_b)
+              THEN id_a ELSE id_b END AS vec_id,
+         cos
+  FROM p
+)
+SELECT vec_id, count(*) AS n_pairs_lost, max(cos) AS best_cos
+FROM l GROUP BY vec_id
+""",
+    tags=("similarity", "dedup", "semdedup"),
+)
+def semdedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KEEP DECISION on top of ``semdedup_pairs``: for every
+    within-cell near-dup pair (cosine >= 0.4), the member with the
+    SMALLER L2 norm loses (ties break to the higher vec_id losing) —
+    the SemDeDup paper's keep-one rule with the norm as the quality
+    proxy (low-norm embeddings correlate with short/degenerate
+    inputs).  Output is the DROP LIST: each losing vector with how
+    many pairs it lost and the strongest duplicate evidence against
+    it — the artifact a curation pass actually applies, where
+    semdedup_pairs is the diagnostic.
+
+    Determinism across engines: both sides compute the norm with the
+    SAME left-to-right IEEE fold (Spark's per-dimension accumulation
+    mirrors DuckDB's list_sum order bit-for-bit — the _COS_SQL
+    contract), so the na < nb comparison is exact, and the tie rule
+    is pure integer.  Scale: identical plan to semdedup_pairs (the
+    FULL within-cell pair set is required — the top-k prune is
+    deliberately NOT applied, same as the pair query) plus one
+    groupBy on the loser id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    m = _assign_adaptive_cells(e).select(
+        F.col("cluster").cast("long").alias("cluster"),
+        "vec_id",
+        "v",
+        "nrm",
+    )
+    pairs = _cell_pair_dots(m, with_labels=False).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    cos = F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+    scored = pairs.select(
+        "id_a", "id_b", "na", "nb", cos.alias("cos")
+    ).filter(F.col("cos") >= 0.4)
+    loser = F.when(
+        (F.col("na") < F.col("nb"))
+        | ((F.col("na") == F.col("nb")) & (F.col("id_a") > F.col("id_b"))),
+        F.col("id_a"),
+    ).otherwise(F.col("id_b"))
+    return (
+        scored.select(loser.alias("vec_id"), "cos")
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs_lost"),
+            F.max("cos").alias("best_cos"),
+        )
+    )

@@ -1076,3 +1076,37 @@ def test_filter_attribution_single_scan_no_join(spark, sf_dir):
     for op in ("Join", "CartesianProduct"):
         assert op not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_semdedup_keep_best_full_pairs_no_cartesian(spark, sf_dir):
+    """semdedup_keep_best: same cell-equi-join discipline as
+    semdedup_pairs (the keep decision needs the FULL within-cell
+    pair set — the top-k prune must NOT appear), then one
+    partial+final aggregate on the loser id."""
+    plan = plan_of(spark, sf_dir, "semdedup_keep_best")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_hard_negatives_windowgrouplimit_and_broadcast(spark, sf_dir):
+    """retrieval_hard_negatives: the rank<=6 filter over the per-term
+    window must plan as WindowGroupLimit (per-partition top-k heaps,
+    never a full per-term sort of the posting list), with df/stats
+    broadcast like text_bm25_topk."""
+    plan = plan_of(spark, sf_dir, "retrieval_hard_negatives")
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_crossmodal_pipeline_banded_both_sides(spark, sf_dir):
+    """crossmodal_dedup_pipeline: both modality pair generators stay
+    banded equi-joins inside the composed plan, the agreement join is
+    equi on the pair key (full outer), and the drop-list reduction is
+    partial+final — no cartesian, no nested-loop anywhere."""
+    plan = plan_of(spark, sf_dir, "crossmodal_dedup_pipeline")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "FullOuter" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
