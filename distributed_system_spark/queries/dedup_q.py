@@ -1645,3 +1645,94 @@ def split_leakage_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("train_doc"),
         "hamming",
     )
+
+
+@register(
+    "dedup_incremental_ctrl",
+    oracle=f"""
+WITH {_CTRL_CORPUS_SQL},
+mh AS (
+  SELECT id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || tok)) AS mh
+  FROM toks CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) s
+  GROUP BY id, seed
+),
+bands AS (
+  SELECT id, CAST(seed // 2 AS INT) AS band,
+         md5(string_agg(mh, ',' ORDER BY seed)) AS sig
+  FROM mh GROUP BY id, CAST(seed // 2 AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+  WHERE b.id >= 1000000
+),
+sizes AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN toks a ON a.id = c.id_a
+  JOIN toks b ON b.id = c.id_b AND b.tok = a.tok
+  GROUP BY c.id_a, c.id_b
+),
+dups AS (
+  SELECT DISTINCT i.id_b
+  FROM inter i
+  JOIN sizes na ON na.id = i.id_a
+  JOIN sizes nb ON nb.id = i.id_b
+  WHERE round(CAST(i.inter AS DOUBLE) / (na.n + nb.n - i.inter), 6)
+        >= 0.8
+)
+SELECT c.doc_id,
+       CAST(len(str_split(c.text, ' ')) AS BIGINT) AS n_tokens,
+       c.doc_id IN (SELECT id_b FROM dups) AS is_dup
+FROM corpus c WHERE c.doc_id >= 1000000
+""",
+    tags=("dedup", "incremental", "bench"),
+)
+def dedup_incremental_ctrl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup on the CONTROLLED-dup-rate corpus — the
+    honest wall-time measurement for the standing-index steady state,
+    the ctrl twin of ``dedup_incremental`` exactly as
+    ``dedup_minhash_ctrl`` is the ctrl twin of ``dedup_minhash_lsh``:
+    the raw synthetic corpus's ~31-word vocabulary makes nearly every
+    pair a TRUE near-dup, so the raw incremental query's candidate
+    volume is the data's degeneracy, not the plan's (measured: at the
+    FOURTH scale decade, 5 M docs, the raw query's true-candidate
+    shuffle exceeded local disk — SCALE.md round-8).  Here the NEW
+    batch is the injected-clone id range (doc_id >= 1,000,000, ~5% of
+    the corpus), every clone's only near-dup is its source, and the
+    verdict per new doc (is_dup) certifies the keep-first rule.
+
+    Scale shape identical to dedup_incremental: the candidate join is
+    new x colliding-bucket only (the id_b >= 1,000,000 filter lands
+    INSIDE the candidate generation, before verification) — history
+    is never re-deduped, signatures of the increment join the
+    standing band index and survivors append."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = _ctrl_corpus(docs)
+    toks = doc_tokens(corpus)
+    sigs = minhash_signatures(toks, num_hashes=8)
+    bands = lsh_band_signatures(sigs, rows_per_band=2)
+    cand = lsh_candidate_pairs(bands).filter(F.col("id_b") >= 1000000)
+    dup_new = (
+        jaccard_verify(cand, toks, 0.8)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        corpus.filter(F.col("doc_id") >= 1000000)
+        .select(
+            "doc_id",
+            F.size(F.split("text", " ", -1)).cast("long").alias(
+                "n_tokens"
+            ),
+        )
+        .join(dup_new, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("hit").isNotNull().alias("is_dup"),
+        )
+    )

@@ -534,3 +534,50 @@ def stream_cms_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return cms_monitor_stream(spark, sf_dir)
+
+
+@register(
+    "stream_decontaminate",
+    oracle="""
+WITH assign AS (
+  SELECT doc_id, text,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+              THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+              THEN 'val' ELSE 'test' END AS split
+  FROM documents
+), g AS (
+  SELECT doc_id, split,
+         unnest(list_distinct([md5(array_to_string(toks[i:i+7], ' '))
+                for i in range(1, len(toks) - 6)])) AS h
+  FROM (SELECT doc_id, split, str_split(text, ' ') AS toks FROM assign)
+), common AS (
+  SELECT h FROM g WHERE split = 'test'
+  GROUP BY h HAVING count(*) <= 100
+), m AS (
+  SELECT tr.doc_id, te.doc_id AS eval_doc, count(*) AS n_shared
+  FROM (SELECT * FROM g WHERE split = 'train') tr
+  JOIN common USING (h)
+  JOIN (SELECT * FROM g WHERE split = 'test') te ON te.h = tr.h
+  GROUP BY tr.doc_id, te.doc_id
+  HAVING count(*) >= 3
+)
+SELECT doc_id, count(*) AS n_eval_docs,
+       CAST(max(n_shared) AS BIGINT) AS max_shared
+FROM m GROUP BY doc_id
+""",
+    tags=("C9", "llm", "contamination", "streaming"),
+)
+def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming decontamination against a frozen eval set: arriving
+    train-split docs checked per microbatch against the static
+    suppressed-8-gram eval index, quarantine verdicts appended to a
+    checkpointed piece sink — stateless per batch by construction, so
+    the drained sink equals the batch contamination join exactly (the
+    oracle); see streaming/streams.py::decontaminate_stream for the
+    scale analysis."""
+    from distributed_system_spark.streaming.streams import (
+        decontaminate_stream,
+    )
+
+    return decontaminate_stream(spark, sf_dir)

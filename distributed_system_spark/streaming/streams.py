@@ -1219,3 +1219,107 @@ def cms_monitor_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overestimate"),
         )
     )
+
+
+def decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DECONTAMINATION against a frozen eval set: train-split
+    documents arrive as microbatches and each is checked against a
+    STATIC suppressed-8-gram index of the eval (test-split) documents
+    — the production shape where the benchmark suite is frozen and
+    pretraining data streams past it.  A train doc sharing >= 3
+    distinct suppressed grams with any eval doc is emitted to the
+    quarantine sink with its evidence (how many eval docs it hit, the
+    strongest overlap).
+
+    Stateless per batch BY CONSTRUCTION: a doc's verdict depends only
+    on its own grams and the static index (every gram of a doc rides
+    in the doc's own microbatch), so the drained sink equals the batch
+    contamination join exactly — the oracle.  Exactly-once via the
+    checkpointed per-batch overwrite pieces (pieces_sink).
+
+    Scale shape: the eval index is built ONCE (grams in > 100 eval
+    docs suppressed — boilerplate that would otherwise fan out the
+    join); per batch the work is an equi-join of the batch's grams
+    against the index plus two bounded aggregations.  Real eval
+    suites are MBs — the index broadcasts; history is never re-read.
+    """
+    import os
+
+    src = f"{sf_dir.rstrip('/')}/documents.parquet"
+    root = f"/tmp/dss-decontam-{_src_tag(src)}"
+    out_dir, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
+
+    b = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+    )
+    split = (
+        F.when(b < "cd", "train").when(b < "e6", "val").otherwise("test")
+    )
+    toks = F.split("text", " ", -1)
+    grams8 = F.when(
+        F.size("toks") >= 8,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 7),
+                lambda i: F.md5(
+                    F.array_join(F.slice("toks", i, 8), " ").cast("binary")
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    docs = spark.read.parquet(src)
+    eval_g = (
+        docs.select("doc_id", split.alias("split"), toks.alias("toks"))
+        .filter(F.col("split") == "test")
+        .select(
+            F.col("doc_id").alias("eval_doc"), F.explode(grams8).alias("h")
+        )
+    )
+    common = (
+        eval_g.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_eval"))
+        .filter(F.col("n_eval") <= 100)
+        .select("h")
+    )
+    eval_idx = eval_g.join(common, "h")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        tg = (
+            batch_df.select(
+                "doc_id", split.alias("split"), toks.alias("toks")
+            )
+            .filter(F.col("split") == "train")
+            .select("doc_id", F.explode(grams8).alias("h"))
+        )
+        hits = (
+            tg.join(eval_idx, "h")
+            .groupBy("doc_id", "eval_doc")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= 3)
+        )
+        out = hits.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_eval_docs"),
+            F.max("n_shared").cast("long").alias("max_shared"),
+        )
+        out.write.mode("overwrite").parquet(f"{out_dir}/piece={batch_id}")
+
+    raw = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_docs_stage_dir(spark, sf_dir))
+    )
+    q = (
+        raw.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.schema(
+            "doc_id BIGINT, n_eval_docs BIGINT, max_shared BIGINT"
+        )
+        .parquet(out_dir)
+        .select("doc_id", "n_eval_docs", "max_shared")
+    )

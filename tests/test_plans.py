@@ -368,6 +368,11 @@ def test_incremental_dedup_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "LeftAnti" in plan, plan
+    # the ctrl twin (the honest scale measurement): same discipline,
+    # and the increment filter must land before verification.
+    plan = plan_of(spark, sf_dir, "dedup_incremental_ctrl")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
 def test_per_row_text_ops_are_shuffle_free(spark, sf_dir):
