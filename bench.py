@@ -91,6 +91,16 @@ HEADLINE = [
                           # in ONE plan
     "ann_mutual_knn_graph",  # mutual-kNN graph over adaptive cells
                           # with the provable top-k gram prune
+    "eval_set_builder",   # round-8 FLAGSHIP: gate -> dedup ->
+                          # stratified split -> decontaminate ->
+                          # pack, the eval-side of prep_pipeline
+    "crossmodal_dedup_pipeline",  # round-8 FLAGSHIP: image pHash +
+                          # text simhash pair sets -> multimodal
+                          # drop list in one plan
+    "dedup_incremental_ctrl",  # standing-index steady state on the
+                          # controlled corpus (the honest incremental
+                          # wall; the raw-corpus variant above is
+                          # candidate-degenerate by data design)
 ]
 # NOT here: dedup_minhash_lsh / dedup_ngram_jaccard.  They are correct
 # (oracle-green at the driver's sf0.01) but this synthetic corpus has a
