@@ -903,11 +903,13 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands, so candidate volume grows ~n^2 * bands / 2^bits — this is
     the registry's one deliberately contract-superlinear query, the
     window_ntile of dedup.  The production pass is now REGISTERED and
-    MEASURED: ``lsh_neardup_prod`` (threshold 0.95, 18 bits x 48
-    bands, exact-recall oracle on planted twins) with the adaptive
-    width bits = ceil(log2 n) + 6 measured at 1.8x / 2.7x wall per
-    10x data across sf0.1 -> sf1 -> sf10 at recall 1.0000
-    (SCALE.md round-7) — same operator, different knobs."""
+    MEASURED twice over: ``lsh_neardup_prod`` (pinned 18 bits x 48
+    bands contract demo, exact-recall oracle on planted twins) and —
+    the entry point to actually use — ``lsh_neardup_adaptive``, whose
+    width bits = max(18, ceil(log2 n) + 6) is DERIVED from the corpus
+    count and measured at 1.3x / 3.2x wall per 10x data across
+    sf0.1 -> sf1 -> sf10 at 100% oracle-certified recall (SCALE.md
+    rounds 7-8) — same operator, corpus-tracking knobs."""
     return lsh_neardup_pairs(_vecs(spark, sf_dir), 0.4)
 
 
