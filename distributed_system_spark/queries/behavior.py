@@ -2070,3 +2070,61 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tri_count").cast("long").alias("tri_count"),
         "rnk",
     )
+
+
+@register(
+    "event_sequence_pack",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+),
+r AS (
+  SELECT user_id, ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts_us, event_id) - 1 AS seq_idx
+  FROM e
+)
+SELECT user_id, seq_idx // 32 AS window_id,
+       count(*) AS n_events,
+       min(ts_us) AS start_us,
+       max(ts_us) AS end_us,
+       CAST(round(CAST(count(*) / 32.0 AS DECIMAL(18,12)), 6) AS DOUBLE)
+         AS fill_rate
+FROM r GROUP BY user_id, seq_idx // 32
+""",
+    tags=("behavior", "llm", "sequence"),
+)
+def event_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-SEQUENCE packing for sequence-model training: each
+    user's time-ordered event stream is cut into fixed 32-event
+    windows (the context length of a behavioral transformer), with
+    per-window counts, time bounds, and fill rate — seq_packing's
+    discipline applied to the events table, where the packing key is
+    the USER and the order is event time, not an md5 shard.  The
+    fill-rate tail (every user's last window) prices the padding an
+    epoch wastes, exactly like packing_efficiency does for token
+    packing.
+
+    Scale shape: one window per user (single shuffle on user_id,
+    the sessionize_events exchange), all-integer sequence indices and
+    floor-div window ids, deterministic via the (ts, event_id)
+    tiebreak; the aggregate is partial+final on (user, window)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    r = ev.select(
+        "user_id",
+        "ts_us",
+        (F.row_number().over(w) - 1).alias("seq_idx"),
+    ).withColumn("window_id", F.expr("seq_idx div 32"))
+    return r.groupBy("user_id", "window_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+        F.round(
+            (F.count(F.lit(1)) / F.lit(32.0)).cast("decimal(18,12)"), 6
+        )
+        .cast("double")
+        .alias("fill_rate"),
+    )

@@ -2774,3 +2774,137 @@ def semdedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cos").alias("best_cos"),
         )
     )
+
+
+@register(
+    "ann_prefilter_vs_postfilter",
+    oracle=f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec, label
+           FROM embeddings),
+pre AS (
+  SELECT q_id, n_id FROM (
+    SELECT q.id AS q_id, c.id AS n_id,
+           row_number() OVER (PARTITION BY q.id
+                              ORDER BY {_COS_SQL} DESC, c.id) AS rnk
+    FROM e q JOIN e c ON q.id < 10 AND c.id >= 10
+                     AND c.label = q.label
+  ) WHERE rnk <= 5
+),
+post20 AS (
+  SELECT q_id, n_id, n_label, q_label, rnk FROM (
+    SELECT q.id AS q_id, c.id AS n_id, c.label AS n_label,
+           q.label AS q_label,
+           row_number() OVER (PARTITION BY q.id
+                              ORDER BY {_COS_SQL} DESC, c.id) AS rnk
+    FROM e q JOIN e c ON q.id < 10 AND c.id >= 10
+  ) WHERE rnk <= 20
+),
+post AS (
+  SELECT q_id, n_id FROM (
+    SELECT q_id, n_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY rnk) AS prnk
+    FROM post20 WHERE n_label = q_label
+  ) WHERE prnk <= 5
+)
+SELECT p.q_id,
+       CAST(count(po.n_id) AS BIGINT) AS overlap_at_5,
+       CAST(round(CAST(count(po.n_id) / 5.0 AS DECIMAL(18,12)), 6)
+            AS DOUBLE) AS recall_at_5
+FROM pre p LEFT JOIN post po
+  ON p.q_id = po.q_id AND p.n_id = po.n_id
+GROUP BY p.q_id
+""",
+    tags=("similarity", "ann", "filtered-search"),
+)
+def ann_prefilter_vs_postfilter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FILTERED vector search audit — pre-filter vs post-filter, the
+    decision every metadata-constrained ANN deployment faces: for
+    each query (id < 10), the SAME-LABEL top-5 computed the exact way
+    (pre-filter: restrict the corpus to the query's label, THEN rank)
+    is compared against the cheap way (post-filter: take the
+    unfiltered top-20, keep label matches, truncate to 5).
+    Per query: how many survivors post-filtering even finds, and its
+    recall against the pre-filtered truth — the measured price of
+    post-filtering when the filter is selective (the known failure:
+    a 1%-selective filter leaves ~0.2 label matches in a top-20).
+
+    Scale shape: the pre-filter side joins query and corpus on the
+    label EQUI-key before ranking (a real index prunes to the label's
+    postings — this is that plan's brute-force stand-in); the
+    post-filter side is the bounded-query-set brute-force ranking
+    (broadcast 10 queries, one corpus scan, per-query top-k window);
+    the comparison join is equi on (query, neighbor)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = _vecs(spark, sf_dir).join(
+        emb.select(F.col("vec_id").alias("id"), "label"), "id"
+    )
+    q = vecs.filter(F.col("id") < 10)
+    c = vecs.filter(F.col("id") >= 10)
+
+    from distributed_system_spark.operators.similarity import (
+        brute_force_topk,
+        cosine,
+    )
+
+    # pre-filter: label equi-join THEN per-query exact top-5.
+    qj = q.select(
+        F.col("id").alias("q_id"), F.col("vec").alias("q_vec"), "label"
+    )
+    cj = c.select(
+        F.col("id").alias("n_id"), F.col("vec").alias("n_vec"), "label"
+    )
+    scored = (
+        F.broadcast(qj)
+        .join(cj, "label")
+        .select(
+            "q_id",
+            "n_id",
+            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias(
+                "cos"
+            ),
+        )
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "n_id")
+    pre = (
+        scored.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", "n_id")
+    )
+
+    # post-filter: unfiltered exact top-20, label-filter, first 5.
+    top20 = brute_force_topk(
+        q.select("id", "vec"), c.select("id", "vec"), k=20
+    )
+    lbl = emb.select(F.col("vec_id").alias("n_id"), F.col("label").alias("n_label"))
+    qlbl = emb.select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")
+    )
+    wp = Window.partitionBy("q_id").orderBy("rnk")
+    post = (
+        top20.join(F.broadcast(lbl), "n_id")
+        .join(F.broadcast(qlbl), "q_id")
+        .filter(F.col("n_label") == F.col("q_label"))
+        .withColumn("prnk", F.row_number().over(wp))
+        .filter(F.col("prnk") <= 5)
+        .select("q_id", F.col("n_id").alias("post_id"))
+    )
+    return (
+        pre.join(
+            post,
+            (pre["q_id"] == post["q_id"])
+            & (pre["n_id"] == post["post_id"]),
+            "left",
+        )
+        .drop(post["q_id"])
+        .groupBy("q_id")
+        .agg(
+            F.count("post_id").cast("long").alias("overlap_at_5"),
+            F.round(
+                (F.count("post_id") / 5.0).cast("decimal(18,12)"), 6
+            )
+            .cast("double")
+            .alias("recall_at_5"),
+        )
+    )

@@ -1115,3 +1115,23 @@ def test_crossmodal_pipeline_banded_both_sides(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "FullOuter" in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_event_sequence_pack_window_per_user(spark, sf_dir):
+    """event_sequence_pack: one window partitioned by user (the
+    sessionize_events exchange — never a global sequence index), then
+    a partial+final aggregate on (user, window)."""
+    plan = plan_of(spark, sf_dir, "event_sequence_pack")
+    assert "Window" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_filtered_ann_prefilter_is_label_equi_join(spark, sf_dir):
+    """ann_prefilter_vs_postfilter: the pre-filter side must reach its
+    candidates through the label EQUI-join (the postings-prune
+    stand-in) — a cartesian there means the filter never pruned; the
+    bounded 10-query sides broadcast."""
+    plan = plan_of(spark, sf_dir, "ann_prefilter_vs_postfilter")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
