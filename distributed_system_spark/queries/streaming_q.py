@@ -581,3 +581,38 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return decontaminate_stream(spark, sf_dir)
+
+
+@register(
+    "stream_token_budget",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(str_split(text, ' ')) AS BIGINT) AS n_toks
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, n_toks,
+         sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, source, n_toks FROM r WHERE cum <= 20000
+""",
+    tags=("C9", "llm", "sampling", "streaming"),
+)
+def stream_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-source token-budget admission: id-ordered
+    microbatches admit documents while the source's cumulative
+    arrived token count (standing totals + in-batch prefix) stays
+    within the 20k quota; admitted docs land in the checkpointed
+    piece sink and each batch appends its |sources|-row arrival sums
+    to the totals state.  Drained output equals the batch greedy
+    prefix rule over doc_id order (the oracle) — see
+    streaming/streams.py::token_budget_stream for the scale
+    analysis."""
+    from distributed_system_spark.streaming.streams import (
+        token_budget_stream,
+    )
+
+    return token_budget_stream(spark, sf_dir)

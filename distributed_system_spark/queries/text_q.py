@@ -3650,3 +3650,100 @@ def eval_set_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("fill_rate"),
     )
+
+
+@register(
+    "dataset_epoch_plan",
+    oracle="""
+WITH c AS (
+  SELECT source,
+         CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_tokens,
+         round(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,12)),
+               12) AS wr
+  FROM c
+),
+tot AS (SELECT SUM(CAST(wr AS DECIMAL(28,12))) AS sw FROM w),
+r AS (
+  SELECT source, n_tokens,
+         CAST(wr AS DOUBLE) / CAST(sw AS DOUBLE) AS share,
+         least(4.0,
+               (CAST(wr AS DOUBLE) / CAST(sw AS DOUBLE)) * 100000.0
+                 / CAST(n_tokens AS DOUBLE)) AS epochs
+  FROM w CROSS JOIN tot
+)
+SELECT source, n_tokens,
+       CAST(round(CAST(share AS DECIMAL(18,12)), 6) AS DOUBLE)
+         AS target_share,
+       CAST(round(CAST(epochs AS DECIMAL(18,12)), 6) AS DOUBLE)
+         AS epochs,
+       CAST(round(CAST(epochs * CAST(n_tokens AS DOUBLE)
+                  AS DECIMAL(28,6)), 0) AS BIGINT) AS effective_tokens
+FROM r
+""",
+    tags=("llm", "mixing", "planning"),
+)
+def dataset_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPOCH/REPEAT planning for dataset mixing — the table a
+    pretraining run derives before it touches any data: per source,
+    the alpha=0.5 temperature-scaled target share (the
+    dataset_alpha_mix scheme, here over TOKEN counts), the repeat
+    factor (epochs) that hits that share within a 100k-token budget,
+    and the effective token contribution — with epochs CAPPED at 4,
+    the empirical repeat ceiling from the data-constrained-scaling
+    literature (past ~4 epochs repeated tokens stop helping).  A
+    source whose cap binds under-fills its share; the table makes
+    that visible before training, which is the point.
+
+    Engine parity: sqrt is IEEE-correctly-rounded, the sqrt weights
+    round through DECIMAL(18,12) and sum exactly (the alpha_mix/zipf
+    convention), and every subsequent double op is the same
+    expression in the same order in both engines; final columns
+    round through DECIMAL.  Scale: ONE corpus scan into a
+    |sources|-row aggregate — the plan itself costs nothing."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " ", -1)))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    w = c.select(
+        "source",
+        "n_tokens",
+        F.round(
+            F.sqrt(F.col("n_tokens").cast("double")).cast(
+                "decimal(18,12)"
+            ),
+            12,
+        ).alias("wr"),
+    )
+    tot = w.agg(F.sum(F.col("wr").cast("decimal(28,12)")).alias("sw"))
+    share = F.col("wr").cast("double") / F.col("sw").cast("double")
+    epochs = F.least(
+        F.lit(4.0),
+        share * F.lit(100000.0) / F.col("n_tokens").cast("double"),
+    )
+    r = w.crossJoin(F.broadcast(tot)).select(
+        "source", "n_tokens", share.alias("share"), epochs.alias("epochs")
+    )
+    return r.select(
+        "source",
+        "n_tokens",
+        F.round(F.col("share").cast("decimal(18,12)"), 6)
+        .cast("double")
+        .alias("target_share"),
+        F.round(F.col("epochs").cast("decimal(18,12)"), 6)
+        .cast("double")
+        .alias("epochs"),
+        F.round(
+            (F.col("epochs") * F.col("n_tokens").cast("double")).cast(
+                "decimal(28,6)"
+            ),
+            0,
+        )
+        .cast("long")
+        .alias("effective_tokens"),
+    )

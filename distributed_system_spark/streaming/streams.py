@@ -1323,3 +1323,93 @@ def decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out_dir)
         .select("doc_id", "n_eval_docs", "max_shared")
     )
+
+
+def token_budget_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ADMISSION CONTROL under a per-source token budget —
+    the streaming face of ``dataset_token_budget``: documents arrive
+    as id-ordered microbatches, and a doc is ADMITTED while its
+    source's cumulative ARRIVED token count (prior batches + the
+    within-batch prefix, arrival order) stays within the 20,000-token
+    quota.  State is a standing per-source totals table maintained
+    exactly like ``signature_index_stream``'s signature index: each
+    batch reads the prior totals (a |sources|-row aggregate — never
+    history's rows), admits against prior + in-batch cumulative, and
+    appends its own per-source arrival sums as a totals piece.
+
+    Exactly-once via the checkpoint + deterministic per-batch
+    overwrite pieces.  The drained output equals the batch greedy
+    prefix rule (cum over doc_id order per source <= 20,000) — the
+    registered oracle — because id-ordered staging makes arrival
+    order the doc_id order, the same ingestion contract
+    signature_index_stream documents.
+
+    Scale shape: per batch, one window over the batch's own rows plus
+    a broadcast-sized totals join; the budget decision never touches
+    historical documents."""
+    import os
+
+    src = f"{sf_dir.rstrip('/')}/documents.parquet"
+    root = f"/tmp/dss-tokbudget-{_src_tag(src)}"
+    out_dir = os.path.join(root, "out")
+    totals_dir = os.path.join(root, "totals")
+    ckpt = os.path.join(root, "ckpt")
+    totals_schema = "source STRING, toks BIGINT"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        s = batch_df.sparkSession
+        docs = batch_df.localCheckpoint(eager=True).select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", " ", -1)).cast("long").alias("n_toks"),
+        )
+        w = (
+            Window.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = docs.withColumn("cum_batch", F.sum("n_toks").over(w))
+        have_totals = os.path.exists(totals_dir) and any(
+            not f.startswith(("_", ".")) for f in os.listdir(totals_dir)
+        )
+        if have_totals:
+            prior = (
+                s.read.schema(totals_schema)
+                .parquet(totals_dir)
+                .groupBy("source")
+                .agg(F.sum("toks").alias("prior"))
+            )
+            cum = cum.join(F.broadcast(prior), "source", "left")
+        else:
+            cum = cum.withColumn("prior", F.lit(None).cast("long"))
+        admitted = cum.filter(
+            F.col("cum_batch") + F.coalesce("prior", F.lit(0)) <= 20000
+        ).select("doc_id", "source", "n_toks")
+        admitted.write.mode("overwrite").parquet(
+            f"{out_dir}/piece={batch_id}"
+        )
+        docs.groupBy("source").agg(
+            F.sum("n_toks").cast("long").alias("toks")
+        ).write.mode("overwrite").parquet(
+            f"{totals_dir}/piece={batch_id}"
+        )
+
+    raw = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_docs_idordered_stage_dir(sf_dir))
+    )
+    q = (
+        raw.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.schema("doc_id BIGINT, source STRING, n_toks BIGINT")
+        .parquet(out_dir)
+        .select("doc_id", "source", "n_toks")
+    )

@@ -1135,3 +1135,13 @@ def test_filtered_ann_prefilter_is_label_equi_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "ann_prefilter_vs_postfilter")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_epoch_plan_single_scan_broadcast_total(spark, sf_dir):
+    """dataset_epoch_plan: one corpus scan into a partial+final
+    |sources|-row aggregate; the weight-sum total arrives via a
+    broadcast (1-row) join, never a second corpus pass."""
+    plan = plan_of(spark, sf_dir, "dataset_epoch_plan")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
