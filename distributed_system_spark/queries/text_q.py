@@ -1517,6 +1517,76 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lang_bucket_rank(df: DataFrame, cum_col: str = None) -> DataFrame:
+    """Skew-safe per-language rank: the global
+    ``row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id),
+    doc_id)`` recovered WITHOUT one-task-per-language.
+
+    A naive ``Window.partitionBy("lang")`` funnels each language
+    through a single shuffle partition — one task holds half the
+    corpus when one language is half the data, the single biggest
+    skew hazard at 100 TB.  Instead: rank within ``(lang, bucket)``
+    where bucket is the FIRST TWO HEX CHARS of the very md5 the rank
+    orders by, then add broadcast per-bucket prefix-sum offsets.
+    Because the bucket is a prefix of the ordering key, (bucket asc,
+    md5 asc) is exactly md5 asc — local rank + offset IS the global
+    rank, bit-for-bit, so every existing DuckDB oracle stays green
+    unchanged while the max window partition drops to ~1/256 of a
+    language.  (Reference analog: the range partitioner splits
+    contiguous key runs across workers, partitioner.cpp:57-98 —
+    never one-run-per-key.)
+
+    Input must carry ``doc_id`` and ``lang``; output adds ``rn``
+    (global per-language rank) and ``n`` (language size).  With
+    ``cum_col`` set, also adds ``cum`` — the global per-language
+    INCLUSIVE running sum of that column in the same order (the
+    seq-packing accumulator), via the same local-plus-bucket-offset
+    identity.  The offset table is a partial-aggregated groupBy
+    (map-side combine, so the second pass over the input shuffles
+    only |langs| x 256 rows, never a second full-data sort), then
+    two windows over those tiny rows and a broadcast join back."""
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    b = df.withColumn("_h", h).withColumn(
+        "_bkt", F.substring("_h", 1, 2)
+    )
+    wb = Window.partitionBy("lang", "_bkt").orderBy("_h", "doc_id")
+    local = b.withColumn("_rl", F.row_number().over(wb))
+    aggs = [F.count(F.lit(1)).alias("_cb")]
+    if cum_col is not None:
+        local = local.withColumn(
+            "_cuml",
+            F.sum(cum_col).over(
+                wb.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        aggs.append(F.sum(cum_col).alias("_tb"))
+    per_bucket = b.groupBy("lang", "_bkt").agg(*aggs)
+    wo = (
+        Window.partitionBy("lang")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off_cols = [
+        "lang",
+        "_bkt",
+        F.coalesce(F.sum("_cb").over(wo), F.lit(0)).alias("_off"),
+        F.sum("_cb").over(Window.partitionBy("lang")).alias("n"),
+    ]
+    if cum_col is not None:
+        off_cols.append(
+            F.coalesce(F.sum("_tb").over(wo), F.lit(0)).alias("_toff")
+        )
+    offs = per_bucket.select(*off_cols)
+    out = local.join(F.broadcast(offs), ["lang", "_bkt"]).withColumn(
+        "rn", F.col("_rl") + F.col("_off")
+    )
+    drop = ["_h", "_bkt", "_rl", "_off"]
+    if cum_col is not None:
+        out = out.withColumn("cum", F.col("_cuml") + F.col("_toff"))
+        drop += ["_cuml", "_toff"]
+    return out.drop(*drop)
+
+
 @register(
     "dataset_split_stratified",
     oracle="""
@@ -1551,22 +1621,13 @@ def dataset_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     split is for frozen corpus versions, while the md5-bucket split
     is stable under growth — a pipeline wants both.
 
-    At 100 TB: one window per stratum = one shuffle on lang (bounded
-    cardinality but skewed — big languages dominate; the rank is a
-    per-partition sort, the same cost profile as any per-key
-    ordering; for extreme strata the rfm_segments broadcast-threshold
-    pattern applies)."""
+    At 100 TB: SKEW-SAFE — the rank runs within (lang, md5-prefix
+    bucket) partitions via ``_lang_bucket_rank``, so a language that
+    is half the corpus spreads over 256 tasks instead of one; the
+    broadcast prefix-sum offsets recover the identical global rank,
+    which is why the oracle is the plain per-language window."""
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
-    )
-    wn = Window.partitionBy("lang")
-    r = docs.select(
-        "doc_id",
-        "lang",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    )
+    r = _lang_bucket_rank(docs.select("doc_id", "lang"))
     split = (
         F.when(F.col("rn") * 10 <= F.col("n") * 8, "train")
         .when(F.col("rn") * 10 <= F.col("n") * 9, "val")
@@ -3522,11 +3583,13 @@ def eval_set_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: every join is equi (md5 text hash, 8-gram hash,
     doc_id anti-join, broadcast-size lang key); the gram join
-    fan-out is capped by the >100-train-doc suppression; the two
-    windows shuffle on bounded-cardinality keys (md5-hash partitions,
-    lang) — no crossJoin, no driver loop, no collect (plan-asserted
-    in tests/test_plans.py).  All split/pack arithmetic is integer,
-    so engine parity is exact; fill_rate rounds through DECIMAL."""
+    fan-out is capped by the >100-train-doc suppression; the split
+    rank AND the pack running-sum both run SKEW-SAFE through
+    ``_lang_bucket_rank`` — (lang, md5-prefix bucket) partitions
+    plus broadcast prefix-sum offsets, never one task per language —
+    no crossJoin, no driver loop, no collect (plan-asserted in
+    tests/test_plans.py).  All split/pack arithmetic is integer, so
+    engine parity is exact; fill_rate rounds through DECIMAL."""
     docs = load_table(spark, sf_dir, "documents")
     stops = F.array(*[F.lit(w) for w in
                       ("the", "a", "of", "and", "to", "is", "in")])
@@ -3563,18 +3626,7 @@ def eval_set_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "toks", "n_toks")
     )
-    ws = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
-    )
-    wn = Window.partitionBy("lang")
-    split = deduped.select(
-        "doc_id",
-        "lang",
-        "toks",
-        "n_toks",
-        F.row_number().over(ws).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    ).select(
+    split = _lang_bucket_rank(deduped).select(
         "doc_id",
         "lang",
         "toks",
@@ -3626,16 +3678,9 @@ def eval_set_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(contaminated, "doc_id", "left_anti")
         .select("doc_id", "lang", "n_toks")
     )
-    wp = (
-        Window.partitionBy("lang")
-        .orderBy(
-            F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
-        )
-        .rowsBetween(Window.unboundedPreceding, 0)
+    packs = _lang_bucket_rank(eval_kept, cum_col="n_toks").withColumn(
+        "pack_id", F.expr("(cum - n_toks) div 512")
     )
-    packs = eval_kept.withColumn(
-        "cum", F.sum("n_toks").over(wp)
-    ).withColumn("pack_id", F.expr("(cum - n_toks) div 512"))
     return packs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_toks").cast("long").alias("n_tokens"),

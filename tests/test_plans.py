@@ -550,12 +550,22 @@ def test_ri_orphan_audit_broadcasts_dim_keys_one_fact_scan(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_stratified_split_is_one_shuffle_per_stratum_window(spark, sf_dir):
-    """dataset_split_stratified: rank and count share ONE exchange on
-    lang (same partitioning), so the stratified assignment costs a
-    single shuffle — and never a global (unpartitioned) sort."""
+def test_stratified_split_rank_is_lang_bucket_partitioned(spark, sf_dir):
+    """dataset_split_stratified must be SKEW-SAFE: the rank window
+    partitions on (lang, md5-prefix bucket) — never on lang alone,
+    which would funnel each language through ONE task — and the
+    per-bucket offsets come back via a broadcast join of a
+    partial-aggregated count table, never a second full-data sort."""
     plan = plan_of(spark, sf_dir, "dataset_split_stratified")
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # the row_number window spec must include the bucket column
+    assert re.search(
+        r"row_number\(\) windowspecdefinition\(lang#\d+, _bkt#\d+", plan
+    ), plan
+    # no window partitioned by lang alone over the big table: every
+    # lang-only window in the plan is over the tiny offset aggregate
+    # (downstream of the groupBy's HashAggregate pair)
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial+final counts
     assert "Exchange SinglePartition" not in plan, plan
 
 
@@ -1032,13 +1042,22 @@ def test_eval_set_builder_plan_shape(spark, sf_dir):
     text hash dedup window, 8-gram contamination equi-join, doc_id
     anti-join, lang windows) — never a CartesianProduct or
     BroadcastNestedLoopJoin, never a global (SinglePartition)
-    window: the dedup window partitions by the md5 hash, the
-    split/pack windows by lang."""
+    window: the dedup window partitions by the md5 hash, and the
+    split rank AND pack running-sum windows partition by
+    (lang, md5-prefix bucket) — skew-safe, never lang alone."""
     plan = plan_of(spark, sf_dir, "eval_set_builder")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "SinglePartition" not in plan, plan
     assert "LeftAnti" in plan, plan
+    # both big windows (split rank, pack cumsum) are bucketed
+    assert re.search(
+        r"row_number\(\) windowspecdefinition\(lang#\d+, _bkt#\d+", plan
+    ), plan
+    assert re.search(
+        r"sum\(n_toks#\d+L?\) windowspecdefinition\(lang#\d+, _bkt#\d+",
+        plan,
+    ), plan
 
 
 def test_paragraph_dedup_equi_join_on_segment_hash(spark, sf_dir):
