@@ -1325,20 +1325,29 @@ def decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def token_budget_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def token_budget_stream(
+    spark: SparkSession, sf_dir: str, budget: int = 20000
+) -> DataFrame:
     """Streaming ADMISSION CONTROL under a per-source token budget —
     the streaming face of ``dataset_token_budget``: documents arrive
     as id-ordered microbatches, and a doc is ADMITTED while its
     source's cumulative ARRIVED token count (prior batches + the
-    within-batch prefix, arrival order) stays within the 20,000-token
-    quota.  State is a standing per-source totals table maintained
+    within-batch prefix, arrival order) stays within the ``budget``
+    (default 20,000) token quota.  State is a standing per-source totals table maintained
     exactly like ``signature_index_stream``'s signature index: each
     batch reads the prior totals (a |sources|-row aggregate — never
     history's rows), admits against prior + in-batch cumulative, and
     appends its own per-source arrival sums as a totals piece.
 
     Exactly-once via the checkpoint + deterministic per-batch
-    overwrite pieces.  The drained output equals the batch greedy
+    overwrite pieces — and the prior-totals read EXCLUDES the
+    current batch's own piece (``piece != batch_id``): unlike the
+    content-idempotent signature index, an accumulating sum is only
+    replay-idempotent if a crashed attempt's own partial write is
+    invisible to the rerun, otherwise the replayed batch would count
+    its own tokens as prior and produce wrong admission verdicts
+    (pinned by test_token_budget_stream_replay_idempotent).  The
+    drained output equals the batch greedy
     prefix rule (cum over doc_id order per source <= 20,000) — the
     registered oracle — because id-ordered staging makes arrival
     order the doc_id order, the same ingestion contract
@@ -1350,7 +1359,10 @@ def token_budget_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     src = f"{sf_dir.rstrip('/')}/documents.parquet"
-    root = f"/tmp/dss-tokbudget-{_src_tag(src)}"
+    tag = _src_tag(src) if budget == 20000 else _src_tag(
+        src, f"b:{budget}"
+    )
+    root = f"/tmp/dss-tokbudget-{tag}"
     out_dir = os.path.join(root, "out")
     totals_dir = os.path.join(root, "totals")
     ckpt = os.path.join(root, "ckpt")
@@ -1375,9 +1387,15 @@ def token_budget_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             not f.startswith(("_", ".")) for f in os.listdir(totals_dir)
         )
         if have_totals:
+            # Read WITH the piece partition column and drop the
+            # current batch's own piece: a crashed attempt may have
+            # written totals piece=<batch_id> before the checkpoint
+            # commit, and summing it here would double-count this
+            # batch's tokens on replay.
             prior = (
-                s.read.schema(totals_schema)
+                s.read.schema(totals_schema + ", piece BIGINT")
                 .parquet(totals_dir)
+                .filter(F.col("piece") != batch_id)
                 .groupBy("source")
                 .agg(F.sum("toks").alias("prior"))
             )
@@ -1385,7 +1403,7 @@ def token_budget_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             cum = cum.withColumn("prior", F.lit(None).cast("long"))
         admitted = cum.filter(
-            F.col("cum_batch") + F.coalesce("prior", F.lit(0)) <= 20000
+            F.col("cum_batch") + F.coalesce("prior", F.lit(0)) <= budget
         ).select("doc_id", "source", "n_toks")
         admitted.write.mode("overwrite").parquet(
             f"{out_dir}/piece={batch_id}"

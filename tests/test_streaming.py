@@ -898,3 +898,86 @@ def test_cms_monitor_stream_matches_batch_and_reruns(spark, sf_dir):
     # all 7 watch tokens
     assert want <= got1
     assert got1 == got2
+
+
+def test_token_budget_stream_replay_idempotent(spark, sf_dir):
+    """token_budget_stream mid-batch crash replay: a failed attempt
+    writes its totals piece=<batch_id> but loses the checkpoint
+    commit.  The rerun must produce the IDENTICAL admission set —
+    which holds only because the prior-totals read filters out the
+    current batch's own piece; summing it would count the batch's
+    tokens twice and wrongly reject docs on replay (ADVICE r8)."""
+    import os
+    import shutil
+
+    from distributed_system_spark.streaming.streams import (
+        _src_tag,
+        token_budget_stream,
+    )
+
+    import math
+
+    # Pick a budget that BINDS inside the last microbatch for the
+    # heaviest source, so a replay that double-counts the batch's own
+    # totals piece visibly changes the admission set (without this
+    # the default 20k quota never binds at sf0.001 and the replay
+    # check is vacuous).
+    docs = load_table(spark, sf_dir, "documents")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    step = math.ceil(len(ids) / 3)
+    b2_start = ids[2 * step]
+    per_src = {
+        r.source: (r.prior01, r.tot)
+        for r in docs.select(
+            "source",
+            F.col("doc_id").alias("doc_id"),
+            F.size(F.split("text", " ", -1)).cast("long").alias("nt"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("doc_id") < b2_start, F.col("nt"))
+                  .otherwise(F.lit(0))).alias("prior01"),
+            F.sum("nt").alias("tot"),
+        )
+        .collect()
+    }
+    src_name, (prior01, tot) = max(
+        per_src.items(), key=lambda kv: kv[1][1] - kv[1][0]
+    )
+    budget = int(prior01 + (tot - prior01) // 2)
+    assert prior01 < budget < tot, (src_name, prior01, budget, tot)
+
+    root = f"/tmp/dss-tokbudget-" + _src_tag(
+        f"{sf_dir}/documents.parquet", f"b:{budget}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    got1 = {
+        (r.doc_id, r.source, r.n_toks)
+        for r in token_budget_stream(spark, sf_dir, budget).collect()
+    }
+    assert got1  # at least one admitted doc
+    # the boundary really is inside batch 2 for src_name: some of its
+    # batch-2 docs admitted, some rejected
+    adm_b2 = {d for d, s, _ in got1 if s == src_name and d >= b2_start}
+    all_b2 = {
+        r.doc_id
+        for r in docs.filter(
+            (F.col("source") == src_name) & (F.col("doc_id") >= b2_start)
+        ).collect()
+    }
+    assert adm_b2 and adm_b2 < all_b2, (len(adm_b2), len(all_b2))
+    # simulate the mid-batch crash: last totals piece persisted,
+    # checkpoint commit lost
+    commits_dir = os.path.join(root, "ckpt", "commits")
+    commits = sorted(
+        c for c in os.listdir(commits_dir) if not c.startswith(".")
+    )
+    os.remove(os.path.join(commits_dir, commits[-1]))
+    crc = os.path.join(commits_dir, f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    got2 = {
+        (r.doc_id, r.source, r.n_toks)
+        for r in token_budget_stream(spark, sf_dir, budget).collect()
+    }
+    assert got2 == got1
