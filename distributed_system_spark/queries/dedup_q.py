@@ -217,14 +217,24 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with one extra token (Jaccard n/(n+1) for an n-token doc — a true
 # dup whenever n >= 4).  Both engines derive the corpus with the same
 # expressions, so the LSH pipeline stays fully oracle-checked.
-_CTRL_CORPUS_SQL = """
+#
+# Clone ids live at base + 10^12 — ABOVE every id tools/scaleup.py can
+# produce (DOC_STRIDE=10^7 x <=10^5 replicas < 10^12), so (a) clones
+# sort after all base docs and the keep-FIRST rule always keeps the
+# source, and (b) `doc_id >= 10^12` is an exact increment marker at
+# every scale decade.  (The previous +10^6 offset collided with
+# scaleup's rep-shifted ids: at sf1+ most of the BASE corpus landed in
+# the "increment" filter — ADVICE r8.)
+_CTRL_CLONE_OFFSET = 1_000_000_000_000
+
+_CTRL_CORPUS_SQL = f"""
 corpus AS (
   SELECT doc_id,
          array_to_string(list_transform(str_split(text, ' '),
            x -> x || '_' || CAST(doc_id AS VARCHAR)), ' ') AS text
   FROM documents
   UNION ALL
-  SELECT doc_id + 1000000,
+  SELECT doc_id + {_CTRL_CLONE_OFFSET},
          array_to_string(list_transform(str_split(text, ' '),
            x -> x || '_' || CAST(doc_id AS VARCHAR)), ' ')
            || ' zz_' || CAST(doc_id AS VARCHAR)
@@ -243,7 +253,7 @@ def _ctrl_corpus(docs: DataFrame) -> DataFrame:
     )
     base = docs.select("doc_id", ns.alias("text"))
     dups = docs.filter(F.col("doc_id") % 20 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
+        (F.col("doc_id") + _CTRL_CLONE_OFFSET).alias("doc_id"),
         F.concat(ns, F.lit(" zz_"), F.col("doc_id").cast("string")).alias(
             "text"
         ),
@@ -1665,7 +1675,7 @@ cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
-  WHERE b.id >= 1000000
+  WHERE b.id >= {_CTRL_CLONE_OFFSET}
 ),
 sizes AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
 inter AS (
@@ -1686,7 +1696,7 @@ dups AS (
 SELECT c.doc_id,
        CAST(len(str_split(c.text, ' ')) AS BIGINT) AS n_tokens,
        c.doc_id IN (SELECT id_b FROM dups) AS is_dup
-FROM corpus c WHERE c.doc_id >= 1000000
+FROM corpus c WHERE c.doc_id >= {_CTRL_CLONE_OFFSET}
 """,
     tags=("dedup", "incremental", "bench"),
 )
@@ -1700,12 +1710,14 @@ def dedup_incremental_ctrl(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume is the data's degeneracy, not the plan's (measured: at the
     FOURTH scale decade, 5 M docs, the raw query's true-candidate
     shuffle exceeded local disk — SCALE.md round-8).  Here the NEW
-    batch is the injected-clone id range (doc_id >= 1,000,000, ~5% of
-    the corpus), every clone's only near-dup is its source, and the
-    verdict per new doc (is_dup) certifies the keep-first rule.
+    batch is the injected-clone id range (doc_id >= 10^12 — above
+    every scaleup-shifted base id, so the increment stays ~5% of the
+    corpus at EVERY decade; ADVICE r8), every clone's only near-dup
+    is its source, and the verdict per new doc (is_dup) certifies the
+    keep-first rule.
 
     Scale shape identical to dedup_incremental: the candidate join is
-    new x colliding-bucket only (the id_b >= 1,000,000 filter lands
+    new x colliding-bucket only (the id_b >= 10^12 filter lands
     INSIDE the candidate generation, before verification) — history
     is never re-deduped, signatures of the increment join the
     standing band index and survivors append."""
@@ -1714,7 +1726,9 @@ def dedup_incremental_ctrl(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = doc_tokens(corpus)
     sigs = minhash_signatures(toks, num_hashes=8)
     bands = lsh_band_signatures(sigs, rows_per_band=2)
-    cand = lsh_candidate_pairs(bands).filter(F.col("id_b") >= 1000000)
+    cand = lsh_candidate_pairs(bands).filter(
+        F.col("id_b") >= _CTRL_CLONE_OFFSET
+    )
     dup_new = (
         jaccard_verify(cand, toks, 0.8)
         .select(F.col("id_b").alias("doc_id"))
@@ -1722,7 +1736,7 @@ def dedup_incremental_ctrl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hit", F.lit(1))
     )
     return (
-        corpus.filter(F.col("doc_id") >= 1000000)
+        corpus.filter(F.col("doc_id") >= _CTRL_CLONE_OFFSET)
         .select(
             "doc_id",
             F.size(F.split("text", " ", -1)).cast("long").alias(
