@@ -68,6 +68,11 @@ _SQL_SQDIST = (
 # hence the second-level split below.
 _TARGET_CELL = 64
 _MIN_CELL_BITS = 3
+
+# /tmp roots already scheduled for interpreter-exit cleanup — guards
+# against one atexit callback per invocation when bench/tests call
+# the same query repeatedly in one process.
+_ATEXIT_ROOTS: set = set()
 # Second-level split: coarse cells above _SPLIT_CAP rows are re-split
 # by up to _EXTRA_BITS additional signature planes (integer threshold
 # ladder — extra = #{j : cnt > _SPLIT_CAP * 2^j}), bounding the c²
@@ -2254,6 +2259,20 @@ def lsh_neardup_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-measured green before registration (twins sit at cos ~ 0.977;
     per-pair analytic miss at 21 bits x 48 bands is ~5e-6).
 
+    GATE SEMANTICS, stated precisely: the md5 hyperplanes are
+    deterministic, so for a FIXED corpus the gate never flakes —
+    recall is a property of (corpus, width), and re-runs are
+    bit-identical.  Across corpus changes the guarantee is
+    probabilistic, not pigeonhole: expected missed pairs =
+    n_twins x ~5e-6 (~0.0007 at sf0.1's 135 twins, ~0.3 at 2 M
+    vectors' 54k twins), so a future corpus regeneration could in
+    principle turn the exact-equality gate red on a true-positive
+    miss within the analytic bound.  The pinned planted-twin RECALL
+    test (tests/test_llm_ops.py::
+    test_lsh_neardup_adaptive_planted_twin_recall) is the
+    tolerance-based arbiter for that event: recall >= 0.999 within
+    bound means re-derive the width, not a plan defect (ADVICE r8).
+
     Scale: identical plan shape to lsh_neardup_pairs — banded
     signatures (shuffle-free), equi-join on (band, bucket), exact
     rounded-cosine verify; no CartesianProduct (plan-asserted in
@@ -2345,8 +2364,12 @@ def ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every run (idempotent, never grows), and removed at interpreter
     # exit — AFTER any action on the returned lazy frame, which still
     # has to read it.  An inline rmtree-in-finally would delete the
-    # index before the caller's collect.
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    # index before the caller's collect.  Registered once per root:
+    # repeated bench/test invocations must not stack duplicate
+    # callbacks in the interpreter (ADVICE r8).
+    if root not in _ATEXIT_ROOTS:
+        _ATEXIT_ROOTS.add(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
     base = _vecs(spark, sf_dir).select(
         F.col("id").alias("vec_id"), F.col("vec").alias("v")
     )

@@ -3707,11 +3707,11 @@ WITH c AS (
 ),
 w AS (
   SELECT source, n_tokens,
-         round(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,12)),
+         round(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(26,12)),
                12) AS wr
   FROM c
 ),
-tot AS (SELECT SUM(CAST(wr AS DECIMAL(28,12))) AS sw FROM w),
+tot AS (SELECT SUM(CAST(wr AS DECIMAL(38,12))) AS sw FROM w),
 r AS (
   SELECT source, n_tokens,
          CAST(wr AS DOUBLE) / CAST(sw AS DOUBLE) AS share,
@@ -3744,8 +3744,12 @@ def dataset_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     that visible before training, which is the point.
 
     Engine parity: sqrt is IEEE-correctly-rounded, the sqrt weights
-    round through DECIMAL(18,12) and sum exactly (the alpha_mix/zipf
-    convention), and every subsequent double op is the same
+    round through DECIMAL(26,12) and sum as DECIMAL(38,12) — wide
+    enough that a 10^15-token source (the 100 TB story) is ~14 orders
+    below the overflow point, where the previous DECIMAL(18,12)
+    overflowed at 10^12 tokens with divergent engine behavior
+    (DuckDB raises, non-ANSI Spark nulls; ADVICE r8) — and every
+    subsequent double op is the same
     expression in the same order in both engines; final columns
     round through DECIMAL.  Scale: ONE corpus scan into a
     |sources|-row aggregate — the plan itself costs nothing."""
@@ -3760,12 +3764,12 @@ def dataset_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.round(
             F.sqrt(F.col("n_tokens").cast("double")).cast(
-                "decimal(18,12)"
+                "decimal(26,12)"
             ),
             12,
         ).alias("wr"),
     )
-    tot = w.agg(F.sum(F.col("wr").cast("decimal(28,12)")).alias("sw"))
+    tot = w.agg(F.sum(F.col("wr").cast("decimal(38,12)")).alias("sw"))
     share = F.col("wr").cast("double") / F.col("sw").cast("double")
     epochs = F.least(
         F.lit(4.0),
