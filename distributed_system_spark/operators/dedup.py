@@ -98,12 +98,44 @@ def lsh_band_signatures(sigs: DataFrame, rows_per_band: int = 2) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(
+    bands: DataFrame, max_bucket: int | None = None
+) -> DataFrame:
     """(id_a, id_b) pairs sharing at least one band bucket.
 
     Self-join on (band, sig): touches only colliding docs, never
-    all-pairs. Bucket sizes are balanced because sig is md5.
+    all-pairs. Bucket sizes are balanced because sig is md5 — on a
+    corpus whose near-dup clusters are small.  A DEGENERATE corpus
+    (boilerplate, templated spam, the raw synthetic table's 31-word
+    vocabulary) concentrates thousands of TRUE near-dups into single
+    buckets, and the join's sum-of-bucket² work then explodes with
+    the data, not the plan (measured: 2.1 B band collisions at 5 M
+    docs, SCALE.md round-8).
+
+    ``max_bucket`` is the production safety valve for that mode —
+    the same move as ``contamination_check``'s suppressed->100-
+    train-doc 8-gram rule: buckets with occupancy > max_bucket are
+    DROPPED before the join, bounding per-bucket work at
+    max_bucket² and total candidates at ~|buckets| x max_bucket².
+    The trade is recall on exactly the documents that sit in
+    degenerate clusters (each member still has every OTHER band to
+    collide in — only pairs whose every shared band is hot are
+    lost); the planted-clone corpus quantifies it in
+    tests/test_llm_ops.py::test_capped_candidates_keep_planted_dups.
+    Hot buckets are found with a partial-aggregated groupBy (tiny
+    output) and removed via a broadcast anti-join — no extra
+    full-data shuffle.
     """
+    if max_bucket is not None:
+        hot = (
+            bands.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("occ"))
+            .filter(F.col("occ") > max_bucket)
+            .select("band", "sig")
+        )
+        bands = bands.join(
+            F.broadcast(hot), ["band", "sig"], "left_anti"
+        )
     a = bands.select(
         F.col("band").alias("b"), F.col("sig").alias("s"), F.col("id").alias("id_a")
     )

@@ -291,6 +291,59 @@ _R7_VERIFIED = frozenset(
 
 _EXTERNALLY_VERIFIED = _EXTERNALLY_VERIFIED | _R7_VERIFIED
 
+# CORRECTNESS_r08.json: the driver's round-8 window — all 50 green,
+# including every round-8 addition.  With this fold the external
+# backlog is zero (295-name union across r1-r8).
+_R8_VERIFIED = frozenset(
+    {
+        "ann_lsh_topk", "ann_prefilter_vs_postfilter", "ann_topk_cosine",
+        "crossmodal_dedup_pipeline", "dataset_epoch_plan",
+        "dataset_token_budget", "date_funcs", "dedup_exact",
+        "dedup_incremental_ctrl", "dedup_ngram_jaccard",
+        "dedup_paragraph_exact", "dq_expectations", "drift_psi",
+        "eval_set_builder", "event_sequence_pack",
+        "filter_attribution_report", "filter_like", "join_broadcast",
+        "join_sortmerge", "lsh_neardup_adaptive", "mj_wordcount",
+        "mm_binary_meta", "mm_frame_sample", "pipe_tokens", "proj_filter",
+        "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority",
+        "q5_local_supplier_volume", "retention_cohorts",
+        "retrieval_hard_negatives", "ri_orphan_audit", "semdedup_keep_best",
+        "sessionize_events", "split_leakage_simhash",
+        "stats_mergeable_moments", "stream_decontaminate",
+        "stream_token_budget", "string_funcs", "text_bm25_topk",
+        "text_langid", "text_lm_bigram_nll", "text_quality",
+        "ts_gapfill_locf", "ts_rollup_daily_from_hourly", "udf_pandas_scalar",
+        "win_sliding", "win_tumbling", "window_rank", "wordcount",
+    }
+)
+
+_EXTERNALLY_VERIFIED = _EXTERNALLY_VERIFIED | _R8_VERIFIED
+
+# Queries whose BEHAVIOR (not just docstring) changed AFTER their
+# newest external green row — demoted to the unverified tiers so the
+# next driver window re-verifies them (r8 verdict item #2: external
+# verification must postdate the last behavior change).
+#   - label_noise_knn: changed post-r6 verification (no external row
+#     since; covered by the in-repo cross-engine test meanwhile).
+#   - round-9 changes: skew-safe bucketed rank (dataset_split_
+#     stratified, eval_set_builder), replay-idempotent totals
+#     (stream_token_budget), ctrl-corpus clone offset at 10^12 (the
+#     three _ctrl/minhash ctrl queries), epoch-plan DECIMAL widening.
+_CHANGED_SINCE_VERIFIED = frozenset(
+    {
+        "label_noise_knn",
+        "dataset_split_stratified",
+        "eval_set_builder",
+        "stream_token_budget",
+        "dedup_incremental_ctrl",
+        "dedup_minhash_ctrl",
+        "curation_pipeline_ctrl",
+        "dataset_epoch_plan",
+    }
+)
+
+_EXTERNALLY_VERIFIED = _EXTERNALLY_VERIFIED - _CHANGED_SINCE_VERIFIED
+
 _KNOWN_AT_FREEZE = _KNOWN_AT_FREEZE | (
     frozenset(_R4_VERIFIED)
     | frozenset(

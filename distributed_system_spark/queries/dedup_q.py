@@ -443,6 +443,99 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUCKET_CAP = 64
+
+
+@register(
+    "dedup_incremental_capped",
+    oracle=f"""
+WITH {_TOKS_SQL},
+mh AS (
+  SELECT id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || tok)) AS mh
+  FROM toks CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) s
+  GROUP BY id, seed
+),
+bands AS (
+  SELECT id, CAST(seed // 2 AS INT) AS band,
+         md5(string_agg(mh, ',' ORDER BY seed)) AS sig
+  FROM mh GROUP BY id, CAST(seed // 2 AS INT)
+),
+hot AS (
+  SELECT band, sig FROM bands
+  GROUP BY band, sig HAVING count(*) > {_BUCKET_CAP}
+),
+kept AS (
+  SELECT b.id, b.band, b.sig FROM bands b
+  ANTI JOIN hot h ON b.band = h.band AND b.sig = h.sig
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM kept a JOIN kept b
+    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+  WHERE b.id >= 400
+),
+sizes AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN toks a ON a.id = c.id_a
+  JOIN toks b ON b.id = c.id_b AND b.tok = a.tok
+  GROUP BY c.id_a, c.id_b
+),
+dups AS (
+  SELECT DISTINCT i.id_b
+  FROM inter i
+  JOIN sizes na ON na.id = i.id_a
+  JOIN sizes nb ON nb.id = i.id_b
+  WHERE round(CAST(i.inter AS DOUBLE) / (na.n + nb.n - i.inter), 6) >= 0.8
+)
+SELECT d.doc_id, d.n_chars
+FROM documents d
+WHERE d.doc_id >= 400 AND d.doc_id NOT IN (SELECT id_b FROM dups)
+""",
+    tags=("dedup", "lsh", "incremental", "capped"),
+)
+def dedup_incremental_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_incremental`` with the BUCKET-OCCUPANCY SAFETY VALVE
+    engaged (max_bucket=64, the _BUCKET_CAP constant): band buckets holding more
+    members than the cap are dropped before the candidate join —
+    the bounded-work form a production LSH pipeline runs, exactly
+    as contamination_check suppresses >100-train-doc 8-grams.
+
+    Semantics trade, stated precisely: a true near-dup pair is lost
+    ONLY if every band it collides in is hot — on a sane corpus
+    (small clusters) the cap never binds and the answer equals
+    dedup_incremental's; on a degenerate corpus (this raw synthetic
+    table: ~31-word vocabulary, nearly all pairs true dups) the cap
+    converts the round-8 OOD mode — 2.1 B band collisions at 5 M
+    docs, shuffle past local disk — into bounded, measured behavior:
+    per-bucket work <= cap², total candidates <= |buckets| x cap².
+    The recall trade is quantified on the controlled-dup corpus
+    (tests/test_llm_ops.py::test_capped_candidates_keep_planted_dups:
+    planted clones all survive, because their buckets hold ~2 docs)
+    and visible here as survivors that dedup_incremental would have
+    dropped.  The oracle implements the identical cap rule, so the
+    verdict under the cap is itself hash-checked — the cap is
+    DECLARED semantics, not an unchecked approximation."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = doc_tokens(docs)
+    sigs = minhash_signatures(toks, num_hashes=8)
+    bands = lsh_band_signatures(sigs, rows_per_band=2)
+    cand = lsh_candidate_pairs(bands, max_bucket=_BUCKET_CAP).filter(
+        F.col("id_b") >= 400
+    )
+    dup_new = (
+        jaccard_verify(cand, toks, 0.8)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        docs.filter(F.col("doc_id") >= 400)
+        .join(dup_new, "doc_id", "left_anti")
+        .select("doc_id", "n_chars")
+    )
+
+
 @register(
     "curation_pipeline",
     oracle=f"""

@@ -839,3 +839,52 @@ def test_lsh_neardup_adaptive_planted_twin_recall(spark, sf_dir):
     found = want & got
     recall = len(found) / len(want)
     assert recall >= 0.999, (len(found), len(want))
+
+
+def test_capped_candidates_keep_planted_dups(spark, sf_dir):
+    """The bucket-occupancy safety valve (lsh_candidate_pairs
+    max_bucket): on the CONTROLLED corpus — large vocabulary, planted
+    clones whose buckets hold ~2 docs — the cap never binds, so the
+    capped candidate set equals the uncapped one and every planted
+    (source, clone) collision survives: ZERO recall cost at a sane
+    dup rate.  On the RAW degenerate corpus the cap must actually
+    bind, cutting candidates by a large factor — the round-8 OOD mode
+    (2.1B collisions at 5M docs) becomes bounded behavior."""
+    from distributed_system_spark.operators.dedup import (
+        doc_tokens,
+        lsh_band_signatures,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from distributed_system_spark.queries.dedup_q import (
+        _BUCKET_CAP,
+        _CTRL_CLONE_OFFSET,
+        _ctrl_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def pairs(corpus, cap):
+        bands = lsh_band_signatures(
+            minhash_signatures(doc_tokens(corpus), 8), 2
+        )
+        return {
+            (r.id_a, r.id_b)
+            for r in lsh_candidate_pairs(bands, max_bucket=cap).collect()
+        }
+
+    # controlled corpus: cap is a no-op, planted collisions intact
+    ctrl = _ctrl_corpus(docs)
+    uncapped = pairs(ctrl, None)
+    capped = pairs(ctrl, _BUCKET_CAP)
+    assert capped == uncapped
+    planted = {
+        (i, i + _CTRL_CLONE_OFFSET) for (i, _) in uncapped
+    } & uncapped  # planted pairs that collide at all
+    assert planted  # non-vacuous
+    assert planted <= capped
+
+    # raw degenerate corpus: the cap binds and bounds the join
+    raw_uncapped = len(pairs(docs, None))
+    raw_capped = len(pairs(docs, _BUCKET_CAP))
+    assert raw_capped < raw_uncapped / 2, (raw_capped, raw_uncapped)

@@ -103,10 +103,21 @@ def test_no_cartesian_in_lsh_dedup(spark, sf_dir):
         "simhash_neardup",
         "lsh_neardup_prod",
         "lsh_neardup_adaptive",
+        "dedup_incremental_capped",
     ):
         plan = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, (name, plan)
         assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+
+
+def test_capped_candidates_hot_buckets_broadcast_anti(spark, sf_dir):
+    """dedup_incremental_capped: the hot-bucket removal must be a
+    BROADCAST anti-join (the hot list is a partial-aggregated
+    groupBy's tiny output), never a shuffled anti-join of the full
+    band table against itself."""
+    plan = plan_of(spark, sf_dir, "dedup_incremental_capped")
+    assert "LeftAnti, BuildRight" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
 
 
 def test_semi_anti_planned_as_such(spark, sf_dir):
