@@ -536,6 +536,158 @@ def dedup_incremental_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_XLING_TWIN_OFFSET = 2_000_000_000_000  # above _CTRL_CLONE_OFFSET too
+
+
+@register(
+    "dedup_crosslingual_entities",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         list_distinct([
+           'ent:' || toks[CAST(i AS INT)] || '_'
+                  || CAST(doc_id AS VARCHAR)
+           for i in range(1, len(toks) + 1) if (i % 5) = 1
+         ]) AS ents
+  FROM (SELECT doc_id, lang, str_split(text, ' ') AS toks
+        FROM documents)
+),
+corpus AS (
+  SELECT doc_id, lang, ents FROM base
+  UNION ALL
+  SELECT doc_id + {_XLING_TWIN_OFFSET}, lang || '_x', ents
+  FROM base WHERE doc_id % 10 = 0
+),
+e AS (SELECT doc_id AS id, lang, unnest(ents) AS ent FROM corpus),
+hot AS (SELECT ent FROM e GROUP BY ent HAVING count(*) > 100),
+k AS (SELECT e.id, e.lang, e.ent FROM e
+      ANTI JOIN hot h ON e.ent = h.ent),
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         max(a.lang) AS lang_a, max(b.lang) AS lang_b,
+         count(*) AS n_shared
+  FROM k a JOIN k b
+    ON a.ent = b.ent AND a.id < b.id AND a.lang <> b.lang
+  GROUP BY a.id, b.id
+),
+sz AS (SELECT doc_id, len(ents) AS n FROM corpus)
+SELECT p.id_a, p.id_b, p.lang_a, p.lang_b,
+       CAST(p.n_shared AS BIGINT) AS n_shared,
+       CAST(round(CAST(CAST(p.n_shared AS DOUBLE)
+                       / (sa.n + sb.n - p.n_shared)
+                  AS DECIMAL(18,12)), 6) AS DOUBLE) AS ent_jaccard
+FROM p
+JOIN sz sa ON sa.doc_id = p.id_a
+JOIN sz sb ON sb.doc_id = p.id_b
+WHERE round(CAST(CAST(p.n_shared AS DOUBLE)
+                 / (sa.n + sb.n - p.n_shared)
+            AS DECIMAL(18,12)), 6) >= 0.5
+""",
+    tags=("dedup", "crosslingual", "llm"),
+)
+def dedup_crosslingual_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-LINGUAL near-duplicate detection via shared-ENTITY
+    fingerprints — the "same article, different language" case that
+    token-level MinHash is structurally blind to (a translation
+    shares almost no surface tokens with its source).  What survives
+    translation are the language-neutral tokens: numbers, names,
+    codes, URLs.  Every 5th token position stands in for the
+    entity extractor (deterministic NER stub), entities are
+    doc-namespaced, and a translated twin (lang || '_x', planted for
+    doc_id % 10 == 0 — the derived-corpus discipline of
+    ``_ctrl_corpus``) carries its source's EXACT entity set with
+    entirely different surface text.  Candidates are pairs in
+    DIFFERENT languages sharing an entity; the verify is entity-set
+    Jaccard >= 0.5.  Planted twins come back at ent_jaccard = 1.0;
+    unrelated docs share no namespaced entity, so candidate volume
+    is linear in true matches.
+
+    Scale shape: the entity inverted index is an explode bounded by
+    n_tokens/5; posting lists above 100 docs are DROPPED before the
+    pair join (the ``lsh_candidate_pairs`` max_bucket valve — a
+    ubiquitous "entity" like a year number is a stopword, not a
+    match signal, exactly the suppressed-8-gram rule), so per-entity
+    join work is capped at 100²; the pair aggregate keys on
+    (id_a, id_b); size lookups are two hash joins.  No all-pairs
+    stage anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ", -1)
+    idx = F.filter(
+        F.sequence(F.lit(1), F.size(toks)), lambda i: i % 5 == 1
+    )
+    ents = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat(
+                F.lit("ent:"),
+                F.element_at(toks, i),
+                F.lit("_"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+    )
+    base = docs.select("doc_id", "lang", ents.alias("ents"))
+    twins = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + _XLING_TWIN_OFFSET).alias("doc_id"),
+        F.concat(F.col("lang"), F.lit("_x")).alias("lang"),
+        "ents",
+    )
+    corpus = base.unionByName(twins)
+    e = corpus.select(
+        F.col("doc_id").alias("id"), "lang", F.explode("ents").alias("ent")
+    )
+    hot = (
+        e.groupBy("ent")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") > 100)
+        .select("ent")
+    )
+    k = e.join(F.broadcast(hot), "ent", "left_anti")
+    a = k.select(
+        F.col("id").alias("id_a"), F.col("lang").alias("la"), "ent"
+    )
+    b = k.select(
+        F.col("id").alias("id_b"), F.col("lang").alias("lb"), "ent"
+    )
+    p = (
+        a.join(b, "ent")
+        .filter((F.col("id_a") < F.col("id_b")) & (F.col("la") != F.col("lb")))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max("la").alias("lang_a"),
+            F.max("lb").alias("lang_b"),
+            F.count(F.lit(1)).alias("n_shared"),
+        )
+    )
+    sz = corpus.select("doc_id", F.size("ents").alias("n"))
+    jac = F.round(
+        (
+            F.col("n_shared").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_shared"))
+        ).cast("decimal(18,12)"),
+        6,
+    )
+    return (
+        p.join(
+            sz.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")),
+            "id_a",
+        )
+        .join(
+            sz.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")),
+            "id_b",
+        )
+        .filter(jac >= 0.5)
+        .select(
+            "id_a",
+            "id_b",
+            "lang_a",
+            "lang_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            jac.cast("double").alias("ent_jaccard"),
+        )
+    )
+
+
 @register(
     "curation_pipeline",
     oracle=f"""

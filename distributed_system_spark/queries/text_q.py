@@ -903,6 +903,98 @@ def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "intradoc_dedup_lines",
+    oracle="""
+WITH tk AS (
+  SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+),
+ln AS (
+  SELECT doc_id,
+         [array_to_string(toks[10*j+1:10*j+10], ' ')
+          for j in range(0, CAST((len(toks)+9)//10 AS BIGINT))] AS lines
+  FROM tk
+),
+d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN list_concat(lines, [lines[1]])
+              ELSE lines END AS lines
+  FROM ln
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(list_distinct(lines)) AS BIGINT) AS n_unique_lines,
+       CAST(CAST(list_sum(list_transform(lines,
+                l -> len(str_split(l, ' ')))) AS BIGINT)
+            - CAST(list_sum(list_transform(list_distinct(lines),
+                l -> len(str_split(l, ' ')))) AS BIGINT)
+            AS BIGINT) AS toks_removed,
+       len(lines) > len(list_distinct(lines)) AS has_intradoc_dup
+FROM d
+""",
+    tags=("text", "dedup", "intradoc", "llm"),
+)
+def intradoc_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repeated-line removal — the intra-doc half of
+    CCNet's line dedup, and the within-doc analog of
+    ``dedup_paragraph_exact`` (which marks CROSS-doc segment dups)
+    and ``text_remove_boilerplate`` (which drops corpus-FREQUENT
+    spans): a page that repeats its own navigation block, lyrics
+    chorus, or generated-text loop keeps only the FIRST instance of
+    each line.  Lines are consecutive 10-token chunks of this
+    newline-free corpus, with a planted repeat (docs with
+    doc_id % 7 == 0 repeat their first line at the end — the same
+    both-engines derived-corpus discipline as ``_ctrl_corpus``) so
+    the removal is non-vacuous and exactly accountable.  Per doc:
+    line counts and the exact token count removal frees —
+    toks_removed = tokens(all instances) - tokens(distinct lines),
+    exact because duplicate instances of a line always carry the
+    same token count.
+
+    Scale shape: a PURE MAP — every column is per-row array math
+    inside codegen, zero shuffles, zero joins; at 100 TB this is the
+    cheapest possible curation pass (one scan, embarrassingly
+    parallel), which is exactly why CCNet runs it before anything
+    that shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ", -1)
+    nl = F.expr("(size(split(text, ' ', -1)) + 9) div 10")
+    lines0 = F.transform(
+        F.sequence(F.lit(0).cast("long"), nl - 1),
+        lambda j: F.array_join(
+            F.slice(toks, (j * 10 + 1).cast("int"), 10), " "
+        ),
+    )
+    d = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(lines0, F.array(F.element_at(lines0, 1))),
+        )
+        .otherwise(lines0)
+        .alias("lines"),
+    )
+    tok_sum = lambda col: F.aggregate(  # noqa: E731
+        col,
+        F.lit(0).cast("long"),
+        lambda acc, l: acc + F.size(F.split(l, " ", -1)),
+    )
+    return d.select(
+        "doc_id",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.size(F.array_distinct("lines"))
+        .cast("long")
+        .alias("n_unique_lines"),
+        (tok_sum(F.col("lines")) - tok_sum(F.array_distinct("lines")))
+        .cast("long")
+        .alias("toks_removed"),
+        (F.size("lines") > F.size(F.array_distinct("lines"))).alias(
+            "has_intradoc_dup"
+        ),
+    )
+
+
 # Derived boilerplate corpus: every doc gets a 10-token per-source
 # header prepended (the same template every page of a site carries).
 # Both engines build it with the same expression, so the removal op
@@ -1517,7 +1609,9 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lang_bucket_rank(df: DataFrame, cum_col: str = None) -> DataFrame:
+def _lang_bucket_rank(
+    df: DataFrame, cum_col: str = None, key: str = "lang"
+) -> DataFrame:
     """Skew-safe per-language rank: the global
     ``row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id),
     doc_id)`` recovered WITHOUT one-task-per-language.
@@ -1549,7 +1643,7 @@ def _lang_bucket_rank(df: DataFrame, cum_col: str = None) -> DataFrame:
     b = df.withColumn("_h", h).withColumn(
         "_bkt", F.substring("_h", 1, 2)
     )
-    wb = Window.partitionBy("lang", "_bkt").orderBy("_h", "doc_id")
+    wb = Window.partitionBy(key, "_bkt").orderBy("_h", "doc_id")
     local = b.withColumn("_rl", F.row_number().over(wb))
     aggs = [F.count(F.lit(1)).alias("_cb")]
     if cum_col is not None:
@@ -1560,24 +1654,24 @@ def _lang_bucket_rank(df: DataFrame, cum_col: str = None) -> DataFrame:
             ),
         )
         aggs.append(F.sum(cum_col).alias("_tb"))
-    per_bucket = b.groupBy("lang", "_bkt").agg(*aggs)
+    per_bucket = b.groupBy(key, "_bkt").agg(*aggs)
     wo = (
-        Window.partitionBy("lang")
+        Window.partitionBy(key)
         .orderBy("_bkt")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     off_cols = [
-        "lang",
+        key,
         "_bkt",
         F.coalesce(F.sum("_cb").over(wo), F.lit(0)).alias("_off"),
-        F.sum("_cb").over(Window.partitionBy("lang")).alias("n"),
+        F.sum("_cb").over(Window.partitionBy(key)).alias("n"),
     ]
     if cum_col is not None:
         off_cols.append(
             F.coalesce(F.sum("_tb").over(wo), F.lit(0)).alias("_toff")
         )
     offs = per_bucket.select(*off_cols)
-    out = local.join(F.broadcast(offs), ["lang", "_bkt"]).withColumn(
+    out = local.join(F.broadcast(offs), [key, "_bkt"]).withColumn(
         "rn", F.col("_rl") + F.col("_off")
     )
     drop = ["_h", "_bkt", "_rl", "_off"]
@@ -3366,6 +3460,116 @@ def dataset_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("double")
         .alias("budget_frac"),
+    )
+
+
+_DOMAIN_CAP = 800
+_GLOBAL_BUDGET = 10000
+
+
+@register(
+    "domain_quota_curation",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, len(str_split(text, ' ')) AS n_toks,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+d AS (
+  SELECT doc_id, source, n_toks, h,
+         sum(n_toks) OVER (PARTITION BY source ORDER BY h, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum_src
+  FROM t
+),
+dom AS (SELECT doc_id, source, n_toks, h FROM d
+        WHERE cum_src <= {_DOMAIN_CAP}),
+g AS (
+  SELECT doc_id, source, n_toks,
+         sum(n_toks) OVER (ORDER BY h, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum_all
+  FROM dom
+),
+fin AS (
+  SELECT source, count(*) AS n_final, sum(n_toks) AS toks_final
+  FROM g WHERE cum_all <= {_GLOBAL_BUDGET} GROUP BY source
+),
+dd AS (SELECT source, count(*) AS n_dom FROM dom GROUP BY source),
+tt AS (SELECT source, count(*) AS n_total FROM t GROUP BY source)
+SELECT tt.source,
+       CAST(tt.n_total AS BIGINT) AS n_docs_total,
+       CAST(coalesce(dd.n_dom, 0) AS BIGINT) AS n_domain_kept,
+       CAST(coalesce(fin.n_final, 0) AS BIGINT) AS n_final_kept,
+       CAST(coalesce(fin.toks_final, 0) AS BIGINT) AS n_tokens_final
+FROM tt
+LEFT JOIN dd ON dd.source = tt.source
+LEFT JOIN fin ON fin.source = tt.source
+""",
+    tags=("llm", "curation", "domain", "quota"),
+)
+def domain_quota_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-LEVEL domain/URL-host curation — the quota structure a web
+    corpus actually ships with: level 1 caps every DOMAIN (source) at
+    _DOMAIN_CAP (800) tokens so no single host dominates (the
+    C4/RefinedWeb per-domain rule), then level 2 admits the
+    domain-surviving docs in global content-addressed order until
+    the _GLOBAL_BUDGET (10,000) token corpus budget is spent.  A doc rejected by its domain cap never consumes
+    global budget, which is exactly what makes the two levels
+    COMPOSE: level 1 is decidable within the domain, level 2 is a
+    running sum over level-1 survivors only.  Per source out: total
+    docs, domain-cap survivors, final admissions, final tokens.
+
+    Composes with ``dataset_token_budget`` (same greedy
+    content-addressed prefix rule, one level) and
+    ``dataset_epoch_plan`` (which decides the per-source shares this
+    query then enforces).
+
+    Scale shape: both running sums are SKEW-SAFE through
+    ``_lang_bucket_rank`` — per-domain over (source, md5-prefix
+    bucket), and the GLOBAL sum over a constant key with the same
+    256-bucket split (a naive global window is one task for the
+    whole corpus; here the offsets table is 256 rows and the data
+    never leaves 256-way parallelism).  All-integer arithmetic, so
+    engine parity is exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ", -1)).cast("long").alias("n_toks"),
+    )
+    dom = (
+        _lang_bucket_rank(t, cum_col="n_toks", key="source")
+        .filter(F.col("cum") <= _DOMAIN_CAP)
+        .select("doc_id", "source", "n_toks")
+    )
+    fin = (
+        _lang_bucket_rank(
+            dom.withColumn("_g", F.lit("all")), cum_col="n_toks", key="_g"
+        )
+        .filter(F.col("cum") <= _GLOBAL_BUDGET)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_final"),
+            F.sum("n_toks").alias("toks_final"),
+        )
+    )
+    dd = dom.groupBy("source").agg(F.count(F.lit(1)).alias("n_dom"))
+    tt = t.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        tt.join(F.broadcast(dd), "source", "left")
+        .join(F.broadcast(fin), "source", "left")
+        .select(
+            "source",
+            F.col("n_total").cast("long").alias("n_docs_total"),
+            F.coalesce("n_dom", F.lit(0))
+            .cast("long")
+            .alias("n_domain_kept"),
+            F.coalesce("n_final", F.lit(0))
+            .cast("long")
+            .alias("n_final_kept"),
+            F.coalesce("toks_final", F.lit(0))
+            .cast("long")
+            .alias("n_tokens_final"),
+        )
     )
 
 

@@ -1175,3 +1175,48 @@ def test_epoch_plan_single_scan_broadcast_total(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2, plan
     assert "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_domain_quota_both_levels_bucketed(spark, sf_dir):
+    """domain_quota_curation: the per-domain running sum partitions on
+    (source, md5-bucket) and the GLOBAL running sum on the md5-bucket
+    (Catalyst constant-folds the literal key out of the spec) — the
+    naive form would be one task per domain plus ONE task for the
+    whole corpus.  A SinglePartition exchange appears only over the
+    tiny 256-row offset tables, never over document rows: both
+    full-data running sums must show the bucketed spec."""
+    plan = plan_of(spark, sf_dir, "domain_quota_curation")
+    assert re.search(
+        r"sum\(n_toks#\d+L?\) windowspecdefinition\(source#\d+, _bkt#\d+",
+        plan,
+    ), plan
+    assert re.search(
+        r"sum\(n_toks#\d+L?\) windowspecdefinition\(_bkt#\d+, _h#\d+",
+        plan,
+    ), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_intradoc_dedup_is_pure_map(spark, sf_dir):
+    """intradoc_dedup_lines must be a single scan with NO exchange at
+    all — per-row array math inside codegen, the cheapest possible
+    curation pass."""
+    plan = plan_of(spark, sf_dir, "intradoc_dedup_lines")
+    assert "Exchange" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_crosslingual_entities_capped_equi_join(spark, sf_dir):
+    """dedup_crosslingual_entities: the entity inverted-index join is
+    an equi-join on the entity string with hot postings removed via a
+    broadcast anti-join — never a cartesian pairing of documents.
+    At tiny SF the hot list is EMPTY and AQE's empty-relation
+    propagation elides the anti-join from the final plan, so the
+    valve is asserted on the pre-adaptive plan."""
+    df = REGISTRY["dedup_crosslingual_entities"].fn(spark, sf_dir)
+    df.collect()
+    full = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in full, full
+    assert "BroadcastNestedLoopJoin" not in full, full
+    initial = df._jdf.queryExecution().sparkPlan().toString()
+    assert "LeftAnti" in initial, initial
