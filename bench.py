@@ -114,6 +114,22 @@ HEADLINE = [
                           # controlled corpus (the honest incremental
                           # wall; the raw-corpus variant above is
                           # candidate-degenerate by data design)
+    # -- round-9 additions --
+    "dedup_incremental_capped",  # the bucket-occupancy safety valve:
+                          # the raw degenerate corpus under a bounded
+                          # candidate join (cap^2 per bucket)
+    "domain_quota_curation",  # two-level domain-cap + global-budget
+                          # admission, both running sums bucketed
+    "dedup_crosslingual_entities",  # shared-entity fingerprints
+                          # across languages (posting-list-capped
+                          # inverted index)
+    "intradoc_dedup_lines",  # within-doc repeated-line removal —
+                          # pure map, the cheapest curation pass
+    "split_leakage_simhash_ctrl",  # 128-bit 4x32-banded leakage
+                          # audit on the high-entropy ctrl corpus
+                          # (the fourth-decade form)
+    "crossmodal_dedup_ctrl",  # 60-bit image + 128-bit text banding
+                          # on the ctrl corpus (fourth-decade form)
 ]
 # NOT here: dedup_minhash_lsh / dedup_ngram_jaccard.  They are correct
 # (oracle-green at the driver's sf0.01) but this synthetic corpus has a

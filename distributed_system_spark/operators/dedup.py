@@ -404,6 +404,106 @@ def simhash64(toks: DataFrame) -> DataFrame:
     )
 
 
+def simhash128(toks: DataFrame) -> DataFrame:
+    """(id, sh1, sh0) 128-bit SimHash as two signed BIGINT halves —
+    ALL 32 hex digits of md5(tok) contribute 4 bits each (digits
+    1-16 -> sh1, 17-32 -> sh0, each packed exactly like
+    :func:`simhash64`).
+
+    Why 128: banded bucketing is pigeonhole-lossless only with
+    bands <= max_hamming+1, so a 64-bit fingerprint is stuck at
+    4 x 16-bit bands — buckets hold n/65536 docs and the candidate
+    join turns quadratic past ~10^6 docs (measured: the 8x8 banding
+    went OOD at the fourth decade, SCALE.md round-8/9).  128 bits
+    buy 4 x 32-bit bands: buckets hold n/2^32 docs, so candidates
+    stay ~linear to 10^9+ docs — the fingerprint WIDTH is the knob
+    that scales, exactly as ``lsh_neardup_adaptive`` derives its
+    band width from the corpus count.
+
+    Same cost shape as simhash64 (explode x32 digit rows per token,
+    two bit_or aggregates); all md5 → bit-identical across engines.
+    """
+    pos = F.explode(F.sequence(F.lit(1), F.lit(32))).alias("d")
+    v = F.expr(
+        "instr('0123456789abcdef', "
+        "substring(md5(cast(tok as binary)), d, 1)) - 1"
+    ).alias("v")
+    per_digit = toks.select("id", "tok", pos).select("id", "d", v)
+    aggs = [
+        F.sum(F.expr(f"shiftright(v, {j}) & 1")).alias(f"ones{j}")
+        for j in range(4)
+    ]
+    counts = per_digit.groupBy("id", "d").agg(
+        F.count(F.lit(1)).alias("n"), *aggs
+    )
+
+    def packed(dexpr: str):
+        return F.expr(
+            " | ".join(
+                f"shiftleft(cast(ones{j} * 2 > n as bigint), "
+                f"{67 - j} - 4 * ({dexpr}))"
+                for j in range(4)
+            )
+        )
+
+    c1 = F.when(F.col("d") <= 16, packed("d")).otherwise(F.lit(0))
+    c0 = F.when(F.col("d") > 16, packed("d - 16")).otherwise(F.lit(0))
+    return (
+        counts.select("id", c1.alias("c1"), c0.alias("c0"))
+        .groupBy("id")
+        .agg(F.bit_or("c1").alias("sh1"), F.bit_or("c0").alias("sh0"))
+    )
+
+
+def simhash128_neardup_pairs(
+    fp: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """(id_a, id_b, hamming) near-dup pairs over 128-bit fingerprints
+    via 4 x 32-bit bands — pigeonhole-lossless for hamming <= 3, with
+    buckets of n/2^32 expected docs (vs n/65536 for the widest
+    64-bit banding): the shape that keeps candidate volume ~linear
+    at the 10^7-doc fourth decade and beyond."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"4-band banding is only lossless for max_hamming <= 3 "
+            f"({max_hamming} > 3)"
+        )
+    band = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band")
+    bucket = F.expr(
+        "CASE band WHEN 0 THEN shiftright(sh1, 32) & 4294967295 "
+        "WHEN 1 THEN sh1 & 4294967295 "
+        "WHEN 2 THEN shiftright(sh0, 32) & 4294967295 "
+        "ELSE sh0 & 4294967295 END"
+    )
+    banded = fp.select("id", "sh1", "sh0", band).withColumn(
+        "bucket", bucket
+    )
+    a = banded.select(
+        F.col("id").alias("id_a"),
+        F.col("sh1").alias("a1"),
+        F.col("sh0").alias("a0"),
+        "band",
+        "bucket",
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"),
+        F.col("sh1").alias("b1"),
+        F.col("sh0").alias("b0"),
+        "band",
+        "bucket",
+    )
+    hamming = F.bit_count(
+        F.col("a1").bitwiseXOR(F.col("b1"))
+    ) + F.bit_count(F.col("a0").bitwiseXOR(F.col("b0")))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_neardup_pairs(
     fp: DataFrame, max_hamming: int = 3, bands: int = 8, band_bits: int = 8
 ) -> DataFrame:

@@ -20,6 +20,8 @@ from distributed_system_spark.operators.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash64,
+    simhash128,
+    simhash128_neardup_pairs,
     simhash_neardup_pairs,
 )
 from distributed_system_spark.queries import register
@@ -1863,6 +1865,203 @@ def split_leakage_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
     )
     sp = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(b < "cd", "train")
+        .when(b < "e6", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    j = (
+        pairs.join(
+            sp.select(
+                F.col("id").alias("id_a"), F.col("split").alias("split_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sp.select(
+                F.col("id").alias("id_b"), F.col("split").alias("split_b")
+            ),
+            "id_b",
+        )
+        .filter(
+            (
+                (F.col("split_a") == "test") & (F.col("split_b") == "train")
+            )
+            | (
+                (F.col("split_a") == "train") & (F.col("split_b") == "test")
+            )
+        )
+    )
+    return j.select(
+        F.when(F.col("split_a") == "test", F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("test_doc"),
+        F.when(F.col("split_a") == "test", F.col("id_b"))
+        .otherwise(F.col("id_a"))
+        .alias("train_doc"),
+        "hamming",
+    )
+
+
+# High-entropy CROSS-MODAL control corpus: each doc's text becomes
+# m = max(n_tokens/8, 2) md5 blocks derived from its doc_id — byte
+# content with uniform brightness statistics (so image average-hashes
+# stop saturating the way ascii word-soup does) AND doc-unique token
+# sets (so simhash buckets stay near-singleton); 5% exact clones
+# (doc_id % 20 == 0, id + 10^12 — above every scaleup-shifted id,
+# the _CTRL_CLONE_OFFSET argument) are the planted truth both
+# modalities must find.  Both engines derive it with the same
+# expressions, so the ctrl queries stay fully oracle-checked.
+_XMODAL_CTRL_SQL = f"""
+xm AS (
+  SELECT doc_id,
+         array_to_string([
+           md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR))
+           for j in range(0, greatest(len(str_split(text, ' ')) // 8, 2))
+         ], ' ') AS text
+  FROM documents
+),
+xcorpus AS (
+  SELECT doc_id, text FROM xm
+  UNION ALL
+  SELECT doc_id + {_CTRL_CLONE_OFFSET} AS doc_id, text FROM xm
+  WHERE doc_id % 20 = 0
+)"""
+
+# 128-bit SimHash CTE chain over ``xcorpus`` (two signed-BIGINT
+# halves, digits 1-16 -> sh1 / 17-32 -> sh0, each packed exactly like
+# _SIMHASH_SQL incl. the BIGINT-minimum sign-bit literal).  128 bits
+# exist for the BANDING: 4 x 32-bit bands keep buckets at n/2^32 docs
+# where the widest 64-bit banding (4 x 16) saturates past ~10^6 docs.
+_SIMHASH128_SQL = """
+toks128 AS (
+  SELECT doc_id AS id, unnest(list_distinct(str_split(text, ' '))) AS tok
+  FROM xcorpus
+),
+digits128 AS (
+  SELECT id, d,
+         strpos('0123456789abcdef', substr(md5(tok), CAST(d AS INT), 1)) - 1
+           AS v
+  FROM toks128 CROSS JOIN (SELECT unnest(range(1, 33)) AS d) p
+),
+dmaj128 AS (
+  SELECT id, d,
+         CASE WHEN sum((v >> 0) & 1) * 2 > count(*) THEN 1 ELSE 0 END AS m0,
+         CASE WHEN sum((v >> 1) & 1) * 2 > count(*) THEN 1 ELSE 0 END AS m1,
+         CASE WHEN sum((v >> 2) & 1) * 2 > count(*) THEN 1 ELSE 0 END AS m2,
+         CASE WHEN sum((v >> 3) & 1) * 2 > count(*) THEN 1 ELSE 0 END AS m3
+  FROM digits128 GROUP BY id, d
+),
+packed128 AS (
+  SELECT id,
+    CASE WHEN d <= 16 THEN
+        (CASE WHEN d = 1 AND m0 = 1
+              THEN CAST(-9223372036854775808 AS BIGINT)
+              ELSE CAST(m0 AS BIGINT) << CAST(greatest(67 - 4*d, 0) AS INT)
+         END)
+      | (CAST(m1 AS BIGINT) << CAST(greatest(66 - 4*d, 0) AS INT))
+      | (CAST(m2 AS BIGINT) << CAST(greatest(65 - 4*d, 0) AS INT))
+      | (CAST(m3 AS BIGINT) << CAST(greatest(64 - 4*d, 0) AS INT))
+    ELSE 0 END AS c1,
+    CASE WHEN d > 16 THEN
+        (CASE WHEN d = 17 AND m0 = 1
+              THEN CAST(-9223372036854775808 AS BIGINT)
+              ELSE CAST(m0 AS BIGINT)
+                   << CAST(greatest(67 - 4*(d-16), 0) AS INT)
+         END)
+      | (CAST(m1 AS BIGINT) << CAST(greatest(66 - 4*(d-16), 0) AS INT))
+      | (CAST(m2 AS BIGINT) << CAST(greatest(65 - 4*(d-16), 0) AS INT))
+      | (CAST(m3 AS BIGINT) << CAST(greatest(64 - 4*(d-16), 0) AS INT))
+    ELSE 0 END AS c0
+  FROM dmaj128
+),
+fp128 AS (
+  SELECT id, bit_or(c1) AS sh1, bit_or(c0) AS sh0 FROM packed128
+  GROUP BY id
+)"""
+
+
+def _xmodal_ctrl(docs: DataFrame) -> DataFrame:
+    """Spark side of ``_XMODAL_CTRL_SQL`` (same expressions)."""
+    m = F.greatest(
+        F.expr("size(split(text, ' ', -1)) div 8"), F.lit(2).cast("long")
+    )
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), m - 1),
+            lambda j: F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    j.cast("string"),
+                ).cast("binary")
+            ),
+        ),
+        " ",
+    )
+    xm = docs.select("doc_id", text.alias("text"))
+    clones = xm.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + _CTRL_CLONE_OFFSET).alias("doc_id"), "text"
+    )
+    return xm.unionByName(clones)
+
+
+@register(
+    "split_leakage_simhash_ctrl",
+    oracle=f"""
+WITH {_XMODAL_CTRL_SQL},
+{_SIMHASH128_SQL},
+sp AS (
+  SELECT doc_id AS id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+              THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+              THEN 'val' ELSE 'test' END AS split
+  FROM xcorpus
+)
+SELECT CASE WHEN sa.split = 'test' THEN a.id ELSE b.id END AS test_doc,
+       CASE WHEN sa.split = 'test' THEN b.id ELSE a.id END AS train_doc,
+       CAST(bit_count(xor(a.sh1, b.sh1))
+            + bit_count(xor(a.sh0, b.sh0)) AS INT) AS hamming
+FROM fp128 a
+JOIN fp128 b ON a.id < b.id
+JOIN sp sa ON sa.id = a.id
+JOIN sp sb ON sb.id = b.id
+WHERE bit_count(xor(a.sh1, b.sh1)) + bit_count(xor(a.sh0, b.sh0)) <= 3
+  AND ((sa.split = 'test' AND sb.split = 'train')
+    OR (sa.split = 'train' AND sb.split = 'test'))
+""",
+    tags=("dedup", "leakage", "split", "llm", "bench"),
+)
+def split_leakage_simhash_ctrl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``split_leakage_simhash`` rebuilt for the FOURTH scale decade:
+    the raw query's 8x8-bit banding makes candidates ~n²/32 on ANY
+    corpus (a 64-bit fingerprint cannot band wider than 4 x 16 and
+    stay pigeonhole-lossless at hamming <= 3), so its decade table
+    stops where the shuffle outgrows one node.  This ctrl form is the
+    production design: 128-bit SimHash (``simhash128``) banded
+    4 x 32 bits — buckets hold n/2^32 expected docs, candidates stay
+    ~linear past 10^7 docs — over the high-entropy controlled corpus
+    (``_XMODAL_CTRL_SQL``: doc-unique md5-block token sets, 5% exact
+    clones planted as truth).  Leaks are clone pairs straddling the
+    md5-bucket split; the oracle is the EXHAUSTIVE all-pairs answer,
+    so banding recall is proven, not sampled.
+
+    Scale shape: fingerprints are one row per doc; the pair join is
+    equi on (band, 32-bit bucket); split membership joins in AFTER
+    candidate generation.  The fingerprint WIDTH, not the band
+    count, is what grew — the same knob ``lsh_neardup_adaptive``
+    turns, applied to SimHash."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = _xmodal_ctrl(docs)
+    pairs = simhash128_neardup_pairs(
+        simhash128(doc_tokens(corpus)), max_hamming=3
+    )
+    b = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+    )
+    sp = corpus.select(
         F.col("doc_id").alias("id"),
         F.when(b < "cd", "train")
         .when(b < "e6", "val")

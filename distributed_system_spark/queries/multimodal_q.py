@@ -626,6 +626,173 @@ FROM j GROUP BY doc_id
 """
 
 
+def _crossmodal_ctrl_oracle() -> str:
+    """Composed oracle for crossmodal_dedup_ctrl: the high-entropy
+    controlled corpus (dedup_q._XMODAL_CTRL_SQL), a 60-bit sampled
+    average-hash chain over it (same arithmetic as the 32-bit chain,
+    wider space), and dedup_q's 128-bit SimHash CTE — both pair sets
+    EXHAUSTIVE all-pairs, so the Spark side's banding is proven."""
+    from distributed_system_spark.queries.dedup_q import (
+        _SIMHASH128_SQL,
+        _XMODAL_CTRL_SQL,
+    )
+
+    return f"""
+WITH {_XMODAL_CTRL_SQL.lstrip()},
+d AS (
+  SELECT doc_id, text, length(text) // 24 AS h FROM xcorpus
+  WHERE length(text) >= 24
+),
+px AS (
+  SELECT doc_id, h * 8 AS npix, i,
+         unicode(substr(text, CAST(3 * i + 1 AS INT), 1))
+       + unicode(substr(text, CAST(3 * i + 2 AS INT), 1))
+       + unicode(substr(text, CAST(3 * i + 3 AS INT), 1)) AS g
+  FROM (SELECT doc_id, text, h, unnest(range(0, h * 8)) AS i FROM d)
+),
+sig AS (
+  SELECT doc_id,
+         CAST(list_sum([CASE WHEN gl[(p * npix) // 60 + 1] * npix > total
+                             THEN CAST(pow(2.0, p) AS BIGINT)
+                             ELSE 0 END
+                        for p in range(0, 60)]) AS BIGINT) AS sig
+  FROM (SELECT doc_id, any_value(npix) AS npix, sum(g) AS total,
+               list(g ORDER BY i) AS gl
+        FROM px GROUP BY doc_id)
+),
+{_SIMHASH128_SQL.lstrip()},
+ip AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sig, b.sig)) <= 2
+),
+tp AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM fp128 a JOIN fp128 b ON a.id < b.id
+  WHERE bit_count(xor(a.sh1, b.sh1)) + bit_count(xor(a.sh0, b.sh0)) <= 3
+),
+j AS (
+  SELECT coalesce(i.id_b, t.id_b) AS doc_id,
+         CASE WHEN i.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_img,
+         CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_txt
+  FROM ip i FULL OUTER JOIN tp t
+    ON i.id_a = t.id_a AND i.id_b = t.id_b
+)
+SELECT doc_id,
+       CAST(sum(in_img) > 0 AS BOOLEAN) AS by_image,
+       CAST(sum(in_txt) > 0 AS BOOLEAN) AS by_text,
+       count(*) AS n_pairs
+FROM j GROUP BY doc_id
+"""
+
+
+@register(
+    "crossmodal_dedup_ctrl",
+    oracle=_crossmodal_ctrl_oracle(),
+    tags=("multimodal", "dedup", "ctrl", "bench"),
+)
+def crossmodal_dedup_ctrl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``crossmodal_dedup_pipeline`` rebuilt for the FOURTH scale
+    decade — the same two-modality drop list, with BOTH candidate
+    generators re-sized so buckets stay near-singleton on a
+    high-entropy corpus:
+
+    - image side: 60-bit average-hash (space 2^60 vs the raw
+      query's 2^32) banded 3 x 20 bits — pigeonhole-lossless for
+      hamming <= 2, buckets ~n/2^20;
+    - text side: 128-bit SimHash banded 4 x 32 bits
+      (``simhash128_neardup_pairs``) — lossless for hamming <= 3,
+      buckets ~n/2^32.
+
+    The raw flagship measures real ascii text, whose byte-brightness
+    statistics saturate a 32-bit average-hash space (every doc pair
+    birthday-collides in some band — candidates go quadratic with
+    the CORPUS, SCALE.md round-9); this ctrl corpus
+    (``_XMODAL_CTRL_SQL``) replaces each doc's bytes with md5 blocks
+    keyed by its doc_id — uniform brightness, doc-unique tokens —
+    and plants 5% exact clones as ground truth, so the decade table
+    measures the PLAN.  Both oracles are exhaustive all-pairs, so
+    banding recall is proven at the gate.
+
+    Scale shape: sig pairs join on DISTINCT signatures (3-band
+    equi-join, expand back through two doc joins); text pairs join
+    on (band, 32-bit bucket); agreement is one full-outer equi-join
+    on the pair key; reduction one groupBy on the dropped id."""
+    from distributed_system_spark.operators.dedup import (
+        doc_tokens,
+        simhash128,
+        simhash128_neardup_pairs,
+    )
+    from distributed_system_spark.operators.multimodal import (
+        image_ahash,
+        ppm_payloads,
+    )
+    from distributed_system_spark.queries.dedup_q import _xmodal_ctrl
+
+    corpus = _xmodal_ctrl(
+        load_table(spark, sf_dir, "documents")
+    ).filter(F.length("text") >= 24)
+    sigs = image_ahash(ppm_payloads(corpus), bits=60)
+    usig = sigs.select("sig").distinct()
+    bands = usig.select(
+        "sig",
+        F.explode(F.array(*[F.lit(b) for b in range(3)])).alias("band"),
+    ).withColumn(
+        "block", F.expr("shiftright(sig, band * 20) & 1048575")
+    )
+    sig_pairs = (
+        bands.select(F.col("sig").alias("sig_a"), "band", "block")
+        .join(
+            bands.select(F.col("sig").alias("sig_b"), "band", "block"),
+            ["band", "block"],
+        )
+        .filter(F.col("sig_a") < F.col("sig_b"))
+        .select("sig_a", "sig_b")
+        .distinct()
+        .filter(
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= 2
+        )
+    )
+    da = sigs.select(
+        F.col("doc_id").alias("ida"), F.col("sig").alias("sig_a")
+    )
+    db = sigs.select(
+        F.col("doc_id").alias("idb"), F.col("sig").alias("sig_b")
+    )
+    cross = (
+        da.join(sig_pairs, "sig_a")
+        .join(db, "sig_b")
+        .select(
+            F.least("ida", "idb").alias("id_a"),
+            F.greatest("ida", "idb").alias("id_b"),
+        )
+    )
+    same = (
+        sigs.select(F.col("doc_id").alias("id_a"), "sig")
+        .join(sigs.select(F.col("doc_id").alias("id_b"), "sig"), "sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    img = (
+        same.unionByName(cross)
+        .distinct()
+        .select("id_a", "id_b", F.lit(1).alias("in_img"))
+    )
+    txt = simhash128_neardup_pairs(
+        simhash128(doc_tokens(corpus)), max_hamming=3
+    ).select("id_a", "id_b", F.lit(1).alias("in_txt"))
+    j = img.join(txt, ["id_a", "id_b"], "full_outer").select(
+        F.col("id_b").alias("doc_id"),
+        F.coalesce("in_img", F.lit(0)).alias("in_img"),
+        F.coalesce("in_txt", F.lit(0)).alias("in_txt"),
+    )
+    return j.groupBy("doc_id").agg(
+        (F.sum("in_img") > 0).alias("by_image"),
+        (F.sum("in_txt") > 0).alias("by_text"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+
+
 @register(
     "crossmodal_dedup_pipeline",
     oracle=_crossmodal_oracle(),

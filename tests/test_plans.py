@@ -1220,3 +1220,15 @@ def test_crosslingual_entities_capped_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in full, full
     initial = df._jdf.queryExecution().sparkPlan().toString()
     assert "LeftAnti" in initial, initial
+
+
+def test_fourth_decade_ctrl_pair_generators_banded(spark, sf_dir):
+    """The fourth-decade ctrl rebuilds must keep every candidate
+    generator a banded equi-join: split_leakage_simhash_ctrl joins on
+    (band, 32-bit bucket) of the 128-bit fingerprint;
+    crossmodal_dedup_ctrl adds the distinct-sig 3x20-bit image join.
+    No cartesian pairing of documents anywhere."""
+    for name in ("split_leakage_simhash_ctrl", "crossmodal_dedup_ctrl"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
