@@ -29,8 +29,36 @@ def run(label: str, cmd: list[str]) -> bool:
     return proc.returncode == 0
 
 
+def probe_protobuf() -> None:
+    """Standing env probe (non-gating): transformWithStateInPandas's
+    JVM-backed path needs google.protobuf, absent from this container;
+    pip install fails while the container has no network.  Retried
+    once per round so the moment the env gains network the last
+    never-executed streaming path can be unskipped (r8 verdict #6)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        print("== preflight: protobuf: PRESENT", flush=True)
+        return
+    except ImportError:
+        pass
+    proc = subprocess.run(
+        [sys.executable, "-m", "pip", "install", "--quiet", "protobuf"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    outcome = "INSTALLED" if proc.returncode == 0 else (
+        "UNAVAILABLE (pip install failed — no network; "
+        "transformWithState JVM test stays env-skipped)"
+    )
+    print(f"== preflight: protobuf: {outcome}", flush=True)
+
+
 def main() -> int:
     fast = "--fast" in sys.argv
+    probe_protobuf()
     steps = [("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"])]
     if not fast:
         steps.append(
