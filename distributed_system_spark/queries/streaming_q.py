@@ -616,3 +616,46 @@ def stream_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return token_budget_stream(spark, sf_dir)
+
+
+@register(
+    "stream_domain_quota",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(str_split(text, ' ')) AS BIGINT) AS n_toks
+  FROM documents
+),
+d AS (
+  SELECT doc_id, source, n_toks,
+         sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum_src
+  FROM t
+),
+dom AS (SELECT doc_id, source, n_toks FROM d WHERE cum_src <= 800),
+g AS (
+  SELECT doc_id, source, n_toks,
+         sum(n_toks) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum_all
+  FROM dom
+)
+SELECT doc_id, source, n_toks FROM g WHERE cum_all <= 10000
+""",
+    tags=("C9", "llm", "curation", "domain", "streaming"),
+)
+def stream_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming two-level quota admission: id-ordered microbatches
+    admit docs while (1) the domain's cumulative arrived tokens stay
+    within the 800-token per-source cap and (2) the global cumulative
+    ADMITTED tokens stay within the 10k corpus budget — the streaming
+    face of ``domain_quota_curation``, with per-source (arrived,
+    admitted) standing totals whose prior reads exclude the current
+    batch's own piece (the replay-idempotency rule).  Drained output
+    equals the batch two-level greedy over doc_id order (the oracle)
+    — see streaming/streams.py::domain_quota_stream for the scale
+    analysis."""
+    from distributed_system_spark.streaming.streams import (
+        domain_quota_stream,
+    )
+
+    return domain_quota_stream(spark, sf_dir)

@@ -1431,3 +1431,131 @@ def token_budget_stream(
         .parquet(out_dir)
         .select("doc_id", "source", "n_toks")
     )
+
+
+def domain_quota_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    domain_cap: int = 800,
+    global_budget: int = 10000,
+) -> DataFrame:
+    """Streaming TWO-LEVEL quota admission — the streaming face of
+    ``domain_quota_curation``: id-ordered microbatches admit a doc
+    when (1) its DOMAIN's cumulative arrived tokens (standing
+    per-source totals + in-batch prefix) stay within ``domain_cap``,
+    and (2) the GLOBAL cumulative ADMITTED tokens (standing admitted
+    total + in-batch prefix over level-1 survivors) stay within
+    ``global_budget``.  A doc rejected by its domain never consumes
+    global budget — the composition rule that makes the drained
+    output equal the batch two-level greedy over doc_id order (the
+    oracle).
+
+    State is ONE totals table with per-source (arrived, admitted)
+    sums appended per batch; both prior reads EXCLUDE the current
+    batch's own piece (``piece != batch_id``) — the accumulating-sum
+    replay-idempotency rule ``token_budget_stream`` pins.  The
+    global prior rides a 1-row broadcast aggregate (the
+    scalar-broadcast idiom), never a collect.
+
+    Scale shape: per batch, one window per source over the batch's
+    own rows, one batch-bounded global prefix (maxFilesPerTrigger
+    bounds the batch — the stream's own back-pressure is what makes
+    the per-batch global window safe), and a broadcast-sized totals
+    join; history is never re-read."""
+    import os
+
+    src = f"{sf_dir.rstrip('/')}/documents.parquet"
+    tag = (
+        _src_tag(src)
+        if (domain_cap, global_budget) == (800, 10000)
+        else _src_tag(src, f"dq:{domain_cap}:{global_budget}")
+    )
+    root = f"/tmp/dss-domquota-{tag}"
+    out_dir = os.path.join(root, "out")
+    totals_dir = os.path.join(root, "totals")
+    ckpt = os.path.join(root, "ckpt")
+    totals_schema = "source STRING, arrived BIGINT, admitted BIGINT"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        s = batch_df.sparkSession
+        docs = batch_df.localCheckpoint(eager=True).select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", " ", -1)).cast("long").alias("n_toks"),
+        )
+        wsrc = (
+            Window.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = docs.withColumn("cum_src", F.sum("n_toks").over(wsrc))
+        have_totals = os.path.exists(totals_dir) and any(
+            not f.startswith(("_", ".")) for f in os.listdir(totals_dir)
+        )
+        if have_totals:
+            pr = (
+                s.read.schema(totals_schema + ", piece BIGINT")
+                .parquet(totals_dir)
+                .filter(F.col("piece") != batch_id)
+            )
+            psrc = pr.groupBy("source").agg(
+                F.sum("arrived").alias("p_arr")
+            )
+            gprior = pr.agg(
+                F.coalesce(F.sum("admitted"), F.lit(0)).alias("g_adm")
+            )
+            cum = cum.join(F.broadcast(psrc), "source", "left")
+        else:
+            gprior = s.range(1).select(
+                F.lit(0).cast("long").alias("g_adm")
+            )
+            cum = cum.withColumn("p_arr", F.lit(None).cast("long"))
+        dom = cum.filter(
+            F.col("cum_src") + F.coalesce("p_arr", F.lit(0)) <= domain_cap
+        )
+        wg = Window.orderBy("doc_id").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        admitted = (
+            dom.withColumn("cum_all", F.sum("n_toks").over(wg))
+            .crossJoin(F.broadcast(gprior))
+            .filter(F.col("cum_all") + F.col("g_adm") <= global_budget)
+            .select("doc_id", "source", "n_toks")
+        )
+        admitted = admitted.localCheckpoint(eager=True)
+        admitted.write.mode("overwrite").parquet(
+            f"{out_dir}/piece={batch_id}"
+        )
+        arr = docs.groupBy("source").agg(
+            F.sum("n_toks").cast("long").alias("arrived")
+        )
+        adm = admitted.groupBy("source").agg(
+            F.sum("n_toks").cast("long").alias("admitted")
+        )
+        arr.join(adm, "source", "left").select(
+            "source",
+            "arrived",
+            F.coalesce("admitted", F.lit(0)).cast("long").alias("admitted"),
+        ).write.mode("overwrite").parquet(
+            f"{totals_dir}/piece={batch_id}"
+        )
+
+    raw = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_docs_idordered_stage_dir(sf_dir))
+    )
+    q = (
+        raw.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.schema("doc_id BIGINT, source STRING, n_toks BIGINT")
+        .parquet(out_dir)
+        .select("doc_id", "source", "n_toks")
+    )

@@ -981,3 +981,60 @@ def test_token_budget_stream_replay_idempotent(spark, sf_dir):
         for r in token_budget_stream(spark, sf_dir, budget).collect()
     }
     assert got2 == got1
+
+
+def test_domain_quota_stream_replay_idempotent(spark, sf_dir):
+    """domain_quota_stream mid-batch crash replay: the (arrived,
+    admitted) totals piece of the crashed attempt must be invisible
+    to the rerun — same contract as token_budget_stream, now with
+    TWO accumulating sums (domain arrived + global admitted).  The
+    global budget is chosen to bind inside the LAST batch so a
+    double-count would visibly change the admission set."""
+    import math
+    import os
+    import shutil
+
+    from distributed_system_spark.streaming.streams import (
+        _src_tag,
+        domain_quota_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    step = math.ceil(len(ids) / 3)
+    b2_start = ids[2 * step]
+    tot = docs.select(
+        F.sum(F.size(F.split("text", " ", -1))).cast("long")
+    ).collect()[0][0]
+    prior01 = docs.filter(F.col("doc_id") < b2_start).select(
+        F.sum(F.size(F.split("text", " ", -1))).cast("long")
+    ).collect()[0][0]
+    # domain cap never binds; global budget binds mid-batch-2
+    dcap = int(tot)
+    budget = int(prior01 + (tot - prior01) // 2)
+    assert prior01 < budget < tot
+
+    root = "/tmp/dss-domquota-" + _src_tag(
+        f"{sf_dir}/documents.parquet", f"dq:{dcap}:{budget}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    got1 = {
+        (r.doc_id, r.source, r.n_toks)
+        for r in domain_quota_stream(spark, sf_dir, dcap, budget).collect()
+    }
+    adm_b2 = {d for d, _, _ in got1 if d >= b2_start}
+    all_b2 = {i for i in ids if i >= b2_start}
+    assert adm_b2 and adm_b2 < all_b2, (len(adm_b2), len(all_b2))
+    commits_dir = os.path.join(root, "ckpt", "commits")
+    commits = sorted(
+        c for c in os.listdir(commits_dir) if not c.startswith(".")
+    )
+    os.remove(os.path.join(commits_dir, commits[-1]))
+    crc = os.path.join(commits_dir, f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    got2 = {
+        (r.doc_id, r.source, r.n_toks)
+        for r in domain_quota_stream(spark, sf_dir, dcap, budget).collect()
+    }
+    assert got2 == got1
