@@ -1630,8 +1630,10 @@ def _lang_bucket_rank(
     contiguous key runs across workers, partitioner.cpp:57-98 —
     never one-run-per-key.)
 
-    Input must carry ``doc_id`` and ``lang``; output adds ``rn``
-    (global per-language rank) and ``n`` (language size).  With
+    Input must carry ``doc_id`` and the stratum column ``key``
+    (default ``lang``; ``domain_quota_curation`` passes ``source``
+    and a constant column for its global pass); output adds ``rn``
+    (global per-stratum rank) and ``n`` (stratum size).  With
     ``cum_col`` set, also adds ``cum`` — the global per-language
     INCLUSIVE running sum of that column in the same order (the
     seq-packing accumulator), via the same local-plus-bucket-offset
