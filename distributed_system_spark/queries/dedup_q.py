@@ -1858,7 +1858,10 @@ def split_leakage_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole-lossless for Hamming<=3, so the exhaustive-oracle
     parity is a proof, not a recall gamble; the split sides join in
     AFTER candidate generation (two equi-joins on doc_id), so the
-    banded pair volume — not the corpus — bounds the work."""
+    banded pair volume — not the corpus — bounds the work.  That
+    volume is ~n²/32 past ~10^6 docs (8-bit buckets saturate), so
+    the FOURTH-decade form is ``split_leakage_simhash_ctrl``:
+    128-bit fingerprints banded 4x32 (round-9)."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = simhash_neardup_pairs(simhash64(doc_tokens(docs)), max_hamming=3)
     b = F.substring(

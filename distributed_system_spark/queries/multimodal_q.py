@@ -819,7 +819,11 @@ def crossmodal_dedup_pipeline(
     (signature-distinct on the image side, (band, bucket) on the
     text side — each documented in its own query); the agreement
     join is equi on (id_a, id_b); the final reduction is one groupBy
-    on the dropped id.  No cartesian anywhere (plan-asserted)."""
+    on the dropped id.  No cartesian anywhere (plan-asserted).  On
+    corpora past ~10^6 docs the 32-bit image space and 8-bit simhash
+    bands saturate — the FOURTH-decade form is
+    ``crossmodal_dedup_ctrl`` (60-bit image hash banded 3x20,
+    128-bit simhash banded 4x32; round-9)."""
     from distributed_system_spark.queries.dedup_q import simhash_neardup
 
     img = dedup_phash_hamming(spark, sf_dir).select(
