@@ -635,24 +635,32 @@ def dedup_crosslingual_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ents",
     )
     corpus = base.unionByName(twins)
+    # Shuffle on md5(entity) — 16-byte keys instead of ~40-char
+    # namespaced strings; identical pairs out (md5 collisions are
+    # negligible and would only ADD a candidate the Jaccard verify
+    # then scores — never drop one).
     e = corpus.select(
-        F.col("doc_id").alias("id"), "lang", F.explode("ents").alias("ent")
+        F.col("doc_id").alias("id"),
+        "lang",
+        F.explode("ents").alias("ent"),
+    ).select(
+        "id", "lang", F.md5(F.col("ent").cast("binary")).alias("eh")
     )
     hot = (
-        e.groupBy("ent")
+        e.groupBy("eh")
         .agg(F.count(F.lit(1)).alias("occ"))
         .filter(F.col("occ") > 100)
-        .select("ent")
+        .select("eh")
     )
-    k = e.join(F.broadcast(hot), "ent", "left_anti")
+    k = e.join(F.broadcast(hot), "eh", "left_anti")
     a = k.select(
-        F.col("id").alias("id_a"), F.col("lang").alias("la"), "ent"
+        F.col("id").alias("id_a"), F.col("lang").alias("la"), "eh"
     )
     b = k.select(
-        F.col("id").alias("id_b"), F.col("lang").alias("lb"), "ent"
+        F.col("id").alias("id_b"), F.col("lang").alias("lb"), "eh"
     )
     p = (
-        a.join(b, "ent")
+        a.join(b, "eh")
         .filter((F.col("id_a") < F.col("id_b")) & (F.col("la") != F.col("lb")))
         .groupBy("id_a", "id_b")
         .agg(

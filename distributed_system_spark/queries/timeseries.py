@@ -177,15 +177,19 @@ SELECT lang, doc_id FROM (
 def sample_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified deterministic sample: exactly 20 docs per language,
     chosen by md5 order (uniform, reproducible, engine-portable).
-    One shuffle on the stratum key; at 100 TB prefer this over
-    sampleBy(), whose per-partition RNG draws are not stable across
-    cluster layouts."""
+    At 100 TB prefer this over sampleBy(), whose per-partition RNG
+    draws are not stable across cluster layouts.
+
+    SKEW-SAFE (round-9): the rank rides ``_lang_bucket_rank`` —
+    (lang, md5-prefix bucket) partitions plus broadcast prefix-sum
+    offsets — so a language holding half the corpus spreads over 256
+    tasks instead of one, and the identical global rank keeps the
+    oracle unchanged."""
+    from distributed_system_spark.queries.text_q import _lang_bucket_rank
+
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
-    )
     return (
-        docs.withColumn("rn", F.row_number().over(w))
+        _lang_bucket_rank(docs.select("doc_id", "lang"))
         .filter(F.col("rn") <= 20)
         .select("lang", "doc_id")
     )
