@@ -647,8 +647,10 @@ def stream_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming two-level quota admission: id-ordered microbatches
     admit docs while (1) the domain's cumulative arrived tokens stay
     within the 800-token per-source cap and (2) the global cumulative
-    ADMITTED tokens stay within the 10k corpus budget — the streaming
-    face of ``domain_quota_curation``, with per-source (arrived,
+    LEVEL-1-SURVIVOR tokens stay within the 10k corpus budget (the
+    meter charges budget-rejected survivors too, exactly the oracle's
+    ``sum OVER dom``) — the streaming face of
+    ``domain_quota_curation``, with per-source (arrived, dom_arrived,
     admitted) standing totals whose prior reads exclude the current
     batch's own piece (the replay-idempotency rule).  Drained output
     equals the batch two-level greedy over doc_id order (the oracle)

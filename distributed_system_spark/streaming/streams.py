@@ -1443,18 +1443,21 @@ def domain_quota_stream(
     ``domain_quota_curation``: id-ordered microbatches admit a doc
     when (1) its DOMAIN's cumulative arrived tokens (standing
     per-source totals + in-batch prefix) stay within ``domain_cap``,
-    and (2) the GLOBAL cumulative ADMITTED tokens (standing admitted
-    total + in-batch prefix over level-1 survivors) stay within
-    ``global_budget``.  A doc rejected by its domain never consumes
-    global budget — the composition rule that makes the drained
-    output equal the batch two-level greedy over doc_id order (the
-    oracle).
+    and (2) the GLOBAL cumulative LEVEL-1-SURVIVOR tokens (standing
+    dom-arrived total + in-batch prefix over level-1 survivors) stay
+    within ``global_budget``.  The global meter charges every doc
+    that passed its domain cap — including docs the budget then
+    rejects — exactly the batch oracle's ``sum OVER dom`` running
+    sum; a doc rejected by its DOMAIN never reaches the meter.
+    (Summing only ADMITTED tokens here diverges the moment the
+    budget first binds in a non-final batch: later batches would
+    re-admit docs the batch greedy rejects.)
 
-    State is ONE totals table with per-source (arrived, admitted)
-    sums appended per batch; both prior reads EXCLUDE the current
-    batch's own piece (``piece != batch_id``) — the accumulating-sum
-    replay-idempotency rule ``token_budget_stream`` pins.  The
-    global prior rides a 1-row broadcast aggregate (the
+    State is ONE totals table with per-source (arrived, dom_arrived,
+    admitted) sums appended per batch; prior reads EXCLUDE the
+    current batch's own piece (``piece != batch_id``) — the
+    accumulating-sum replay-idempotency rule ``token_budget_stream``
+    pins.  The global prior rides a 1-row broadcast aggregate (the
     scalar-broadcast idiom), never a collect.
 
     Scale shape: per batch, one window per source over the batch's
@@ -1470,11 +1473,17 @@ def domain_quota_stream(
         if (domain_cap, global_budget) == (800, 10000)
         else _src_tag(src, f"dq:{domain_cap}:{global_budget}")
     )
-    root = f"/tmp/dss-domquota-{tag}"
+    # "2" suffix: the totals schema grew a dom_arrived column when the
+    # global meter switched from admitted to level-1-survivor tokens —
+    # never read a stale 3-column state dir from the old layout.
+    root = f"/tmp/dss-domquota2-{tag}"
     out_dir = os.path.join(root, "out")
     totals_dir = os.path.join(root, "totals")
     ckpt = os.path.join(root, "ckpt")
-    totals_schema = "source STRING, arrived BIGINT, admitted BIGINT"
+    totals_schema = (
+        "source STRING, arrived BIGINT, dom_arrived BIGINT, "
+        "admitted BIGINT"
+    )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
@@ -1503,25 +1512,28 @@ def domain_quota_stream(
             psrc = pr.groupBy("source").agg(
                 F.sum("arrived").alias("p_arr")
             )
+            # Global prior = cross-batch LEVEL-1-SURVIVOR tokens, not
+            # admitted tokens: the oracle's cum_all runs over every
+            # dom survivor, so budget-rejected docs still consume it.
             gprior = pr.agg(
-                F.coalesce(F.sum("admitted"), F.lit(0)).alias("g_adm")
+                F.coalesce(F.sum("dom_arrived"), F.lit(0)).alias("g_dom")
             )
             cum = cum.join(F.broadcast(psrc), "source", "left")
         else:
             gprior = s.range(1).select(
-                F.lit(0).cast("long").alias("g_adm")
+                F.lit(0).cast("long").alias("g_dom")
             )
             cum = cum.withColumn("p_arr", F.lit(None).cast("long"))
         dom = cum.filter(
             F.col("cum_src") + F.coalesce("p_arr", F.lit(0)) <= domain_cap
-        )
+        ).localCheckpoint(eager=True)
         wg = Window.orderBy("doc_id").rowsBetween(
             Window.unboundedPreceding, 0
         )
         admitted = (
             dom.withColumn("cum_all", F.sum("n_toks").over(wg))
             .crossJoin(F.broadcast(gprior))
-            .filter(F.col("cum_all") + F.col("g_adm") <= global_budget)
+            .filter(F.col("cum_all") + F.col("g_dom") <= global_budget)
             .select("doc_id", "source", "n_toks")
         )
         admitted = admitted.localCheckpoint(eager=True)
@@ -1531,12 +1543,20 @@ def domain_quota_stream(
         arr = docs.groupBy("source").agg(
             F.sum("n_toks").cast("long").alias("arrived")
         )
+        dom_arr = dom.groupBy("source").agg(
+            F.sum("n_toks").cast("long").alias("dom_arrived")
+        )
         adm = admitted.groupBy("source").agg(
             F.sum("n_toks").cast("long").alias("admitted")
         )
-        arr.join(adm, "source", "left").select(
+        arr.join(dom_arr, "source", "left").join(
+            adm, "source", "left"
+        ).select(
             "source",
             "arrived",
+            F.coalesce("dom_arrived", F.lit(0))
+            .cast("long")
+            .alias("dom_arrived"),
             F.coalesce("admitted", F.lit(0)).cast("long").alias("admitted"),
         ).write.mode("overwrite").parquet(
             f"{totals_dir}/piece={batch_id}"

@@ -1014,7 +1014,7 @@ def test_domain_quota_stream_replay_idempotent(spark, sf_dir):
     budget = int(prior01 + (tot - prior01) // 2)
     assert prior01 < budget < tot
 
-    root = "/tmp/dss-domquota-" + _src_tag(
+    root = "/tmp/dss-domquota2-" + _src_tag(
         f"{sf_dir}/documents.parquet", f"dq:{dcap}:{budget}"
     )
     shutil.rmtree(root, ignore_errors=True)
@@ -1038,3 +1038,67 @@ def test_domain_quota_stream_replay_idempotent(spark, sf_dir):
         for r in domain_quota_stream(spark, sf_dir, dcap, budget).collect()
     }
     assert got2 == got1
+
+
+def test_domain_quota_stream_budget_binds_early(spark, sf_dir):
+    """domain_quota_stream with the GLOBAL budget binding inside
+    batch 0 of 3: the batch oracle charges every level-1 survivor
+    against the budget — including the ones the budget then rejects —
+    so once it binds, NO later doc is ever admitted.  A global prior
+    that sums only ADMITTED tokens under-charges and re-admits docs
+    in batches 1-2 that the oracle rejects; this test pins the
+    dom-arrived meter."""
+    import math
+    import shutil
+
+    from distributed_system_spark.streaming.streams import (
+        _src_tag,
+        domain_quota_stream,
+    )
+
+    rows = sorted(
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", " ", -1)).cast("long").alias("n"),
+        )
+        .collect(),
+        key=lambda r: r.doc_id,
+    )
+    # Domain cap binds for the heaviest sources: half the max
+    # per-source total.
+    per_src = {}
+    for r in rows:
+        per_src[r.source] = per_src.get(r.source, 0) + r.n
+    dcap = max(per_src.values()) // 2
+    # Batch oracle, level 1: per-source arrived prefix <= dcap.
+    cum_src, dom = {}, []
+    for r in rows:
+        c = cum_src.get(r.source, 0) + r.n
+        cum_src[r.source] = c
+        if c <= dcap:
+            dom.append(r)
+    # Budget = half the dom-survivor tokens of batch 0 — binds early.
+    step = math.ceil(len(rows) / 3)
+    b1_start = rows[step].doc_id
+    b0_dom = sum(r.n for r in dom if r.doc_id < b1_start)
+    budget = b0_dom // 2
+    assert 0 < budget < b0_dom
+    # Batch oracle, level 2: global prefix over ALL dom survivors.
+    cum, expect = 0, set()
+    for r in dom:
+        cum += r.n
+        if cum <= budget:
+            expect.add((r.doc_id, r.source, r.n))
+    assert expect and len(expect) < len(dom)
+
+    root = "/tmp/dss-domquota2-" + _src_tag(
+        f"{sf_dir}/documents.parquet", f"dq:{dcap}:{budget}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    got = {
+        (r.doc_id, r.source, r.n_toks)
+        for r in domain_quota_stream(spark, sf_dir, dcap, budget).collect()
+    }
+    assert got == expect
