@@ -69,20 +69,21 @@ HEADLINE = [
     "search_hybrid_rrf",  # BM25 + dense-cosine reciprocal-rank fusion
     "text_lm_bigram_nll", # bigram-LM perplexity gate (CCNet shape)
     "join_bloom_prune",   # Bloom runtime filter ahead of the join
-    "curation_pipeline",  # FLAGSHIP: the end-to-end gate→exact-dedup→
-                          # fuzzy-dedup→split composition — the one
-                          # number that answers "what does a curation
-                          # pass cost" (reference analog: the 5-node
-                          # E2E budget, tests/maplejuice.cpp:208-210)
-    "dedup_incremental",  # new-batch-vs-signature-index dedup (the
-                          # steady-state ingestion shape: never
-                          # re-dedups history)
-    "curation_pipeline_ctrl",  # the flagship on the controlled-dup
-                          # corpus: the honest wall-time of a full
-                          # curation pass (the raw-corpus flagship
-                          # above measures the output-quadratic
-                          # degeneracy of the synthetic table as much
-                          # as the plan — keep both numbers)
+    # NOT benched (round-10 rebalance, r9 verdict #5): the raw-corpus
+    # curation_pipeline (22 s) + dedup_incremental (20 s) burned 30%
+    # of the r9 bench wall measuring the synthetic table's ~31-word-
+    # vocabulary degeneracy (nearly every pair a TRUE dup — output
+    # mass, not plan cost).  Both stay registered and oracle-checked;
+    # their production certification has always been the controlled-
+    # corpus forms benched here: curation_pipeline_ctrl,
+    # dedup_incremental_ctrl, and dedup_incremental_capped (the
+    # bounded-candidate raw-corpus form).
+    "curation_pipeline_ctrl",  # the curation FLAGSHIP on the
+                          # controlled-dup corpus: the honest
+                          # wall-time of a full gate→exact-dedup→
+                          # fuzzy-dedup→split pass (reference analog:
+                          # the 5-node E2E budget,
+                          # tests/maplejuice.cpp:208-210)
     "hard_negative_mining",  # cell-partitioned contrastive mining
                           # (embedding training-data prep; hyperplane-
                           # signature cells sized from corpus count —
@@ -112,12 +113,16 @@ HEADLINE = [
                           # drop list in one plan
     "dedup_incremental_ctrl",  # standing-index steady state on the
                           # controlled corpus (the honest incremental
-                          # wall; the raw-corpus variant above is
+                          # wall; the unbenched raw-corpus variant is
                           # candidate-degenerate by data design)
     # -- round-9 additions --
     "dedup_incremental_capped",  # the bucket-occupancy safety valve:
                           # the raw degenerate corpus under a bounded
-                          # candidate join (cap^2 per bucket)
+                          # candidate join (cap^2 per bucket).  r10:
+                          # verify re-keyed on token-set CONTENT
+                          # (jaccard_verify_setdedup) — ~+1.5 s
+                          # constant here buys the third decade
+                          # 15.4x->7.5x (101 s -> 68 s, SCALE.md r10)
     "domain_quota_curation",  # two-level domain-cap + global-budget
                           # admission, both running sums bucketed
     "dedup_crosslingual_entities",  # shared-entity fingerprints
@@ -227,15 +232,28 @@ def _recover_times_from_tail(tail: str) -> dict[str, float]:
     """Salvage per-query seconds from a TRUNCATED bench record: the
     driver keeps only the last 2000 chars of output, and round 8's
     41-query line overflowed that (parsed == {}).  The times live in
-    the `"queries": {...}` region, which in the old key order came
-    before `"sf"` — cut there so delta RATIOS (same query names,
-    different values) can't be mistaken for seconds."""
+    the `"queries": {...}` region — anchor on that key when it
+    survived the truncation (the current key order emits it AFTER
+    "sf", so the old cut-at-"sf" heuristic would discard everything);
+    in a tail whose "queries" key itself was truncated away, fall
+    back to cutting at whichever delta/retime section key survives so
+    delta RATIOS (same query names, different values) can't be
+    mistaken for seconds.  Separator-tolerant: matches both the old
+    `": "` spacing and the current compact `":"` output."""
     import re
 
-    region = tail.split('"sf"')[0]
+    region = tail
+    if '"queries"' in region:
+        region = region.split('"queries"', 1)[1]
+    # Cut at every scalar/section key that can follow the queries map
+    # in either key order ("value" follows it in the current output,
+    # "sf" followed it in the old) — each is a number or a ratio map
+    # the seconds regex would otherwise swallow.
+    for stop in ('"deltas"', '"retimes"', '"regressions"', '"value"', '"sf"'):
+        region = region.split(stop, 1)[0]
     return {
         m.group(1): float(m.group(2))
-        for m in re.finditer(r'"([a-z][a-z0-9_]+)": ([0-9.]+)', region)
+        for m in re.finditer(r'"([a-z][a-z0-9_]+)":\s*([0-9.]+)', region)
     }
 
 

@@ -215,6 +215,91 @@ def jaccard_verify(
     )
 
 
+def jaccard_verify_setdedup(
+    pairs: DataFrame, toks: DataFrame, threshold: float
+) -> DataFrame:
+    """:func:`jaccard_verify` with the expensive work keyed on
+    CONTENT, not doc identity: docs are first mapped to a token-SET
+    fingerprint (md5 of the space-joined sorted set — tokens come
+    from a space split, so the encoding is injective), the
+    array-intersect runs once per DISTINCT (set_a, set_b) fingerprint
+    pair, and the verdict joins back to the full pair list on the
+    16-byte keys.
+
+    Why: on a dup-heavy corpus the candidate list is dominated by
+    docs sharing literally identical token sets — the raw synthetic
+    table's ~31-word vocabulary yields 2.3 M capped candidates at the
+    third decade but only ~10^3 distinct set pairs, so the verify
+    join was shipping the same ~100-token arrays 2.3 M times
+    (the 15.4× wall + single-node spill in SCALE.md round-9).  Here
+    the pair stream stays NARROW end-to-end (16-byte fingerprints +
+    two sizes ≈ 50 B/row vs ~1 KB/row with arrays), and array traffic
+    is proportional to distinct content, not to pair multiplicity.
+
+    The Bayardo length filter prunes on the (narrow) sizes BEFORE any
+    array is fetched — same exact-rational bound as
+    :func:`jaccard_verify`.  On a high-entropy corpus the distinct()
+    is a near-no-op and the shape degrades gracefully to
+    jaccard_verify plus two narrow shuffles.  Output is identical to
+    :func:`jaccard_verify` (twin-tested); md5 set-fingerprint
+    collisions are the accepted 16-byte-join-key idiom
+    (``dedup_crosslingual_entities``)."""
+    from fractions import Fraction
+
+    fr = Fraction(round(threshold * 10**6) - 1, 10**6)
+    num, den = fr.numerator, fr.denominator
+    sets_ = toks.groupBy("id").agg(
+        F.sort_array(F.collect_set("tok")).alias("ts")
+    )
+    keyed = sets_.select(
+        "id",
+        "ts",
+        F.unhex(F.md5(F.concat_ws(" ", "ts").cast("binary"))).alias("tsk"),
+        F.size("ts").cast("long").alias("n"),
+    )
+    ids_a = keyed.select(
+        F.col("id").alias("id_a"),
+        F.col("tsk").alias("ka"),
+        F.col("n").alias("na"),
+    )
+    ids_b = keyed.select(
+        F.col("id").alias("id_b"),
+        F.col("tsk").alias("kb"),
+        F.col("n").alias("nb"),
+    )
+    narrow = (
+        pairs.join(ids_a, "id_a")
+        .join(ids_b, "id_b")
+        .filter(
+            (F.col("na") * den >= F.col("nb") * num)
+            & (F.col("nb") * den >= F.col("na") * num)
+        )
+    )
+    upairs = narrow.select("ka", "kb").distinct()
+    arrs = keyed.select("tsk", "ts").distinct()
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    jac = inter / (F.size("ts_a") + F.size("ts_b") - inter)
+    verdict = (
+        upairs.join(
+            arrs.select(F.col("tsk").alias("ka"), F.col("ts").alias("ts_a")),
+            "ka",
+        )
+        .join(
+            arrs.select(F.col("tsk").alias("kb"), F.col("ts").alias("ts_b")),
+            "kb",
+        )
+        .select(
+            "ka",
+            "kb",
+            F.round(jac.cast("double"), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return narrow.select("id_a", "id_b", "ka", "kb").join(
+        verdict, ["ka", "kb"]
+    ).select("id_a", "id_b", "jaccard")
+
+
 def prefix_index(toks: DataFrame, threshold: float) -> DataFrame:
     """(id, tok) pruned inverted index for a Jaccard-threshold join:
     each doc keeps only its first ``n - ceil(t*n) + 1`` tokens under
@@ -453,6 +538,150 @@ def simhash128(toks: DataFrame) -> DataFrame:
         .groupBy("id")
         .agg(F.bit_or("c1").alias("sh1"), F.bit_or("c0").alias("sh0"))
     )
+
+
+def _simhash_docs(
+    docs: DataFrame, id_col: str, text_col: str, nbits: int
+) -> DataFrame:
+    """Shared shuffle-free SimHash kernel: one ``mapInPandas`` pass
+    computes each document's per-bit majority in numpy — one row per
+    doc in, one fingerprint row out, ZERO shuffles before banding.
+
+    This replaces the explode-×(nbits/4)-digit-rows build (still
+    available as :func:`simhash64` / :func:`simhash128` for (id, tok)
+    inputs): at the 5M-doc decade the explode form materialized ~5 B
+    intermediate rows through two full shuffles — the measured wall
+    of ``split_leakage_simhash_ctrl``'s fourth decade (SCALE.md
+    round-9) and a driver-heap hazard.  Here the only data movement
+    is the scan itself.
+
+    Bit-exactness contract (mirrors the explode form and the DuckDB
+    oracle digit for digit): tokens are ``split(text, ' ', -1)`` with
+    SET semantics; digit d (1-based) of md5(utf8(tok)) contributes
+    bits i = 4(d-1)+j+1 (j = bit j of the digit's value); bit i is
+    set when a strict majority (``ones*2 > n``) of the doc's distinct
+    tokens set it; bits pack MSB-first, so bit column c lands at
+    position 63-c of its BIGINT half — the sign bit is data, exactly
+    the JVM shiftleft-wrap layout.  md5 is md5, so oracles are
+    unchanged.
+
+    Null text yields no output row (the explode form drops those
+    docs the same way).  Per batch, md5 runs once per DISTINCT token
+    (a dict keyed on the batch vocabulary), then the per-doc counts
+    are one ``np.add.reduceat`` over the gathered bit matrix — no
+    per-batch state survives, so memory is bounded by the Arrow
+    batch size regardless of corpus vocabulary."""
+    import pandas as pd  # noqa: F401 (re-imported in the closure)
+
+    from distributed_system_spark.sources.tables import (
+        WIDEN_SLOT_BYTES_DENSE,
+    )
+
+    assert nbits in (64, 128)
+    ndigits = nbits // 4
+    src = widen_if_narrow(
+        docs, min_slot_bytes=WIDEN_SLOT_BYTES_DENSE
+    ).select(
+        F.col(id_col).cast("long").alias("id"),
+        _text_col(text_col).alias("text"),
+    )
+    out_schema = (
+        "id bigint, simhash bigint"
+        if nbits == 64
+        else "id bigint, sh1 bigint, sh0 bigint"
+    )
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        nbytes = ndigits // 2
+        jshift = np.arange(4, dtype=np.uint8)
+        w64 = np.uint64(1) << np.uint64(63 - np.arange(64))
+
+        def vocab_bits(vocab):
+            # (V, nbits) uint8: row = token, col c = 4*d0+j = bit
+            # j of md5 hex digit d0 (0-based) — the explode form's
+            # (d, j) layout flattened.
+            bm = np.empty((len(vocab), nbits), dtype=np.uint8)
+            v = np.empty(ndigits, dtype=np.uint8)
+            for tok, ix in vocab.items():
+                dg = hashlib.md5(tok.encode("utf-8")).digest()[:nbytes]
+                b = np.frombuffer(dg, dtype=np.uint8)
+                v[0::2] = b >> 4
+                v[1::2] = b & 15
+                bm[ix] = ((v[:, None] >> jshift) & 1).reshape(-1)
+            return bm
+
+        def pack(cols):  # (D, 64) bool -> int64, MSB-first
+            return (
+                (cols.astype(np.uint64) * w64)
+                .sum(axis=1, dtype=np.uint64)
+                .view(np.int64)
+            )
+
+        for pdf in batches:
+            vocab: dict = {}
+            flat, lens, keep = [], [], []
+            for did, txt in zip(pdf["id"], pdf["text"]):
+                if txt is None:
+                    continue
+                toks = set(txt.split(" "))
+                for tok in toks:
+                    ix = vocab.get(tok)
+                    if ix is None:
+                        ix = len(vocab)
+                        vocab[tok] = ix
+                    flat.append(ix)
+                lens.append(len(toks))
+                keep.append(did)
+            if not keep:
+                continue
+            bm = vocab_bits(vocab)
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(np.asarray(lens[:-1], dtype=np.int64), out=starts[1:])
+            counts = np.add.reduceat(
+                bm[np.asarray(flat, dtype=np.int64)],
+                starts,
+                axis=0,
+                dtype=np.int64,
+            )
+            maj = counts * 2 > np.asarray(lens, dtype=np.int64)[:, None]
+            ids = np.asarray(keep, dtype=np.int64)
+            if nbits == 64:
+                yield pd.DataFrame({"id": ids, "simhash": pack(maj)})
+            else:
+                yield pd.DataFrame(
+                    {
+                        "id": ids,
+                        "sh1": pack(maj[:, :64]),
+                        "sh0": pack(maj[:, 64:]),
+                    }
+                )
+
+    return src.mapInPandas(gen, out_schema)
+
+
+def simhash64_docs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash) 64-bit SimHash straight from (id, text) rows —
+    bit-identical to ``simhash64(doc_tokens(docs))`` (twin-tested)
+    with the explode + two shuffles replaced by one shuffle-free
+    ``mapInPandas`` numpy pass.  See :func:`_simhash_docs`."""
+    return _simhash_docs(docs, id_col, text_col, 64)
+
+
+def simhash128_docs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, sh1, sh0) 128-bit SimHash straight from (id, text) rows —
+    bit-identical to ``simhash128(doc_tokens(docs))`` (twin-tested)
+    with the explode + two shuffles replaced by one shuffle-free
+    ``mapInPandas`` numpy pass.  See :func:`_simhash_docs`."""
+    return _simhash_docs(docs, id_col, text_col, 128)
 
 
 def simhash128_neardup_pairs(

@@ -719,8 +719,7 @@ def crossmodal_dedup_ctrl(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (band, 32-bit bucket); agreement is one full-outer equi-join
     on the pair key; reduction one groupBy on the dropped id."""
     from distributed_system_spark.operators.dedup import (
-        doc_tokens,
-        simhash128,
+        simhash128_docs,
         simhash128_neardup_pairs,
     )
     from distributed_system_spark.operators.multimodal import (
@@ -779,7 +778,7 @@ def crossmodal_dedup_ctrl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.lit(1).alias("in_img"))
     )
     txt = simhash128_neardup_pairs(
-        simhash128(doc_tokens(corpus)), max_hamming=3
+        simhash128_docs(corpus), max_hamming=3
     ).select("id_a", "id_b", F.lit(1).alias("in_txt"))
     j = img.join(txt, ["id_a", "id_b"], "full_outer").select(
         F.col("id_b").alias("doc_id"),

@@ -888,3 +888,138 @@ def test_capped_candidates_keep_planted_dups(spark, sf_dir):
     raw_uncapped = len(pairs(docs, None))
     raw_capped = len(pairs(docs, _BUCKET_CAP))
     assert raw_capped < raw_uncapped / 2, (raw_capped, raw_uncapped)
+
+
+def test_simhash_docs_twin_of_explode_form(spark, sf_dir):
+    """The vectorized mapInPandas fingerprints (simhash64_docs /
+    simhash128_docs) must be BIT-IDENTICAL to the explode-form
+    simhash64/simhash128 over doc_tokens — same md5, same majority
+    rule, same MSB-first packing (sign bit included) — on the real
+    corpus plus an edge-case frame (empty text, repeated tokens,
+    multiple spaces, unicode, null text dropped)."""
+    from distributed_system_spark.operators.dedup import (
+        simhash64_docs,
+        simhash128,
+        simhash128_docs,
+    )
+    from distributed_system_spark.sources.tables import load_table
+
+    edge = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "a a a b"),
+            (3, "x  y"),  # double space -> empty token
+            (4, "héllo wörld ünïcode"),
+            (5, None),
+            (6, "a"),
+        ],
+        "doc_id bigint, text string",
+    )
+    for docs in (load_table(spark, sf_dir, "documents"), edge):
+        want64 = {
+            r["id"]: r["simhash"]
+            for r in simhash64(doc_tokens(docs)).collect()
+        }
+        got64 = {
+            r["id"]: r["simhash"] for r in simhash64_docs(docs).collect()
+        }
+        assert got64 == want64
+        want128 = {
+            r["id"]: (r["sh1"], r["sh0"])
+            for r in simhash128(doc_tokens(docs)).collect()
+        }
+        got128 = {
+            r["id"]: (r["sh1"], r["sh0"])
+            for r in simhash128_docs(docs).collect()
+        }
+        assert got128 == want128
+    assert 5 not in got64 and 5 not in got128  # null text drops
+    assert 1 in got64  # empty text is one empty token, not a drop
+
+
+def test_jaccard_verify_setdedup_twin(spark, sf_dir):
+    """jaccard_verify_setdedup must emit EXACTLY jaccard_verify's
+    rows: content keying (md5 of the space-joined sorted token set —
+    injective, tokens cannot contain the separator) dedups the
+    intersect work per distinct set pair but never changes a verdict
+    or a pair's jaccard value."""
+    from distributed_system_spark.operators.dedup import (
+        jaccard_verify,
+        jaccard_verify_setdedup,
+        lsh_band_signatures,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from distributed_system_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = doc_tokens(docs)
+    bands = lsh_band_signatures(minhash_signatures(toks, 8), 2)
+    cand = lsh_candidate_pairs(bands, max_bucket=64).filter(
+        F.col("id_b") >= 400
+    )
+    want = sorted(map(tuple, jaccard_verify(cand, toks, 0.8).collect()))
+    got = sorted(
+        map(tuple, jaccard_verify_setdedup(cand, toks, 0.8).collect())
+    )
+    assert got == want and want
+
+
+def test_substring_chains_planted_quote_recall(spark, sf_dir):
+    """dedup_substring_chains: every planted doc (doc_id % 10 == 1
+    appends tokens 4..18 of its predecessor, 15 tokens at an
+    UNALIGNED offset) must report a duplicated span covering >= 15
+    tokens — the arbitrary-offset recall the fixed-segment and
+    stride-aligned variants miss by construction.  The source doc
+    must report coverage too (the shared shingles sit in both)."""
+    from distributed_system_spark.queries import load_all
+
+    reg = load_all()
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.size(F.split("text", " ", -1)).alias("n")
+        ).collect()
+    }
+    planted = {
+        d
+        for d in n_toks
+        if d % 10 == 1 and (d - 1) in n_toks and n_toks[d - 1] >= 18
+    }
+    assert planted, "corpus too small to plant"
+    out = {
+        r.doc_id: r
+        for r in reg["dedup_substring_chains"].fn(spark, sf_dir).collect()
+    }
+    for d in planted:
+        assert out[d].n_dup_spans >= 1, d
+        assert out[d].covered_tokens >= 15, (d, out[d])
+        # the source of the quote shares those shingles
+        assert out[d - 1].covered_tokens >= 15, (d - 1, out[d - 1])
+
+
+def test_pii_checksum_invalid_plants_not_masked(spark, sf_dir):
+    """pii_checksum_mask precision: checksum-FAILING lookalikes (odd
+    doc_id cards, doc_id % 3 != 0 IBANs) must come back unmasked and
+    invalid — the whole point of validating instead of regex-masking
+    every 16-digit token — while valid plants are masked to
+    last-4-only."""
+    from distributed_system_spark.queries import load_all
+
+    reg = load_all()
+    rows = reg["pii_checksum_mask"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_cc >= 1 and r.n_iban >= 1
+        assert r.cc_valid == (r.doc_id % 2 == 0), r
+        assert r.iban_valid == (r.doc_id % 3 == 0), r
+        if r.cc_valid:
+            assert r.cc_masked.startswith("XXXXXXXXXXXX"), r
+            assert len(r.cc_masked) == 16
+        else:
+            assert "X" not in r.cc_masked and len(r.cc_masked) == 16
+        if r.iban_valid:
+            assert r.iban_masked.startswith("DE****************"), r
+        else:
+            assert "*" not in r.iban_masked and len(r.iban_masked) == 22

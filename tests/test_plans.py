@@ -1232,3 +1232,25 @@ def test_fourth_decade_ctrl_pair_generators_banded(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, (name, plan)
         assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+
+
+def test_simhash_docs_fingerprint_no_hash_exchange(spark, sf_dir):
+    """dedup_simhash (the vectorized mapInPandas fingerprint) must
+    reach the output with ZERO hash exchanges: the only allowed
+    Exchange is widen_if_narrow's RoundRobin repartition (fires only
+    on the single-row-group test file; an exact no-op at scale).  The
+    explode form this replaced shuffled twice before banding —
+    ~5 B intermediate rows at the 5M-doc decade."""
+    plan = plan_of(spark, sf_dir, "dedup_simhash")
+    assert "hashpartitioning" not in plan, plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
+
+
+def test_pii_checksum_mask_shuffle_free(spark, sf_dir):
+    """pii_checksum_mask is one scan + codegen expressions: no hash
+    exchange anywhere (the only allowed Exchange is widen_if_narrow's
+    RoundRobin on the single-row-group test file), and no Python —
+    Luhn and mod-97 run as SQL folds/chunked BIGINT mods."""
+    plan = plan_of(spark, sf_dir, "pii_checksum_mask")
+    assert "hashpartitioning" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, plan
