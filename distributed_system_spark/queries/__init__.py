@@ -319,26 +319,63 @@ _R8_VERIFIED = frozenset(
 
 _EXTERNALLY_VERIFIED = _EXTERNALLY_VERIFIED | _R8_VERIFIED
 
+# Green rows from the round-9 external window (CORRECTNESS_r09.json:
+# all 50 sampled rows green, including all 8 round-9 additions and
+# the fronted label_noise_knn).
+_R9_VERIFIED = frozenset(
+    {
+        "ann_lsh_topk", "ann_topk_cosine", "crossmodal_dedup_ctrl",
+        "curation_pipeline_ctrl", "dataset_epoch_plan",
+        "dataset_split_stratified", "date_funcs",
+        "dedup_crosslingual_entities", "dedup_exact",
+        "dedup_incremental_capped", "dedup_incremental_ctrl",
+        "dedup_minhash_ctrl", "dedup_ngram_jaccard",
+        "domain_quota_curation", "dq_expectations", "drift_psi",
+        "eval_set_builder", "filter_like", "intradoc_dedup_lines",
+        "join_broadcast", "join_sortmerge", "label_noise_knn",
+        "mj_wordcount", "mm_binary_meta", "mm_frame_sample",
+        "pipe_tokens", "proj_filter", "q2_min_cost_supplier",
+        "q3_shipping_priority", "q4_order_priority",
+        "q5_local_supplier_volume", "retention_cohorts",
+        "ri_orphan_audit", "sessionize_events",
+        "split_leakage_simhash_ctrl", "stats_mergeable_moments",
+        "stream_domain_quota", "stream_token_budget", "string_funcs",
+        "text_bm25_topk", "text_langid", "text_lm_bigram_nll",
+        "text_quality", "ts_gapfill_locf",
+        "ts_rollup_daily_from_hourly", "udf_pandas_scalar",
+        "win_sliding", "win_tumbling", "window_rank", "wordcount",
+    }
+)
+
+_EXTERNALLY_VERIFIED = _EXTERNALLY_VERIFIED | _R9_VERIFIED
+
 # Queries whose BEHAVIOR (not just docstring) changed AFTER their
 # newest external green row — demoted to the unverified tiers so the
 # next driver window re-verifies them (r8 verdict item #2: external
 # verification must postdate the last behavior change).
-#   - label_noise_knn: changed post-r6 verification (no external row
-#     since; covered by the in-repo cross-engine test meanwhile).
-#   - round-9 changes: skew-safe bucketed rank (dataset_split_
-#     stratified, eval_set_builder), replay-idempotent totals
-#     (stream_token_budget), ctrl-corpus clone offset at 10^12 (the
-#     three _ctrl/minhash ctrl queries), epoch-plan DECIMAL widening.
+#   - sample_stratified_topn: rewired onto _lang_bucket_rank in the
+#     FINAL r9 commit (8d8b90b), after the r9 window ran — the one
+#     hygiene item the r9 verdict fronts for r10.
+#   - round-10 changes: stream_domain_quota's global prior now sums
+#     LEVEL-1-SURVIVOR tokens (the r9 ADVICE high item — a real
+#     behavior fix); the simhash consumers moved to the shuffle-free
+#     mapInPandas fingerprint (twin-tested bit-identical, re-verify
+#     anyway); dedup_incremental_capped's verify re-keyed on token-set
+#     content; dedup_crosslingual_entities' hot-posting valve now
+#     counts occupancy on the raw entity (pre-hash, the oracle's
+#     rule).
 _CHANGED_SINCE_VERIFIED = frozenset(
     {
-        "label_noise_knn",
-        "dataset_split_stratified",
-        "eval_set_builder",
-        "stream_token_budget",
-        "dedup_incremental_ctrl",
-        "dedup_minhash_ctrl",
-        "curation_pipeline_ctrl",
-        "dataset_epoch_plan",
+        "sample_stratified_topn",
+        "stream_domain_quota",
+        "dedup_simhash",
+        "simhash_neardup",
+        "dedup_keep_best",
+        "split_leakage_simhash",
+        "split_leakage_simhash_ctrl",
+        "crossmodal_dedup_ctrl",
+        "dedup_incremental_capped",
+        "dedup_crosslingual_entities",
     }
 )
 
