@@ -4002,3 +4002,217 @@ def dataset_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("effective_tokens"),
     )
+
+
+_PII_ORACLE = """
+WITH ccd AS (
+  SELECT doc_id, i,
+         (strpos('0123456789abcdef',
+                 substr(md5('cc:' || CAST(doc_id AS VARCHAR)),
+                        CAST(i AS INT), 1)) - 1) % 10 AS d
+  FROM documents CROSS JOIN (SELECT unnest(range(1, 16)) AS i) s
+),
+cc AS (
+  SELECT doc_id,
+         string_agg(CAST(d AS VARCHAR), '' ORDER BY i) AS c15,
+         SUM(CASE WHEN i % 2 = 1
+                  THEN CASE WHEN 2*d > 9 THEN 2*d - 9 ELSE 2*d END
+                  ELSE d END) AS part
+  FROM ccd GROUP BY doc_id
+),
+ibd AS (
+  SELECT doc_id, i,
+         (strpos('0123456789abcdef',
+                 substr(md5('ib:' || CAST(doc_id AS VARCHAR)),
+                        CAST(i AS INT), 1)) - 1) % 10 AS d
+  FROM documents CROSS JOIN (SELECT unnest(range(1, 19)) AS i) s
+),
+ib AS (
+  SELECT doc_id, string_agg(CAST(d AS VARCHAR), '' ORDER BY i) AS b18
+  FROM ibd GROUP BY doc_id
+),
+gen AS (
+  SELECT d.doc_id, d.text,
+         cc.c15 || CAST(CASE WHEN d.doc_id % 2 = 0
+                             THEN (10 - cc.part % 10) % 10
+                             ELSE ((10 - cc.part % 10) % 10 + 5) % 10
+                        END AS VARCHAR) AS ccn,
+         98 - (CAST(CAST(CAST(substr(ib.b18 || '131400', 1, 12) AS BIGINT)
+                         % 97 AS VARCHAR)
+                    || substr(ib.b18 || '131400', 13, 12) AS BIGINT) % 97)
+           AS chk0,
+         ib.b18 AS b18
+  FROM documents d
+  JOIN cc ON cc.doc_id = d.doc_id
+  JOIN ib ON ib.doc_id = d.doc_id
+),
+planted AS (
+  SELECT doc_id, ccn,
+         'DE' || lpad(CAST(CASE WHEN doc_id % 3 = 0 THEN chk0
+                                ELSE chk0 + 1 END AS VARCHAR), 2, '0')
+              || b18 AS iban,
+         text || ' ' || ccn
+              || ' DE' || lpad(CAST(CASE WHEN doc_id % 3 = 0 THEN chk0
+                                         ELSE chk0 + 1 END AS VARCHAR),
+                               2, '0') || b18 AS ctext
+  FROM gen
+)
+SELECT doc_id,
+       CAST(len(list_filter(str_split(ctext, ' '),
+                            x -> regexp_matches(x, '^[0-9]{16}$')))
+            AS INT) AS n_cc,
+       doc_id % 2 = 0 AS cc_valid,
+       CASE WHEN doc_id % 2 = 0
+            THEN 'XXXXXXXXXXXX' || substr(ccn, 13, 4)
+            ELSE ccn END AS cc_masked,
+       CAST(len(list_filter(str_split(ctext, ' '),
+                            x -> regexp_matches(x, '^DE[0-9]{20}$')))
+            AS INT) AS n_iban,
+       doc_id % 3 = 0 AS iban_valid,
+       CASE WHEN doc_id % 3 = 0
+            THEN 'DE****************' || substr(iban, 19, 4)
+            ELSE iban END AS iban_masked
+FROM planted
+"""
+
+
+@register(
+    "pii_checksum_mask",
+    oracle=_PII_ORACLE,
+    tags=("text", "pii", "checksum", "llm", "curation"),
+)
+def pii_checksum_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-identifier PII with CHECKSUM validation — the
+    curation pass ``redact_pii``'s regexes cannot express: a 16-digit
+    token is masked only if it Luhn-verifies (otherwise it is an
+    order number, not a card), and a DE-format IBAN only if its
+    ISO-7064 mod-97 remainder is 1.  Both validators are all-integer
+    and fully SQL-expressible: Luhn is a 16-term fold (double every
+    second digit from the right, subtract 9 past 9, total % 10 = 0);
+    mod-97 of the 24-digit rearranged IBAN runs as two chunked BIGINT
+    mods (first 12 digits, then remainder-prefix + last 12 — exact
+    because r*10^12 + rest fits a BIGINT).
+
+    Planted with the _ctrl_corpus discipline: every doc gets one
+    deterministic md5-derived card number (Luhn-VALID iff doc_id
+    even — the invalid plants get check+5 mod 10, guaranteed to
+    break the checksum) and one DE IBAN (mod-97-valid iff doc_id % 3
+    = 0; invalid plants get check+1, shifting the remainder to 2), so
+    precision against checksum-failing lookalikes is measured, not
+    assumed.  The oracle regenerates the plants and asserts the
+    BY-CONSTRUCTION truth; the Spark side detects tokens from the
+    text and validates the checksums it finds — any detector or
+    validator bug hash-mismatches.
+
+    At 100 TB: one scan, zero shuffles (plan-asserted) — token
+    filter, fold, and masking are all whole-stage-codegen
+    expressions; the only Exchange ever present is widen_if_narrow's
+    RoundRobin on single-row-group test files."""
+    docs = widen_if_narrow(load_table(spark, sf_dir, "documents"))
+    hexd = (
+        "(instr('0123456789abcdef', substring(md5(cast(concat('%s:', "
+        "cast(doc_id as string)) as binary)), i, 1)) - 1) %% 10"
+    )
+    gen = (
+        docs.select("doc_id", "text")
+        .withColumn(
+            "ccd", F.expr("transform(sequence(1,15), i -> " + hexd % "cc" + ")")
+        )
+        .withColumn(
+            "ibd", F.expr("transform(sequence(1,18), i -> " + hexd % "ib" + ")")
+        )
+        .withColumn(
+            "cc_part",
+            F.expr(
+                "aggregate(sequence(1,15), cast(0 as bigint), (a, i) -> a + "
+                "CASE WHEN i % 2 = 1 THEN IF(2*element_at(ccd,i) > 9, "
+                "2*element_at(ccd,i) - 9, 2*element_at(ccd,i)) "
+                "ELSE element_at(ccd,i) END)"
+            ),
+        )
+        .withColumn(
+            "ccn",
+            F.expr(
+                "concat(array_join(transform(ccd, d -> cast(d as string)), "
+                "''), cast(CASE WHEN doc_id % 2 = 0 "
+                "THEN (10 - cc_part % 10) % 10 "
+                "ELSE ((10 - cc_part % 10) % 10 + 5) % 10 END as string))"
+            ),
+        )
+        .withColumn(
+            "b18",
+            F.expr("array_join(transform(ibd, d -> cast(d as string)), '')"),
+        )
+        .withColumn(
+            "chk0",
+            F.expr(
+                "98 - (cast(concat(cast(cast(substring(concat(b18, "
+                "'131400'), 1, 12) as bigint) % 97 as string), "
+                "substring(concat(b18, '131400'), 13, 12)) as bigint) % 97)"
+            ),
+        )
+        .withColumn(
+            "ctext",
+            F.expr(
+                "concat(text, ' ', ccn, ' DE', lpad(cast(CASE WHEN "
+                "doc_id % 3 = 0 THEN chk0 ELSE chk0 + 1 END as string), "
+                "2, '0'), b18)"
+            ),
+        )
+        .select("doc_id", "ctext")
+    )
+    det = (
+        gen.withColumn(
+            "cc_toks",
+            F.expr(r"filter(split(ctext, ' ', -1), x -> x rlike '^[0-9]{16}$')"),
+        )
+        .withColumn(
+            "ib_toks",
+            F.expr(
+                r"filter(split(ctext, ' ', -1), x -> x rlike '^DE[0-9]{20}$')"
+            ),
+        )
+        .withColumn("cc_tok", F.expr("element_at(cc_toks, 1)"))
+        .withColumn("ib_tok", F.expr("element_at(ib_toks, 1)"))
+        .withColumn(
+            "cc_valid",
+            F.expr(
+                "aggregate(sequence(1,16), cast(0 as bigint), (a, i) -> a + "
+                "CASE WHEN i % 2 = 1 THEN "
+                "IF(2*(ascii(substring(cc_tok,i,1))-48) > 9, "
+                "2*(ascii(substring(cc_tok,i,1))-48) - 9, "
+                "2*(ascii(substring(cc_tok,i,1))-48)) "
+                "ELSE ascii(substring(cc_tok,i,1))-48 END) % 10 = 0"
+            ),
+        )
+        .withColumn(
+            "sdet",
+            F.expr(
+                "concat(substring(ib_tok, 5, 18), '1314', "
+                "substring(ib_tok, 3, 2))"
+            ),
+        )
+        .withColumn(
+            "iban_valid",
+            F.expr(
+                "cast(concat(cast(cast(substring(sdet, 1, 12) as bigint) "
+                "% 97 as string), substring(sdet, 13, 12)) as bigint) "
+                "% 97 = 1"
+            ),
+        )
+    )
+    return det.select(
+        "doc_id",
+        F.size("cc_toks").cast("int").alias("n_cc"),
+        "cc_valid",
+        F.expr(
+            "CASE WHEN cc_valid THEN concat('XXXXXXXXXXXX', "
+            "substring(cc_tok, 13, 4)) ELSE cc_tok END"
+        ).alias("cc_masked"),
+        F.size("ib_toks").cast("int").alias("n_iban"),
+        "iban_valid",
+        F.expr(
+            "CASE WHEN iban_valid THEN concat('DE****************', "
+            "substring(ib_tok, 19, 4)) ELSE ib_tok END"
+        ).alias("iban_masked"),
+    )
