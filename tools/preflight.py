@@ -42,15 +42,29 @@ def probe_protobuf() -> None:
         return
     except ImportError:
         pass
-    proc = subprocess.run(
-        [sys.executable, "-m", "pip", "install", "--quiet", "protobuf"],
-        cwd=REPO,
-        capture_output=True,
-        text=True,
-        timeout=120,
-    )
-    outcome = "INSTALLED" if proc.returncode == 0 else (
-        "UNAVAILABLE (pip install failed — no network; "
+    # The probe must never GATE preflight: in a no-network container
+    # pip can hang on DNS/connect until the timeout, and an uncaught
+    # TimeoutExpired would crash the run.
+    try:
+        proc = subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "pip",
+                "install",
+                "--quiet",
+                "protobuf==4.25.3",
+            ],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            timeout=120,
+        )
+        ok = proc.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        ok = False
+    outcome = "INSTALLED" if ok else (
+        "UNAVAILABLE (pip install failed/timed out — no network; "
         "transformWithState JVM test stays env-skipped)"
     )
     print(f"== preflight: protobuf: {outcome}", flush=True)
