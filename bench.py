@@ -135,6 +135,13 @@ HEADLINE = [
                           # (the fourth-decade form)
     "crossmodal_dedup_ctrl",  # 60-bit image + 128-bit text banding
                           # on the ctrl corpus (fourth-decade form)
+    # -- round-10 additions --
+    "pii_checksum_mask",  # Luhn/IBAN checksum-validated PII masking
+                          # (one scan, zero shuffles, SQL folds)
+    "dedup_substring_chains",  # stride-1 shingle-chain substring
+                          # dedup (arbitrary-offset copied passages,
+                          # exact covered-token union, no pair
+                          # emission)
 ]
 # NOT here: dedup_minhash_lsh / dedup_ngram_jaccard.  They are correct
 # (oracle-green at the driver's sf0.01) but this synthetic corpus has a

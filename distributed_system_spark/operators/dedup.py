@@ -507,6 +507,10 @@ def simhash128(toks: DataFrame) -> DataFrame:
 
     Same cost shape as simhash64 (explode x32 digit rows per token,
     two bit_or aggregates); all md5 → bit-identical across engines.
+    Production fingerprinting uses :func:`simhash128_docs` (one
+    shuffle-free mapInPandas pass, round-10) — this explode form is
+    kept as the (id, tok)-input API and the vectorized kernel's twin
+    oracle.
     """
     pos = F.explode(F.sequence(F.lit(1), F.lit(32))).alias("d")
     v = F.expr(

@@ -645,27 +645,41 @@ def dedup_crosslingual_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ents",
     )
     corpus = base.unionByName(twins)
-    # The hot-posting valve counts occupancy on the RAW entity —
-    # exactly the oracle's rule — BEFORE hashing: filtering on
-    # md5(ent) occupancy could merge two entities' posting counts
-    # past the >100 cap the oracle keeps and DROP true pairs.  Only
-    # the pair join downstream shuffles on md5(entity) — 16-byte
-    # keys instead of ~40-char namespaced strings — where a
-    # collision can only ADD a candidate the Jaccard verify then
-    # scores, never drop one.
+    # The hot-posting valve is EXACT on the RAW entity — the oracle's
+    # rule — but never ships raw strings through a full shuffle: an
+    # md5(ent)-occupancy pass (16-byte keys) flags CANDIDATE hot
+    # buckets with total recall (eh occupancy >= raw occupancy, so a
+    # raw entity over the cap always flags its bucket), then the raw
+    # occupancy is recounted EXACTLY over just the flagged buckets'
+    # rows (a broadcast semi-join bounds that recount to the hot
+    # slice), and the final drop is a broadcast anti-join on the raw
+    # entity — so an md5 collision can neither push a cold entity
+    # over the cap (phase 2 counts raw) nor drop a cold collider of
+    # a hot entity (the anti-join matches raw).  The pair join
+    # downstream shuffles on md5(entity), where a collision can only
+    # ADD a candidate the Jaccard verify then scores, never drop one.
     e0 = corpus.select(
         F.col("doc_id").alias("id"),
         "lang",
         F.explode("ents").alias("ent"),
+    ).select(
+        "id", "lang", "ent", F.md5(F.col("ent").cast("binary")).alias("eh")
+    )
+    hot_eh = (
+        e0.groupBy("eh")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") > 100)
+        .select("eh")
     )
     hot = (
-        e0.groupBy("ent")
+        e0.join(F.broadcast(hot_eh), "eh")
+        .groupBy("ent")
         .agg(F.count(F.lit(1)).alias("occ"))
         .filter(F.col("occ") > 100)
         .select("ent")
     )
     k = e0.join(F.broadcast(hot), "ent", "left_anti").select(
-        "id", "lang", F.md5(F.col("ent").cast("binary")).alias("eh")
+        "id", "lang", "eh"
     )
     a = k.select(
         F.col("id").alias("id_a"), F.col("lang").alias("la"), "eh"
