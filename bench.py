@@ -142,6 +142,8 @@ HEADLINE = [
                           # dedup (arbitrary-offset copied passages,
                           # exact covered-token union, no pair
                           # emission)
+    "text_strip_markup",  # tag strip + entity decode (the
+                          # extraction stage; one codegen scan)
 ]
 # NOT here: dedup_minhash_lsh / dedup_ngram_jaccard.  They are correct
 # (oracle-green at the driver's sf0.01) but this synthetic corpus has a

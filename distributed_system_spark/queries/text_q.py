@@ -4216,3 +4216,110 @@ def pii_checksum_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
             "substring(ib_tok, 19, 4)) ELSE ib_tok END"
         ).alias("iban_masked"),
     )
+
+
+_MARKUP_ORACLE = """
+WITH t AS (
+  SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+),
+m AS (
+  SELECT doc_id,
+         '<h1>' || array_to_string(
+           [CASE WHEN (i - 1) % 13 = 0
+                 THEN '<b>' || toks[CAST(i AS INT)] || '</b>'
+                 ELSE toks[CAST(i AS INT)] END
+            for i in range(1, len(toks) + 1)], ' ')
+         || '</h1> <p>Q&amp;A &lt;ok&gt; &amp;lt;raw</p>' AS mtext
+  FROM t
+),
+stripped AS (
+  SELECT doc_id, mtext,
+         CAST(len(regexp_extract_all(mtext, '<[^>]*>')) AS BIGINT)
+           AS n_tags,
+         CAST(len(regexp_extract_all(mtext, '&(amp|lt|gt|quot|#39);'))
+           AS BIGINT) AS n_entities,
+         trim(regexp_replace(mtext, '<[^>]*>', '', 'g')) AS no_tags
+  FROM m
+)
+SELECT doc_id,
+       replace(replace(replace(replace(replace(no_tags,
+         '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''),
+         '&amp;', '&') AS clean_text,
+       n_tags, n_entities
+FROM stripped
+"""
+
+
+@register(
+    "text_strip_markup",
+    oracle=_MARKUP_ORACLE,
+    tags=("text", "extraction", "llm", "curation"),
+)
+def text_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup stripping + HTML-entity decoding — the EXTRACTION stage
+    every web-scrape pipeline runs before any text curation (the
+    trafilatura/jusText step, reduced to its deterministic core):
+    remove tags, decode the five standard entities, report how much
+    markup was removed (the density signal boilerplate classifiers
+    consume).  Entity decode order matters and is part of the
+    contract: ``&amp;`` decodes LAST so a literal ``&amp;lt;`` in the
+    source cannot double-decode into ``<`` — the classic
+    entity-injection bug: the plant includes a literal ``&amp;lt;``,
+    which must decode to ``&lt;`` (one pass), never ``<`` — so the
+    oracle hash pins the order.
+
+    Planted with the ctrl discipline: both engines wrap the corpus
+    deterministically (an ``<h1>`` envelope, every 13th token bolded,
+    a trailing ``<p>`` with ``&amp;``/``&lt;``/``&gt;`` entities), so
+    tag density and entity counts are known by construction and the
+    stripper's output is hash-checked against independent
+    construction + stripping in DuckDB.
+
+    At 100 TB: one scan, zero shuffles — two regexp passes and a
+    replace chain, all whole-stage codegen (the per-token-regex
+    lesson does not apply: the regex runs per DOCUMENT)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ", -1)
+    mtext = F.concat(
+        F.lit("<h1>"),
+        F.array_join(
+            F.expr(
+                "transform(split(text, ' ', -1), (t, i) -> "
+                "CASE WHEN i % 13 = 0 THEN concat('<b>', t, '</b>') "
+                "ELSE t END)"
+            ),
+            " ",
+        ),
+        F.lit("</h1> <p>Q&amp;A &lt;ok&gt; &amp;lt;raw</p>"),
+    )
+    m = docs.select("doc_id", mtext.alias("mtext"))
+    no_tags = F.trim(F.regexp_replace("mtext", "<[^>]*>", ""))
+    clean = F.replace(
+        F.replace(
+            F.replace(
+                F.replace(
+                    F.replace(no_tags, F.lit("&lt;"), F.lit("<")),
+                    F.lit("&gt;"),
+                    F.lit(">"),
+                ),
+                F.lit("&quot;"),
+                F.lit('"'),
+            ),
+            F.lit("&#39;"),
+            F.lit("'"),
+        ),
+        F.lit("&amp;"),
+        F.lit("&"),
+    )
+    return m.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.size(F.expr(r"regexp_extract_all(mtext, '<[^>]*>', 0)"))
+        .cast("long")
+        .alias("n_tags"),
+        F.size(
+            F.expr(r"regexp_extract_all(mtext, '&(amp|lt|gt|quot|#39);', 0)")
+        )
+        .cast("long")
+        .alias("n_entities"),
+    )

@@ -1023,3 +1023,19 @@ def test_pii_checksum_invalid_plants_not_masked(spark, sf_dir):
             assert r.iban_masked.startswith("DE****************"), r
         else:
             assert "*" not in r.iban_masked and len(r.iban_masked) == 22
+
+
+def test_strip_markup_no_double_decode(spark, sf_dir):
+    """text_strip_markup decode order: the planted literal &amp;lt;
+    must come out as the four characters '&lt;' (decoded once), never
+    '<' (decoded twice) — and all tags are gone."""
+    from distributed_system_spark.queries import load_all
+
+    rows = load_all()["text_strip_markup"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert "&lt;raw" in r.clean_text, r.clean_text[-60:]
+        assert "<ok>" in r.clean_text  # &lt;ok&gt; decoded once
+        assert "Q&A" in r.clean_text  # &amp; decoded
+        assert "<b>" not in r.clean_text and "<h1>" not in r.clean_text
+        assert r.n_tags >= 4 and r.n_entities >= 4

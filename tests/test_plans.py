@@ -1254,3 +1254,11 @@ def test_pii_checksum_mask_shuffle_free(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "pii_checksum_mask")
     assert "hashpartitioning" not in plan, plan
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_text_strip_markup_shuffle_free(spark, sf_dir):
+    """text_strip_markup is one scan + codegen regex/replace chain:
+    no exchange of any kind, no Python."""
+    plan = plan_of(spark, sf_dir, "text_strip_markup")
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, plan
