@@ -5,8 +5,13 @@ The reference has no dedup (its only workload is word count); these
 are the driver-mandated LLM-pipeline extensions (SURVEY.md §2.C),
 designed Spark-first:
 
-- Everything is Column expressions / relational joins — no Python in
-  the hot path, the whole pipeline stays in whole-stage codegen.
+- Everything is Column expressions / relational joins — the pipeline
+  stays in whole-stage codegen — with ONE deliberate exception: the
+  SimHash fingerprint stage (``simhash64_docs``/``simhash128_docs``)
+  runs as an Arrow-batched numpy ``mapInPandas`` pass, because the
+  relational formulation explodes tokens × digits through two
+  shuffles (~5 B rows at the 5 M-doc decade) while the vectorized
+  map is shuffle-free and bit-identical (round-10, twin-tested).
 - All hashing is md5 over UTF-8 strings, which is bit-identical in
   every engine — so even the MinHash/LSH pipeline is fully
   oracle-checkable against DuckDB (an engine-native hash would not
