@@ -1262,3 +1262,13 @@ def test_text_strip_markup_shuffle_free(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "text_strip_markup")
     assert "Exchange" not in plan, plan
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_substring_chains_no_pair_join(spark, sf_dir):
+    """dedup_substring_chains never emits pairs: no cartesian or
+    nested-loop join anywhere — the frequency pass is an equi-join of
+    position rows to one count row each, and the span chain is a
+    per-doc window."""
+    plan = plan_of(spark, sf_dir, "dedup_substring_chains")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
