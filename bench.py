@@ -144,6 +144,9 @@ HEADLINE = [
                           # emission)
     "text_strip_markup",  # tag strip + entity decode (the
                           # extraction stage; one codegen scan)
+    "mm_audio_fingerprint",  # 31-bit energy-delta audio dedup
+                          # through the real WAV codec (third
+                          # modality; Arrow map + one groupBy)
 ]
 # NOT here: dedup_minhash_lsh / dedup_ngram_jaccard.  They are correct
 # (oracle-green at the driver's sf0.01) but this synthetic corpus has a

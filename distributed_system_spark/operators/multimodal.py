@@ -782,3 +782,51 @@ def image_channel_stats(
         f"{id_col} bigint, channel bigint, cmin bigint, cmax bigint,"
         " csum bigint, npix bigint",
     )
+
+
+def audio_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", frames: int = 32
+) -> DataFrame:
+    """(id, afp) energy-delta audio fingerprint through the REAL WAV
+    decoder — the chromaprint idea reduced to its deterministic,
+    engine-checkable core: decode the payload, split the (mono) PCM
+    stream into ``frames`` equal time slices (sample i lands in frame
+    ``i*frames//n`` — the resample-as-index-arithmetic trick
+    ``image_ahash`` uses), sum each slice's integer energy (v²), and
+    set bit b (MSB-first, b = 0..frames-2) when slice b's energy
+    exceeds slice b+1's.  All-integer, so the fingerprint is
+    bit-identical in any engine that reads the same bytes; clips
+    shorter than ``frames`` samples emit no row (a slice would be
+    empty).
+
+    Near-identical clips (same content, small edits) agree on most
+    energy deltas — Hamming distance on afp is the audio analog of
+    image-ahash distance, and the same banding machinery applies at
+    scale.  One Arrow hop per batch, zero shuffles."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for i, p in zip(pdf[id_col], pdf["payload"]):
+                _nch, _rate, samples = decode_wav(bytes(p))
+                mono = np.asarray(samples).reshape(len(samples), -1)[
+                    :, 0
+                ].astype(np.int64)
+                n = mono.size
+                if n < frames:
+                    continue
+                idx = (np.arange(n, dtype=np.int64) * frames) // n
+                e = np.zeros(frames, dtype=np.int64)
+                np.add.at(e, idx, mono * mono)
+                fp = 0
+                for b in range(frames - 1):
+                    if e[b] > e[b + 1]:
+                        fp |= 1 << (frames - 2 - b)
+                ids.append(int(i))
+                fps.append(fp)
+            yield pd.DataFrame({id_col: ids, "afp": fps})
+
+    return df.select(id_col, "payload").mapInPandas(
+        run, f"{id_col} bigint, afp bigint"
+    )

@@ -841,3 +841,66 @@ def crossmodal_dedup_pipeline(
         (F.sum("in_txt") > 0).alias("by_text"),
         F.count(F.lit(1)).alias("n_pairs"),
     )
+
+
+@register(
+    "mm_audio_fingerprint",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, n, i, unicode(c) - 128 AS v FROM (
+    SELECT doc_id, length(text) AS n,
+           unnest(str_split(text, '')) AS c,
+           generate_subscripts(str_split(text, ''), 1) AS i
+    FROM documents WHERE length(text) >= 32)
+),
+e AS (
+  SELECT doc_id, ((i - 1) * 32) // n AS frame,
+         SUM(CAST(v AS BIGINT) * v) AS energy
+  FROM s GROUP BY doc_id, ((i - 1) * 32) // n
+),
+f AS (
+  SELECT a.doc_id,
+         CAST(SUM(CASE WHEN a.energy > b.energy
+                       THEN CAST(1 AS BIGINT) << CAST(30 - a.frame AS INT)
+                       ELSE 0 END) AS BIGINT) AS afp
+  FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.frame = a.frame + 1
+  GROUP BY a.doc_id
+)
+SELECT f.doc_id, f.afp,
+       CAST(count(*) OVER (PARTITION BY f.afp) AS BIGINT) AS n_same
+FROM f
+""",
+    tags=("multimodal", "audio", "dedup", "fingerprint"),
+)
+def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio dedup fingerprints through the REAL WAV codec — the
+    third modality of the dedup family (text simhash, image ahash,
+    now audio energy-delta): each clip's 31-bit fingerprint sets bit
+    b when time-slice b's integer energy exceeds slice b+1's
+    (``operators/multimodal.py::audio_fingerprint``), and the readout
+    counts how many clips share each fingerprint — the exact-match
+    audio dedup a crawl pipeline runs before the expensive acoustic
+    model ever sees a clip.
+
+    The oracle recomputes the fingerprint straight from character
+    codes (sample = byte - 128, the wav_payloads contract), so a
+    green row certifies encode → WAV container → decode → framing →
+    energy → bit-packing end to end, all integer.
+
+    Scale shape: fingerprinting is one Arrow map pass (zero
+    shuffles); the share-count is one groupBy on the fingerprint +
+    an equi join back — hash-space 2^31, so buckets stay
+    near-singleton and the join never amplifies."""
+    from distributed_system_spark.operators.multimodal import (
+        audio_fingerprint,
+        wav_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 32
+    )
+    fp = audio_fingerprint(wav_payloads(docs))
+    counts = fp.groupBy("afp").agg(F.count(F.lit(1)).alias("n_same"))
+    return fp.join(counts, "afp").select(
+        "doc_id", "afp", F.col("n_same").cast("long").alias("n_same")
+    )

@@ -1039,3 +1039,32 @@ def test_strip_markup_no_double_decode(spark, sf_dir):
         assert "Q&A" in r.clean_text  # &amp; decoded
         assert "<b>" not in r.clean_text and "<h1>" not in r.clean_text
         assert r.n_tags >= 4 and r.n_entities >= 4
+
+
+def test_audio_fingerprint_locality(spark):
+    """audio_fingerprint: a lightly edited clip (a few bytes changed)
+    lands within a small Hamming distance of the original, while an
+    unrelated clip is far — the locality that makes banded bucketing
+    meaningful for audio dedup.  Also pins the n>=frames contract
+    (short clips emit no row)."""
+    from distributed_system_spark.operators.multimodal import (
+        audio_fingerprint,
+        wav_payloads,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    edited = "THE quick brown fox jumps over the lazy dog " * 4
+    other = "zzzz aaaa " * 3 + "m" * 140
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited), (3, other), (4, "tiny")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: r.afp
+        for r in audio_fingerprint(wav_payloads(docs)).collect()
+    }
+    assert 4 not in out  # shorter than 32 samples -> no fingerprint
+    ham_edit = bin(out[1] ^ out[2]).count("1")
+    ham_other = bin(out[1] ^ out[3]).count("1")
+    assert ham_edit <= 6, (ham_edit, ham_other)
+    assert ham_other > ham_edit, (ham_edit, ham_other)
