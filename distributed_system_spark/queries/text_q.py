@@ -4076,6 +4076,34 @@ FROM planted
 """
 
 
+def luhn_valid_expr(col: str) -> "F.Column":
+    """Boolean Column: does the 16-digit token in string column
+    ``col`` pass the Luhn checksum?  A pure SQL fold (double every
+    second digit from the right, subtract 9 past 9, total % 10 = 0)
+    — shared by ``pii_checksum_mask`` and the hypothesis model test."""
+    d = f"(ascii(substring({col},i,1))-48)"
+    return F.expr(
+        f"aggregate(sequence(1,16), cast(0 as bigint), (a, i) -> a + "
+        f"CASE WHEN i % 2 = 1 THEN IF(2*{d} > 9, 2*{d} - 9, 2*{d}) "
+        f"ELSE {d} END) % 10 = 0"
+    )
+
+
+def iban_mod97_valid_expr(col: str) -> "F.Column":
+    """Boolean Column: does the DE-format IBAN in string column
+    ``col`` (DE + 2 check digits + 18-digit BBAN) satisfy ISO-7064
+    mod-97 = 1?  The 24-digit rearranged number runs as two chunked
+    BIGINT mods (exact: r*10^12 + rest fits a BIGINT)."""
+    sdet = (
+        f"concat(substring({col}, 5, 18), '1314', substring({col}, 3, 2))"
+    )
+    return F.expr(
+        f"cast(concat(cast(cast(substring({sdet}, 1, 12) as bigint) "
+        f"% 97 as string), substring({sdet}, 13, 12)) as bigint) "
+        f"% 97 = 1"
+    )
+
+
 @register(
     "pii_checksum_mask",
     oracle=_PII_ORACLE,
@@ -4174,32 +4202,8 @@ def pii_checksum_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("cc_tok", F.expr("element_at(cc_toks, 1)"))
         .withColumn("ib_tok", F.expr("element_at(ib_toks, 1)"))
-        .withColumn(
-            "cc_valid",
-            F.expr(
-                "aggregate(sequence(1,16), cast(0 as bigint), (a, i) -> a + "
-                "CASE WHEN i % 2 = 1 THEN "
-                "IF(2*(ascii(substring(cc_tok,i,1))-48) > 9, "
-                "2*(ascii(substring(cc_tok,i,1))-48) - 9, "
-                "2*(ascii(substring(cc_tok,i,1))-48)) "
-                "ELSE ascii(substring(cc_tok,i,1))-48 END) % 10 = 0"
-            ),
-        )
-        .withColumn(
-            "sdet",
-            F.expr(
-                "concat(substring(ib_tok, 5, 18), '1314', "
-                "substring(ib_tok, 3, 2))"
-            ),
-        )
-        .withColumn(
-            "iban_valid",
-            F.expr(
-                "cast(concat(cast(cast(substring(sdet, 1, 12) as bigint) "
-                "% 97 as string), substring(sdet, 13, 12)) as bigint) "
-                "% 97 = 1"
-            ),
-        )
+        .withColumn("cc_valid", luhn_valid_expr("cc_tok"))
+        .withColumn("iban_valid", iban_mod97_valid_expr("ib_tok"))
     )
     return det.select(
         "doc_id",

@@ -271,3 +271,108 @@ def test_psi_zero_for_identical_and_nonnegative(spark):
     )
     r2 = psi_from_bin_counts(spark, shifted).select("psi_total").first()
     assert r2.psi_total > 0.1
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.text(st.sampled_from(list("abcde ")), min_size=0, max_size=24),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_setdedup_verify_equals_plain(spark, docs):
+    """jaccard_verify_setdedup must equal jaccard_verify on arbitrary
+    tiny corpora under all-pairs candidates — including the edge
+    cases content keying exists for (docs with literally identical
+    token sets) and the ones that stress it (single-token docs,
+    empty-string tokens from repeated separators)."""
+    from distributed_system_spark.operators.dedup import (
+        doc_tokens,
+        jaccard_verify,
+        jaccard_verify_setdedup,
+    )
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    toks = doc_tokens(df)
+    ids = [(a, b) for a in range(len(docs)) for b in range(len(docs)) if a < b]
+    pairs = spark.createDataFrame(ids, "id_a long, id_b long")
+    want = sorted(
+        map(tuple, jaccard_verify(pairs, toks, 0.8).collect())
+    )
+    got = sorted(
+        map(tuple, jaccard_verify_setdedup(pairs, toks, 0.8).collect())
+    )
+    assert got == want
+
+
+def _luhn_model(tok: str) -> bool:
+    total = 0
+    for i, ch in enumerate(tok, start=1):  # left index, 16 digits
+        d = ord(ch) - 48
+        if i % 2 == 1:
+            d = 2 * d
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+def _iban_model(iban: str) -> bool:
+    s = iban[4:22] + "1314" + iban[2:4]
+    return int(s) % 97 == 1
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.text(st.sampled_from(list("0123456789")), min_size=16, max_size=16),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_luhn_fold_matches_python_model(spark, toks):
+    """The SQL Luhn fold (pii_checksum_mask's validator) must agree
+    with a pure-Python Luhn on arbitrary 16-digit strings — one Spark
+    job for the whole batch."""
+    from distributed_system_spark.queries.text_q import luhn_valid_expr
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "i long, tok string"
+    )
+    got = {
+        r.i: r.ok
+        for r in df.select("i", luhn_valid_expr("tok").alias("ok")).collect()
+    }
+    assert got == {i: _luhn_model(t) for i, t in enumerate(toks)}
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.text(st.sampled_from(list("0123456789")), min_size=20, max_size=20),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_iban_mod97_matches_python_model(spark, bodies):
+    """The chunked-BIGINT mod-97 (pii_checksum_mask's IBAN validator)
+    must agree with Python big-int arithmetic on arbitrary DE-format
+    IBANs (valid and invalid check digits alike)."""
+    from distributed_system_spark.queries.text_q import (
+        iban_mod97_valid_expr,
+    )
+
+    ibans = ["DE" + b for b in bodies]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ibans)], "i long, iban string"
+    )
+    got = {
+        r.i: r.ok
+        for r in df.select(
+            "i", iban_mod97_valid_expr("iban").alias("ok")
+        ).collect()
+    }
+    assert got == {i: _iban_model(t) for i, t in enumerate(ibans)}
