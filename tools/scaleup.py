@@ -32,7 +32,11 @@ collide.
 Usage:
   python tools/scaleup.py                  # sf0.1 -> /tmp/dss-scale/sf1
   python tools/scaleup.py /tmp/dss-scale sf10   # chain sf1 -> sf10
-Writes <out_root>/<name>/{table}.parquet; ~10 s (sf1) / ~2 min (sf10).
+  python tools/scaleup.py /tmp/dss-scale sf100d # docs-only 4th decade
+  python tools/scaleup.py /tmp/dss-scale sf1000d # docs-only 5th decade
+Writes <out_root>/<name>/{table}.parquet; ~10 s (sf1) / ~2 min (sf10) /
+~6 min (sf1000d, streamed per replica into a parquet directory — the
+single-statement form OOMs at 52.5 M docs).
 """
 
 from __future__ import annotations
@@ -218,6 +222,7 @@ def build_documents_only(
     name: str,
     src: str,
     stride_scale: int,
+    parts: bool = False,
 ) -> str:
     """Chain ONLY the documents table another decade (same id-shift +
     replica-disjoint token-suffix transform as :func:`build`),
@@ -231,17 +236,42 @@ def build_documents_only(
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
-    con.execute(f"CREATE VIEW r AS SELECT unnest(range({REPLICAS})) AS rep")
     doc_stride = DOC_STRIDE * stride_scale
-    con.execute(
-        f"""COPY (
-        SELECT doc_id + rep * {doc_stride} AS doc_id,
-               array_to_string(list_transform(str_split(text, ' '),
-                   x -> x || '_r' || CAST(rep AS VARCHAR)), ' ') AS text,
-               lang, source, n_chars
-        FROM '{src}/documents.parquet' CROSS JOIN r
-        ) TO '{out}/documents.parquet' (FORMAT PARQUET)"""
+    src_doc = f"{src}/documents.parquet"
+    src_glob = (
+        src_doc + "/*.parquet" if os.path.isdir(src_doc) else src_doc
     )
+    if parts:
+        # Stream one replica per COPY into a parquet DIRECTORY (Spark
+        # reads it natively): the single-statement cross-join form
+        # materializes the whole output first and OOMs past ~50 M
+        # docs (measured: 100.6 GiB at the fifth decade).  Source
+        # globbed too, so a parts-built dir chains another decade.
+        pdir = f"{out}/documents.parquet"
+        os.makedirs(pdir, exist_ok=True)
+        for rep in range(REPLICAS):
+            con.execute(
+                f"""COPY (
+                SELECT doc_id + {rep} * {doc_stride} AS doc_id,
+                       array_to_string(list_transform(str_split(text, ' '),
+                           x -> x || '_r{rep}'), ' ') AS text,
+                       lang, source, n_chars
+                FROM {src_glob!r}
+                ) TO '{pdir}/part-{rep:03d}.parquet' (FORMAT PARQUET)"""
+            )
+    else:
+        con.execute(
+            f"CREATE VIEW r AS SELECT unnest(range({REPLICAS})) AS rep"
+        )
+        con.execute(
+            f"""COPY (
+            SELECT doc_id + rep * {doc_stride} AS doc_id,
+                   array_to_string(list_transform(str_split(text, ' '),
+                       x -> x || '_r' || CAST(rep AS VARCHAR)), ' ') AS text,
+                   lang, source, n_chars
+            FROM '{src}/documents.parquet' CROSS JOIN r
+            ) TO '{out}/documents.parquet' (FORMAT PARQUET)"""
+        )
     for t in (
         "region nation customer supplier part orders lineitem "
         "events embeddings"
@@ -278,7 +308,26 @@ if __name__ == "__main__":
                 root, "sf100d", src=sf10, stride_scale=REPLICAS**2
             )
         )
+    elif which == "sf1000d":
+        # FIFTH documents decade (52.5 M docs, ~8 GB): chained from
+        # sf100d — the transform family is closed, so suffixes become
+        # _rA_rB_rC and strides scale by REPLICAS**3.  Only the
+        # shuffle-free/banded documents queries are worth measuring
+        # here; pair-emitting forms take hours.
+        sf100d = os.path.join(root, "sf100d")
+        if not os.path.isdir(sf100d):
+            raise SystemExit("build sf100d first")
+        print(
+            build_documents_only(
+                root,
+                "sf1000d",
+                src=sf100d,
+                stride_scale=REPLICAS**3,
+                parts=True,
+            )
+        )
     else:
         raise SystemExit(
-            f"unknown target {which!r}; use sf1, sf10, sf100e, or sf100d"
+            f"unknown target {which!r}; use sf1, sf10, sf100e, sf100d, "
+            "or sf1000d"
         )
