@@ -4327,3 +4327,277 @@ def text_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_entities"),
     )
+
+
+@register(
+    "aug_word_dropout",
+    oracle="""
+SELECT doc_id,
+       CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(str_split(text, ' '),
+                (t, i) -> substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                      || CAST(i AS VARCHAR)), 1, 1)
+                          <> '0')) AS BIGINT) AS n_kept,
+       array_to_string(
+         list_filter(str_split(text, ' '),
+                (t, i) -> substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                      || CAST(i AS VARCHAR)), 1, 1)
+                          <> '0'),
+         ' ') AS aug_text
+FROM documents
+""",
+    tags=("text", "augmentation", "training-prep"),
+)
+def aug_word_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic word-dropout augmentation: token at position i is
+    dropped iff the first md5 hex digit of "<doc_id>:<i>" is '0' — a
+    reproducible 1/16 dropout whose mask is a pure function of
+    (doc_id, position), so re-running the pipeline (or re-deriving an
+    augmented shard on another cluster) regenerates byte-identical
+    augmented text with no stored mask table.  The augmentation face
+    of the md5-bucket discipline dataset_split/dataset_kfold use for
+    membership.
+
+    Scale shape: a pure per-row projection — the dropout decision is a
+    higher-order array filter over the already-split token array, so
+    the whole query is ONE scan with zero exchanges (plan-asserted),
+    exactly what an augmentation pass must be at 100 TB.  Spark's
+    lambda index is 0-based and DuckDB's is 1-based; the Spark side
+    hashes i+1 so both engines drop the same positions."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = F.expr(
+        "filter(split(text, ' ', -1), (t, i) -> "
+        "substring(md5(cast(concat(cast(doc_id as string), ':', "
+        "cast(i + 1 as string)) as binary)), 1, 1) != '0')"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ", -1)).cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.concat_ws(" ", kept).alias("aug_text"),
+    )
+
+
+@register(
+    "dataset_dsir_select",
+    oracle="""
+WITH tb AS (
+  SELECT doc_id, lang,
+         CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)
+              AS BIGINT) AS b
+  FROM (SELECT doc_id, lang, md5(unnest(str_split(text, ' '))) AS h
+        FROM documents)
+),
+bc AS (
+  SELECT b, count(*) AS r_n,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_n
+  FROM tb GROUP BY b
+),
+tot AS (SELECT sum(r_n) AS r_tot, sum(t_n) AS t_tot FROM bc),
+w AS (
+  SELECT b,
+         round(CAST(ln(CAST(t_n + 1 AS DOUBLE) / (t_tot + 256))
+                    AS DECIMAL(18,12)), 12)
+         - round(CAST(ln(CAST(r_n + 1 AS DOUBLE) / (r_tot + 256))
+                    AS DECIMAL(18,12)), 12) AS wb
+  FROM bc CROSS JOIN tot
+),
+dw AS (
+  SELECT tb.doc_id, CAST(sum(w.wb) AS DECIMAL(38,12)) AS w_raw
+  FROM tb JOIN w USING (b) GROUP BY tb.doc_id
+)
+SELECT doc_id, CAST(round(w_raw, 6) AS DOUBLE) AS dsir_w
+FROM dw ORDER BY w_raw DESC, doc_id LIMIT 100
+""",
+    tags=("text", "training-prep", "data-selection"),
+)
+def dataset_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (importance resampling with hashed
+    n-gram features, Xie et al. 2023): score every raw document by how
+    much more likely its tokens are under the TARGET domain's hashed
+    unigram distribution (here lang='en') than under the raw pool's,
+    then keep the top-k.  Features are 256 md5 buckets (first two hex
+    digits); per-bucket importance is the Laplace-smoothed log-ratio
+    ln((t_b+1)/(T+256)) - ln((r_b+1)/(R+256)); a doc's weight sums its
+    token occurrences' bucket weights.
+
+    Scale shape: ONE token scan feeds a 256-row bucket-count aggregate
+    (map-side combined), the weight table is bucket-count-bounded and
+    BROADCAST back onto the token stream, and the per-doc sum is one
+    keyed aggregate — never a vocabulary-sized shuffle (tokens travel
+    as 2-byte bucket ids, not strings).  The top-k is TakeOrdered.
+    ln parity: each ln is rounded to 12 while DECIMAL (the zipf
+    convention), summed exactly in DECIMAL(38,12), final round to 6 —
+    deterministic tiebreak on (w_raw, doc_id) pins the LIMIT boundary.
+    """
+    hexs = "0123456789abcdef"
+    docs = load_table(spark, sf_dir, "documents")
+    tb = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split("text", " ", -1)).alias("tok"),
+        )
+        .select(
+            "doc_id", "lang", F.md5(F.col("tok").cast("binary")).alias("h")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            (
+                (F.instr(F.lit(hexs), F.substring("h", 1, 1)) - 1).cast(
+                    "long"
+                )
+                * 16
+                + (F.instr(F.lit(hexs), F.substring("h", 2, 1)) - 1).cast(
+                    "long"
+                )
+            ).alias("b"),
+        )
+    )
+    bc = tb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("r_n"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("t_n"),
+    )
+    tot = bc.agg(
+        F.sum("r_n").alias("r_tot"), F.sum("t_n").alias("t_tot")
+    )
+
+    def lnw(n, t):
+        return F.round(
+            F.log(
+                (F.col(n) + 1).cast("double")
+                / (F.col(t) + 256).cast("double")
+            ).cast("decimal(18,12)"),
+            12,
+        )
+
+    w = bc.crossJoin(F.broadcast(tot)).select(
+        "b", (lnw("t_n", "t_tot") - lnw("r_n", "r_tot")).alias("wb")
+    )
+    dw = (
+        tb.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("wb").cast("decimal(38,12)").alias("w_raw"))
+    )
+    return (
+        dw.orderBy(F.col("w_raw").desc(), "doc_id")
+        .limit(100)
+        .select(
+            "doc_id", F.round("w_raw", 6).cast("double").alias("dsir_w")
+        )
+    )
+
+
+_TLD_SQL = (
+    "CASE CAST((strpos('0123456789abcdef', substr(m, 3, 1)) - 1) % 4 "
+    "AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'org' WHEN 2 THEN 'net' "
+    "ELSE 'io' END"
+)
+
+_BLOCK_RULES = ("d0.com", "d7.io", "w3.d1.net", "da.org")
+
+
+@register(
+    "domain_blocklist_filter",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents
+),
+hosts AS (
+  SELECT doc_id,
+         'w' || substr(m, 1, 1) || '.d' || substr(m, 2, 1) || '.'
+           || {_TLD_SQL} AS host,
+         'd' || substr(m, 2, 1) || '.' || {_TLD_SQL} AS domtld,
+         {_TLD_SQL} AS tld
+  FROM h
+),
+rules AS (SELECT * FROM (VALUES {", ".join(f"('{r}')" for r in _BLOCK_RULES)})
+          AS t(rule)),
+suf AS (
+  SELECT doc_id, host AS s FROM hosts
+  UNION ALL SELECT doc_id, domtld FROM hosts
+  UNION ALL SELECT doc_id, tld FROM hosts
+),
+blocked AS (
+  SELECT s.doc_id, r.rule FROM suf s JOIN rules r ON s.s = r.rule
+),
+per_rule AS (
+  SELECT rule, count(*) AS n_docs,
+         min(doc_id) AS min_doc, max(doc_id) AS max_doc
+  FROM blocked GROUP BY rule
+),
+kept AS (
+  SELECT '(kept)' AS rule, count(*) AS n_docs,
+         min(doc_id) AS min_doc, max(doc_id) AS max_doc
+  FROM hosts WHERE doc_id NOT IN (SELECT doc_id FROM blocked)
+)
+SELECT * FROM per_rule UNION ALL SELECT * FROM kept
+""",
+    tags=("text", "curation", "blocklist"),
+)
+def domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain blocklist filtering with SUFFIX-wildcard
+    semantics — the C4/RefinedWeb URL-blocklist pass: a rule blocks
+    the exact host AND every subdomain under it ('d0.com' blocks
+    'w5.d0.com').  Hosts are derived deterministically from
+    md5(doc_id) (subdomain, domain, tld labels) since the synthetic
+    corpus carries no URL column — the plumbing (suffix explosion +
+    rule join) is the real operator.
+
+    Scale shape: each host explodes into its <=3 dot-suffixes and
+    EQUI-joins the rule table on the suffix string — the shape that
+    survives a 100k-entry production blocklist, unlike an OR-chain of
+    ends_with predicates recompiled per rule.  Here the rule side is
+    broadcast; the kept count is one anti-join against distinct
+    blocked ids.  Output: per-rule blocked doc counts + a '(kept)'
+    row, min/max doc ids as the audit anchors."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    tld = F.expr(
+        "CASE CAST((instr('0123456789abcdef', substr(m, 3, 1)) - 1) % 4 "
+        "AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'org' WHEN 2 THEN 'net' "
+        "ELSE 'io' END"
+    )
+    hosts = docs.select("doc_id", m.alias("m")).select(
+        "doc_id",
+        F.concat(
+            F.lit("w"),
+            F.substring("m", 1, 1),
+            F.lit(".d"),
+            F.substring("m", 2, 1),
+            F.lit("."),
+            tld,
+        ).alias("host"),
+        F.concat(
+            F.lit("d"), F.substring("m", 2, 1), F.lit("."), tld
+        ).alias("domtld"),
+        tld.alias("tld"),
+    )
+    rules = spark.createDataFrame(
+        [(r,) for r in _BLOCK_RULES], "rule string"
+    )
+    suf = hosts.select(
+        "doc_id", F.explode(F.array("host", "domtld", "tld")).alias("s")
+    )
+    blocked = suf.join(F.broadcast(rules), suf["s"] == rules["rule"])
+    per_rule = blocked.groupBy("rule").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+    kept = (
+        hosts.join(
+            blocked.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .select(F.lit("(kept)").alias("rule"), "n_docs", "min_doc", "max_doc")
+    )
+    return per_rule.unionByName(kept)

@@ -1068,3 +1068,130 @@ def test_audio_fingerprint_locality(spark):
     ham_other = bin(out[1] ^ out[3]).count("1")
     assert ham_edit <= 6, (ham_edit, ham_other)
     assert ham_other > ham_edit, (ham_edit, ham_other)
+
+
+def test_aug_word_dropout_deterministic_and_rate(spark, sf_dir):
+    """The dropout mask is a pure function of (doc_id, position):
+    two runs regenerate byte-identical augmented text, the kept token
+    count equals the augmented text's token count, and the corpus
+    dropout rate sits near the designed 1/16."""
+    from distributed_system_spark.queries.text_q import aug_word_dropout
+
+    a = aug_word_dropout(spark, sf_dir).orderBy("doc_id").collect()
+    b = aug_word_dropout(spark, sf_dir).orderBy("doc_id").collect()
+    assert [r["aug_text"] for r in a] == [r["aug_text"] for r in b]
+    tot = sum(r["n_tokens"] for r in a)
+    kept = sum(r["n_kept"] for r in a)
+    for r in a[:50]:
+        n = len(r["aug_text"].split(" ")) if r["aug_text"] else 0
+        assert n == r["n_kept"], r
+    rate = (tot - kept) / tot
+    assert 0.03 < rate < 0.10, rate  # designed 1/16 = 0.0625
+
+
+def test_dsir_selection_pulls_toward_target_domain(spark, sf_dir):
+    """DSIR's whole point: importance selection over-represents the
+    target domain (lang='en') relative to the raw pool."""
+    from distributed_system_spark.queries.text_q import dataset_dsir_select
+    from distributed_system_spark.sources.tables import load_table as lt
+
+    docs = lt(spark, sf_dir, "documents").select("doc_id", "lang")
+    sel = dataset_dsir_select(spark, sf_dir).join(docs, "doc_id")
+    n_sel = sel.count()
+    en_sel = sel.filter(F.col("lang") == "en").count()
+    n_all = docs.count()
+    en_all = docs.filter(F.col("lang") == "en").count()
+    assert n_sel == 100
+    assert en_sel / n_sel > en_all / n_all, (en_sel, n_sel, en_all, n_all)
+
+
+def test_blocklist_partition_of_corpus(spark, sf_dir):
+    """Blocked (distinct) + kept partitions the corpus exactly, and a
+    python-side md5 recomputation of the first hosts agrees with the
+    engine's blocking decisions."""
+    import hashlib
+
+    from distributed_system_spark.queries.text_q import (
+        _BLOCK_RULES,
+        domain_blocklist_filter,
+    )
+    from distributed_system_spark.sources.tables import load_table as lt
+
+    rows = {r["rule"]: r for r in domain_blocklist_filter(spark, sf_dir).collect()}
+    docs = [r["doc_id"] for r in lt(spark, sf_dir, "documents").select("doc_id").collect()]
+
+    def host(doc_id: int) -> str:
+        m = hashlib.md5(str(doc_id).encode()).hexdigest()
+        tld = ["com", "org", "net", "io"][(int(m[2], 16)) % 4]
+        return f"w{m[0]}.d{m[1]}.{tld}"
+
+    blocked = set()
+    per_rule = {r: 0 for r in _BLOCK_RULES}
+    for d in docs:
+        h = host(d)
+        sufs = {h, h.split(".", 1)[1], h.rsplit(".", 1)[1]}
+        for r in _BLOCK_RULES:
+            if r in sufs:
+                per_rule[r] += 1
+                blocked.add(d)
+    for r, n in per_rule.items():
+        got = rows[r]["n_docs"] if r in rows else 0
+        assert got == n, (r, got, n)
+    assert rows["(kept)"]["n_docs"] == len(docs) - len(blocked)
+
+
+def test_group_kfold_no_pair_straddles_folds(spark, sf_dir):
+    """The guarantee the operator exists for: every certified near-dup
+    pair (exact Jaccard >= 0.8 on LSH candidates) lands in ONE fold,
+    and the per-fold group/doc counts reconcile."""
+    from distributed_system_spark.operators.dedup import (
+        connected_components,
+    )
+    from distributed_system_spark.queries.dedup_q import (
+        dataset_group_kfold,
+    )
+    from distributed_system_spark.sources.tables import load_table as lt
+
+    docs = lt(spark, sf_dir, "documents")
+    toks = doc_tokens(docs).cache()
+    cand = lsh_candidate_pairs(
+        lsh_band_signatures(minhash_signatures(toks, num_hashes=8), 2)
+    )
+    pairs = jaccard_verify(cand, toks, 0.8)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    cc = connected_components(
+        edges, docs.select(F.col("doc_id").alias("id"))
+    )
+    fold = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(
+                F.md5(F.col("comp").cast("string").cast("binary")), 1, 1
+            ),
+        )
+        - 1
+    ).cast("long") % 5
+    assign = cc.select("id", "comp", fold.alias("fold")).cache()
+    # every pair shares a fold
+    a = assign.select(
+        F.col("id").alias("id_a"), F.col("fold").alias("fold_a")
+    )
+    b = assign.select(
+        F.col("id").alias("id_b"), F.col("fold").alias("fold_b")
+    )
+    straddle = (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .filter(F.col("fold_a") != F.col("fold_b"))
+        .count()
+    )
+    assert straddle == 0
+    # report reconciles with the assignment
+    rep = {r["fold"]: r for r in dataset_group_kfold(spark, sf_dir).collect()}
+    per_fold = {
+        r["fold"]: r["n"]
+        for r in assign.groupBy("fold").agg(F.count("*").alias("n")).collect()
+    }
+    assert {f: rep[f]["n_docs"] for f in rep} == per_fold
+    assert sum(r["n_docs"] for r in rep.values()) == docs.count()

@@ -1272,3 +1272,44 @@ def test_substring_chains_no_pair_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_substring_chains")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_aug_word_dropout_shuffle_free(spark, sf_dir):
+    """aug_word_dropout is a pure per-row projection: the dropout
+    mask is a higher-order array filter, so the plan has no Exchange
+    and no Python — byte-identical regeneration at 100 TB costs one
+    scan."""
+    plan = plan_of(spark, sf_dir, "aug_word_dropout")
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_dsir_weight_table_broadcast(spark, sf_dir):
+    """dataset_dsir_select: the 256-row bucket-weight table must ride
+    a BroadcastExchange back onto the token stream — the per-doc
+    weight sum may never shuffle tokens against a vocabulary-sized
+    side."""
+    plan = plan_of(spark, sf_dir, "dataset_dsir_select")
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the only sort is the final TakeOrdered top-k, never a global Sort
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_blocklist_join_is_broadcast_equi(spark, sf_dir):
+    """domain_blocklist_filter: the suffix→rule membership test is a
+    broadcast EQUI-join (the shape that survives a 100k-entry
+    blocklist), never a nested-loop of ends_with predicates."""
+    plan = plan_of(spark, sf_dir, "domain_blocklist_filter")
+    assert "BroadcastExchange" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_group_kfold_no_cartesian(spark, sf_dir):
+    """dataset_group_kfold: candidates stay banded equi-joins and the
+    component loop is join+aggregate — no cartesian or nested-loop
+    join anywhere in the composed plan."""
+    plan = plan_of(spark, sf_dir, "dataset_group_kfold")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
