@@ -1195,3 +1195,28 @@ def test_group_kfold_no_pair_straddles_folds(spark, sf_dir):
     }
     assert {f: rep[f]["n_docs"] for f in rep} == per_fold
     assert sum(r["n_docs"] for r in rep.values()) == docs.count()
+
+
+def test_contamination_fuzzy_sides_and_threshold(spark, sf_dir):
+    """Every emitted pair crosses the split boundary in the right
+    direction (test_doc in test, train_doc in train) and clears the
+    0.7 verify threshold."""
+    from distributed_system_spark.queries.dedup_q import (
+        contamination_fuzzy,
+    )
+    from distributed_system_spark.sources.tables import load_table as lt
+
+    docs = lt(spark, sf_dir, "documents")
+    b2 = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+    )
+    split = (
+        F.when(b2 < "cd", "train").when(b2 < "e6", "val").otherwise("test")
+    )
+    sp = {r["doc_id"]: r["s"] for r in docs.select("doc_id", split.alias("s")).collect()}
+    rows = contamination_fuzzy(spark, sf_dir).collect()
+    assert rows, "degenerate corpus must surface cross-split near-dups"
+    for r in rows:
+        assert sp[r["test_doc"]] == "test", r
+        assert sp[r["train_doc"]] == "train", r
+        assert r["jaccard"] >= 0.7, r

@@ -1313,3 +1313,12 @@ def test_group_kfold_no_cartesian(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dataset_group_kfold")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_contamination_fuzzy_no_cartesian(spark, sf_dir):
+    """contamination_fuzzy: the cross-split candidate join is banded
+    equi (band, sig) — never test x train; no cartesian or
+    nested-loop join anywhere."""
+    plan = plan_of(spark, sf_dir, "contamination_fuzzy")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
