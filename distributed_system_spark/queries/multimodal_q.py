@@ -904,3 +904,125 @@ def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.join(counts, "afp").select(
         "doc_id", "afp", F.col("n_same").cast("long").alias("n_same")
     )
+
+
+@register(
+    "mm_transcript_align",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n_bytes,
+         len(str_split(text, ' ')) AS n_toks
+  FROM documents
+),
+segs AS (
+  SELECT doc_id,
+         unnest(range(0, (n_bytes - 120) // 80 + 1)) AS seg_idx,
+         text
+  FROM d WHERE n_bytes >= 120
+),
+seg AS (
+  SELECT doc_id, seg_idx,
+         CAST(seg_idx * 80 / 4 AS BIGINT) AS seg_start_ms,
+         CAST((seg_idx * 80 + 120) / 4 AS BIGINT) AS seg_end_ms,
+         md5(substr(text, CAST(seg_idx * 80 + 1 AS INT), 120)) AS seg_md5
+  FROM segs
+),
+chunks AS (
+  SELECT doc_id,
+         unnest(range(0,
+           CAST(greatest(ceil((n_toks - 50) / 40.0), 0) AS BIGINT) + 1))
+           AS chunk_id
+  FROM d
+),
+c AS (
+  SELECT doc_id, chunk_id,
+         CAST(chunk_id * 40 * 2 AS BIGINT) AS chunk_start_ms
+  FROM chunks
+),
+hits AS (
+  SELECT c.doc_id, c.chunk_id, c.chunk_start_ms,
+         s.seg_idx, s.seg_start_ms, s.seg_md5,
+         row_number() OVER (PARTITION BY c.doc_id, c.chunk_id
+                            ORDER BY s.seg_start_ms DESC) AS rn
+  FROM c JOIN seg s
+    ON s.doc_id = c.doc_id
+   AND s.seg_start_ms <= c.chunk_start_ms
+   AND c.chunk_start_ms < s.seg_end_ms
+)
+SELECT doc_id, chunk_id, chunk_start_ms,
+       seg_idx, seg_start_ms, seg_md5
+FROM hits WHERE rn = 1
+""",
+    tags=("multimodal", "audio", "alignment"),
+)
+def mm_transcript_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript↔audio ALIGNMENT: map each text chunk (doc_chunking's
+    50-token/stride-40 rule, 2 ms per token on the synthetic timeline)
+    to the audio segment covering its start time (mm_audio_segments'
+    30 ms windows, 20 ms hop) — the forced-alignment/subtitle-sync
+    plumbing of a speech-pretraining pipeline, composed entirely from
+    the two already-certified windowing rules.  Where the hop overlap
+    covers a chunk start with two segments, the LATEST-starting one
+    wins (as-of-backward with containment); transcript chunks past
+    the audio tail have no segment and drop (inner semantics,
+    documented).
+
+    Scale shape: both windowings are shuffle-free explodes; the
+    alignment is an EQUI hash join on doc_id with the time predicate
+    as a residual (join_point_in_time's shape) and the winner is a
+    per-(doc, chunk) row_number — partitions bounded by per-doc
+    segment fanout, never a global window."""
+    from distributed_system_spark.operators.multimodal import (
+        segment_audio,
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    seg = (
+        segment_audio(attach_binary(docs), window_bytes=120, hop_bytes=80)
+        .select(
+            F.col("doc_id").alias("s_doc"),
+            "seg_idx",
+            F.col("start_ms").cast("long").alias("seg_start_ms"),
+            F.col("end_ms").cast("long").alias("seg_end_ms"),
+            F.md5("seg").alias("seg_md5"),
+        )
+    )
+    n_toks = F.size(F.split("text", " ", -1))
+    n_chunks = (
+        F.greatest(F.ceil((n_toks - 50) / F.lit(40.0)), F.lit(0)).cast(
+            "long"
+        )
+        + 1
+    )
+    c = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_id"
+        ),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        (F.col("chunk_id") * 80).cast("long").alias("chunk_start_ms"),
+    )
+    hits = c.join(
+        seg,
+        (F.col("s_doc") == F.col("doc_id"))
+        & (F.col("seg_start_ms") <= F.col("chunk_start_ms"))
+        & (F.col("chunk_start_ms") < F.col("seg_end_ms")),
+    )
+    w = Window.partitionBy("doc_id", "chunk_id").orderBy(
+        F.col("seg_start_ms").desc()
+    )
+    return (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "chunk_id",
+            "chunk_start_ms",
+            "seg_idx",
+            "seg_start_ms",
+            "seg_md5",
+        )
+    )

@@ -287,3 +287,42 @@ def test_audio_features_under_spark(spark):
             float(np.sqrt(np.mean(s.astype(np.float64) ** 2)))
         )
         assert r.peak == int(np.abs(s).max())
+
+
+def test_transcript_align_containment_and_asof(spark, sf_dir):
+    """Every aligned chunk start lies inside its segment's span, and
+    the chosen segment is the LATEST-starting covering one (the
+    as-of-backward rule): no other segment of the doc both covers the
+    chunk start and starts later."""
+    import pyspark.sql.functions as F
+
+    from distributed_system_spark.queries.multimodal_q import (
+        mm_transcript_align,
+    )
+
+    rows = mm_transcript_align(spark, sf_dir).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, rs in list(by_doc.items())[:50]:
+        for r in rs:
+            start, t = r["seg_start_ms"], r["chunk_start_ms"]
+            assert start <= t < start + 30, r
+    # as-of rule checked exactly: recompute best segment per chunk
+    seg_starts = lambda n_bytes: [
+        i * 20 for i in range((n_bytes - 120) // 80 + 1)
+    ]
+    from distributed_system_spark.sources.tables import load_table as lt
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in lt(spark, sf_dir, "documents").collect()
+    }
+    for doc, rs in list(by_doc.items())[:50]:
+        nb = len(texts[doc])
+        starts = seg_starts(nb)
+        for r in rs:
+            t = r["chunk_start_ms"]
+            best = max(s for s in starts if s <= t < s + 30)
+            assert r["seg_start_ms"] == best, (r, best)

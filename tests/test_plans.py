@@ -1322,3 +1322,12 @@ def test_contamination_fuzzy_no_cartesian(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "contamination_fuzzy")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_transcript_align_equi_join(spark, sf_dir):
+    """mm_transcript_align: the chunk→segment match must be an EQUI
+    hash/sort-merge join on doc_id with the time range as residual —
+    never a cartesian or nested-loop join."""
+    plan = plan_of(spark, sf_dir, "mm_transcript_align")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
