@@ -2655,3 +2655,115 @@ def contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").alias("train_doc"),
         "jaccard",
     )
+
+
+@register(
+    "dataset_group_kfold_ctrl",
+    oracle=f"""
+WITH RECURSIVE {_CTRL_CORPUS_SQL},
+mh AS (
+  SELECT id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || tok)) AS mh
+  FROM toks CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) s
+  GROUP BY id, seed
+),
+bands AS (
+  SELECT id, CAST(seed // 2 AS INT) AS band,
+         md5(string_agg(mh, ',' ORDER BY seed)) AS sig
+  FROM mh GROUP BY id, CAST(seed // 2 AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+),
+sizes AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN toks a ON a.id = c.id_a
+  JOIN toks b ON b.id = c.id_b AND b.tok = a.tok
+  GROUP BY c.id_a, c.id_b
+),
+pairs AS (
+  SELECT i.id_a AS src, i.id_b AS dst
+  FROM inter i
+  JOIN sizes na ON na.id = i.id_a
+  JOIN sizes nb ON nb.id = i.id_b
+  WHERE round(CAST(i.inter AS DOUBLE) / (na.n + nb.n - i.inter), 6)
+        >= 0.8
+),
+sym AS (SELECT src, dst FROM pairs
+        UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+walk(id, comp) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.id
+),
+cc AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+folds AS (
+  SELECT id, comp,
+         CAST(strpos('0123456789abcdef',
+                     substr(md5(CAST(comp AS VARCHAR)), 1, 1)) - 1
+              AS BIGINT) % 5 AS fold,
+         CAST(strpos('0123456789abcdef',
+                     substr(md5(CAST(id AS VARCHAR)), 1, 1)) - 1
+              AS BIGINT) % 5 AS naive_fold
+  FROM cc
+)
+SELECT fold, count(*) AS n_docs,
+       count(DISTINCT comp) AS n_groups,
+       CAST(sum(CASE WHEN fold <> naive_fold THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_moved
+FROM folds GROUP BY fold
+""",
+    tags=("dedup", "training-prep", "kfold", "iterative", "bench"),
+)
+def dataset_group_kfold_ctrl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dataset_group_kfold on the controlled-dup-rate derived corpus
+    (large vocabulary, ~5% injected clone pairs) — the honest scale
+    measurement: components are {{base, clone}} stars whose count is
+    LINEAR in the corpus, so the wall measures the operator, not the
+    raw synthetic table's all-pairs-are-dups degeneracy (the raw
+    form's candidate mass is ~10.6M at sf0.1 and 10x per decade —
+    true-dup output, quarantined exactly like dedup_incremental's raw
+    form).  n_moved here counts clones whose own-id fold differs from
+    their component root's — the leak the group rule repairs even at
+    a realistic dup rate."""
+    from distributed_system_spark.operators.dedup import (
+        connected_components,
+    )
+
+    corpus = _ctrl_corpus(load_table(spark, sf_dir, "documents"))
+    toks = doc_tokens(corpus)
+    sigs = minhash_signatures(toks, num_hashes=8)
+    cand = lsh_candidate_pairs(lsh_band_signatures(sigs, rows_per_band=2))
+    pairs = jaccard_verify(cand, toks, 0.8)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    cc = connected_components(
+        edges, corpus.select(F.col("doc_id").alias("id"))
+    )
+
+    def fold_of(c):
+        return (
+            F.instr(
+                F.lit("0123456789abcdef"),
+                F.substring(F.md5(c.cast("string").cast("binary")), 1, 1),
+            )
+            - 1
+        ).cast("long") % 5
+
+    folds = cc.select(
+        "id",
+        "comp",
+        fold_of(F.col("comp")).alias("fold"),
+        fold_of(F.col("id")).alias("naive_fold"),
+    )
+    return folds.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("comp").alias("n_groups"),
+        F.sum(F.when(F.col("fold") != F.col("naive_fold"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_moved"),
+    )
