@@ -147,6 +147,22 @@ HEADLINE = [
     "mm_audio_fingerprint",  # 31-bit energy-delta audio dedup
                           # through the real WAV codec (third
                           # modality; Arrow map + one groupBy)
+    # -- round-10-B additions --
+    "dataset_group_kfold_ctrl",  # leakage-safe group k-fold on the
+                          # controlled-dup corpus (CC loop + banded
+                          # LSH edges; raw form quarantined like
+                          # dedup_incremental's)
+    "contamination_fuzzy",  # cross-split MinHash-band paraphrase
+                          # decontamination (banded equi between
+                          # splits, Bayardo-pruned verify)
+    "dataset_dsir_select",  # DSIR hashed-ngram importance selection
+                          # (256-bucket broadcast weights, TakeOrdered)
+    "aug_word_dropout",   # deterministic dropout augmentation
+                          # (pure scan, zero exchanges)
+    "domain_blocklist_filter",  # suffix-wildcard blocklist
+                          # (exploded-suffix broadcast equi-join)
+    "mm_transcript_align",  # chunk→audio-segment forced alignment
+                          # (doc_id equi join + per-chunk window)
 ]
 # NOT here: dedup_minhash_lsh / dedup_ngram_jaccard.  They are correct
 # (oracle-green at the driver's sf0.01) but this synthetic corpus has a
