@@ -86,6 +86,67 @@ def minhash_signatures(
     )
 
 
+def minhash_band_signatures_docs(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, band, sig) LSH band signatures straight from documents —
+    bit-identical to ``lsh_band_signatures(minhash_signatures(
+    doc_tokens(docs)))`` with ZERO shuffles (twin-tested).
+
+    The explode→groupBy build shuffles num_hashes × |tokens| rows
+    TWICE (signature min, then band agg) — ~8 B rows at the 50 M-doc
+    fifth decade, the same corpus-sized-shuffle class that put
+    dedup_substring_chains out of disk there.  Here each per-seed
+    minhash is a per-row ``array_min(transform(tokens, md5(seed:tok)))``
+    expression and each band signature folds its seeds' minhashes in
+    seed order — all inside whole-stage codegen, one scan, nothing
+    wider than (id, band, sig) ever leaves the map side.  The md5
+    composition is unchanged, so every oracle (and the standing
+    signature indexes) stays green: Spark's string array_min, the
+    groupBy min(), and DuckDB's min() all order lowercase-hex md5
+    identically (ASCII byte order).
+
+    Same pattern as ``simhash128_docs`` replacing the digit explode
+    (round-10's first scale headline) — the MinHash family's turn.
+    """
+    docs = widen_if_narrow(docs)
+    toks_arr = F.array_distinct(F.split(F.col(text_col), " ", -1))
+
+    # NOTE: the per-element lambda must take exactly ONE parameter —
+    # PySpark dispatches a two-parameter lambda as (element, index),
+    # so a `lambda tok, s=s:` closure would silently hash the array
+    # INDEX instead of the seed.
+    def _seed_min(seed: int) -> Column:
+        return F.array_min(
+            F.transform(
+                toks_arr,
+                lambda tok: F.md5(
+                    F.concat(F.lit(f"{seed}:"), tok).cast("binary")
+                ),
+            )
+        )
+
+    mh = [_seed_min(s) for s in range(num_hashes)]
+    bands = [
+        F.struct(
+            F.lit(b).cast("int").alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",", *mh[b * rows_per_band : (b + 1) * rows_per_band]
+                ).cast("binary")
+            ).alias("sig"),
+        )
+        for b in range(num_hashes // rows_per_band)
+    ]
+    return docs.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*bands)).alias("bs")
+    ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
 def lsh_band_signatures(sigs: DataFrame, rows_per_band: int = 2) -> DataFrame:
     """(id, band, sig): hash each band's minhash run to one signature.
 

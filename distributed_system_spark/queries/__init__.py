@@ -364,6 +364,10 @@ _EXTERNALLY_VERIFIED = _EXTERNALLY_VERIFIED | _R9_VERIFIED
 #     content; dedup_crosslingual_entities' hot-posting valve now
 #     counts occupancy on the raw entity (pre-hash, the oracle's
 #     rule).
+#   - round-10-B: the MinHash band build moved to the shuffle-free
+#     per-row array-expression form (minhash_band_signatures_docs,
+#     twin-tested bit-identical to the explode→groupBy build) — every
+#     minhash consumer re-fronts for an external green row anyway.
 _CHANGED_SINCE_VERIFIED = frozenset(
     {
         "sample_stratified_topn",
@@ -376,6 +380,15 @@ _CHANGED_SINCE_VERIFIED = frozenset(
         "crossmodal_dedup_ctrl",
         "dedup_incremental_capped",
         "dedup_crosslingual_entities",
+        "dedup_minhash_lsh",
+        "dedup_minhash_ctrl",
+        "dedup_incremental",
+        "dedup_incremental_ctrl",
+        "curation_pipeline",
+        "curation_pipeline_ctrl",
+        "lsh_s_curve",
+        "dedup_modality_agreement",
+        "stream_dedup_sig_index",
     }
 )
 

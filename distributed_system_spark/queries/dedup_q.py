@@ -17,6 +17,7 @@ from distributed_system_spark.operators.dedup import (
     jaccard_verify,
     jaccard_verify_setdedup,
     lsh_band_signatures,
+    minhash_band_signatures_docs,
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -125,8 +126,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalable fuzzy-dedup shape. Fully oracle-checked: md5-based
     minhashes are bit-identical across engines."""
     toks = doc_tokens(load_table(spark, sf_dir, "documents"))
-    sigs = minhash_signatures(toks, num_hashes=8)
-    bands = lsh_band_signatures(sigs, rows_per_band=2)
+    bands = minhash_band_signatures_docs(load_table(spark, sf_dir, "documents"))
     cand = lsh_candidate_pairs(bands)
     return jaccard_verify(cand, toks, 0.8)
 
@@ -295,8 +295,9 @@ def dedup_minhash_ctrl(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw synthetic documents table."""
     corpus = _ctrl_corpus(load_table(spark, sf_dir, "documents"))
     toks = doc_tokens(corpus)
-    sigs = minhash_signatures(toks, num_hashes=8)
-    cand = lsh_candidate_pairs(lsh_band_signatures(sigs, rows_per_band=2))
+    cand = lsh_candidate_pairs(
+        minhash_band_signatures_docs(corpus)
+    )
     return jaccard_verify(cand, toks, 0.8)
 
 
@@ -429,8 +430,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     as dedup_minhash_lsh, so fully oracle-checked."""
     docs = load_table(spark, sf_dir, "documents")
     toks = doc_tokens(docs)
-    sigs = minhash_signatures(toks, num_hashes=8)
-    bands = lsh_band_signatures(sigs, rows_per_band=2)
+    bands = minhash_band_signatures_docs(docs)
     cand = lsh_candidate_pairs(bands).filter(F.col("id_b") >= 400)
     dup_new = (
         jaccard_verify(cand, toks, 0.8)
@@ -531,8 +531,7 @@ def dedup_incremental_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     query exists to certify."""
     docs = load_table(spark, sf_dir, "documents")
     toks = doc_tokens(docs)
-    sigs = minhash_signatures(toks, num_hashes=8)
-    bands = lsh_band_signatures(sigs, rows_per_band=2)
+    bands = minhash_band_signatures_docs(docs)
     cand = lsh_candidate_pairs(bands, max_bucket=_BUCKET_CAP).filter(
         F.col("id_b") >= 400
     )
@@ -832,8 +831,9 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s1 = keepq.join(ex, "doc_id")
     toks = doc_tokens(s1.select("doc_id", "text"))
-    sigs = minhash_signatures(toks, num_hashes=8)
-    cand = lsh_candidate_pairs(lsh_band_signatures(sigs, rows_per_band=2))
+    cand = lsh_candidate_pairs(
+        minhash_band_signatures_docs(s1.select("doc_id", "text"))
+    )
     dups = (
         jaccard_verify(cand, toks, 0.8)
         .select(F.col("id_b").alias("doc_id"))
@@ -1104,8 +1104,9 @@ def curation_pipeline_ctrl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s1 = keepq.join(ex, "doc_id")
     toks = doc_tokens(s1.select("doc_id", "text"))
-    sigs = minhash_signatures(toks, num_hashes=8)
-    cand = lsh_candidate_pairs(lsh_band_signatures(sigs, rows_per_band=2))
+    cand = lsh_candidate_pairs(
+        minhash_band_signatures_docs(s1.select("doc_id", "text"))
+    )
     dups = (
         jaccard_verify(cand, toks, 0.8)
         .select(F.col("id_b").alias("doc_id"))
@@ -1345,9 +1346,8 @@ def lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.size("ts_a") + F.size("ts_b") - inter).alias("uni"),
         )
     )
-    sigs = minhash_signatures(toks, num_hashes=8)
     cand = lsh_candidate_pairs(
-        lsh_band_signatures(sigs, rows_per_band=2)
+        minhash_band_signatures_docs(docs)
     ).withColumn("is_c", F.lit(1))
     flagged = pairs.join(cand, ["id_a", "id_b"], "left").select(
         F.least(
@@ -1624,8 +1624,9 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s1 = keepq.join(ex, "doc_id")
     toks = doc_tokens(s1.select("doc_id", "text"))
-    sigs = minhash_signatures(toks, num_hashes=8)
-    cand = lsh_candidate_pairs(lsh_band_signatures(sigs, rows_per_band=2))
+    cand = lsh_candidate_pairs(
+        minhash_band_signatures_docs(s1.select("doc_id", "text"))
+    )
     dups = (
         jaccard_verify(cand, toks, 0.8)
         .select(F.col("id_b").alias("doc_id"))
@@ -1737,8 +1738,9 @@ def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = doc_tokens(docs)
-    sigs = minhash_signatures(toks, num_hashes=8)
-    cand = lsh_candidate_pairs(lsh_band_signatures(sigs, rows_per_band=2))
+    cand = lsh_candidate_pairs(
+        minhash_band_signatures_docs(docs)
+    )
     textp = jaccard_verify(cand, toks, 0.8).select("id_a", "id_b")
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2207,8 +2209,7 @@ def dedup_incremental_ctrl(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     corpus = _ctrl_corpus(docs)
     toks = doc_tokens(corpus)
-    sigs = minhash_signatures(toks, num_hashes=8)
-    bands = lsh_band_signatures(sigs, rows_per_band=2)
+    bands = minhash_band_signatures_docs(corpus)
     cand = lsh_candidate_pairs(bands).filter(
         F.col("id_b") >= _CTRL_CLONE_OFFSET
     )
@@ -2524,8 +2525,7 @@ def dataset_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = doc_tokens(docs)
-    sigs = minhash_signatures(toks, num_hashes=8)
-    bands = lsh_band_signatures(sigs, rows_per_band=2)
+    bands = minhash_band_signatures_docs(docs)
     cand = lsh_candidate_pairs(bands)
     pairs = jaccard_verify(cand, toks, 0.8)
     edges = pairs.select(
@@ -2639,8 +2639,7 @@ def contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("split") != "val"
     )
     toks = doc_tokens(nonval)
-    sigs = minhash_signatures(toks, num_hashes=8)
-    bands = lsh_band_signatures(sigs, rows_per_band=2)
+    bands = minhash_band_signatures_docs(nonval)
     sides = nonval.select(F.col("doc_id").alias("id"), "split")
     bl = bands.join(sides, "id")
     te = bl.filter(F.col("split") == "test").select(
@@ -2735,8 +2734,9 @@ def dataset_group_kfold_ctrl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _ctrl_corpus(load_table(spark, sf_dir, "documents"))
     toks = doc_tokens(corpus)
-    sigs = minhash_signatures(toks, num_hashes=8)
-    cand = lsh_candidate_pairs(lsh_band_signatures(sigs, rows_per_band=2))
+    cand = lsh_candidate_pairs(
+        minhash_band_signatures_docs(corpus)
+    )
     pairs = jaccard_verify(cand, toks, 0.8)
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")

@@ -736,8 +736,7 @@ def signature_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from distributed_system_spark.operators.dedup import (
         doc_tokens,
-        lsh_band_signatures,
-        minhash_signatures,
+        minhash_band_signatures_docs,
     )
 
     src = f"{sf_dir.rstrip('/')}/documents.parquet"
@@ -754,9 +753,9 @@ def signature_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = batch_df.sparkSession
         docs = batch_df.localCheckpoint(eager=True)
         toks = doc_tokens(docs)
-        bands = lsh_band_signatures(
-            minhash_signatures(toks, num_hashes=8), rows_per_band=2
-        )
+        # shuffle-free band build (round-10): same md5 composition,
+        # so the STANDING index written by earlier batches stays valid
+        bands = minhash_band_signatures_docs(docs)
         tsets = toks.groupBy("id").agg(
             F.sort_array(F.collect_set("tok")).alias("ts")
         )

@@ -1243,3 +1243,24 @@ def test_curriculum_phases_partition_and_order(spark, sf_dir):
     # n/3 — the corpus has ties, so allow a generous band
     for r in rows:
         assert 0.15 * n_docs < r["n_docs"] < 0.55 * n_docs, r
+
+
+def test_minhash_band_docs_twin_bit_identical(spark, sf_dir):
+    """The shuffle-free band build equals the explode→groupBy build
+    bit-for-bit on the real corpus (including empty/one-token docs) —
+    the invariant that keeps every minhash oracle AND the standing
+    streaming signature index valid across the switch."""
+    from distributed_system_spark.operators.dedup import (
+        lsh_band_signatures,
+        minhash_band_signatures_docs,
+        minhash_signatures,
+    )
+    from distributed_system_spark.sources.tables import load_table as lt
+
+    docs = lt(spark, sf_dir, "documents")
+    old = lsh_band_signatures(
+        minhash_signatures(doc_tokens(docs), num_hashes=8), rows_per_band=2
+    )
+    new = minhash_band_signatures_docs(docs)
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0

@@ -1346,3 +1346,18 @@ def test_curriculum_phases_no_doc_window(spark, sf_dir):
     import re
 
     assert re.search(r"Window", plan), plan
+
+
+def test_minhash_bands_no_exchange_before_join(spark, sf_dir):
+    """dedup_minhash_lsh round-10: the band-signature build is per-row
+    array expressions, so the plan carries NO signature-stage shuffle —
+    the old build exchanged 8x|tokens| rows twice, on (id, seed) for
+    the minhash min and (id, band) for the band aggregate.  Assert
+    those partitionings are gone; the surviving exchanges are the
+    candidate join's (band, sig) and downstream pair aggregates."""
+    plan = plan_of(spark, sf_dir, "dedup_minhash_lsh")
+    import re
+
+    assert not re.search(r"hashpartitioning\(id#\d+L?, seed", plan), plan
+    assert not re.search(r"hashpartitioning\(id#\d+L?, band", plan), plan
+    assert "seed#" not in plan, plan
