@@ -112,8 +112,15 @@ def minhash_band_signatures_docs(
 
     Same pattern as ``simhash128_docs`` replacing the digit explode
     (round-10's first scale headline) — the MinHash family's turn.
+
+    Null-text docs are filtered out up front: the explode build drops
+    them naturally (explode of a null array emits nothing), and without
+    the guard this build would emit band rows whose sig is md5 of an
+    empty concat_ws — spurious buckets that would collide every
+    null-text doc in a standing signature index (r10 ADVICE item).
+    The filter keeps the twin equivalence exact on ANY input.
     """
-    docs = widen_if_narrow(docs)
+    docs = widen_if_narrow(docs).filter(F.col(text_col).isNotNull())
     toks_arr = F.array_distinct(F.split(F.col(text_col), " ", -1))
 
     # NOTE: the per-element lambda must take exactly ONE parameter —

@@ -394,6 +394,51 @@ _CHANGED_SINCE_VERIFIED = frozenset(
 
 _EXTERNALLY_VERIFIED = _EXTERNALLY_VERIFIED - _CHANGED_SINCE_VERIFIED
 
+# Green rows from the round-10 external window (CORRECTNESS_r10.json:
+# all 50 sampled rows green — the 12 round-10 additions plus all 19
+# names demoted by the round-10 _CHANGED_SINCE_VERIFIED set above).
+_R10_VERIFIED = frozenset(
+    {
+        "ann_topk_cosine", "aug_word_dropout", "contamination_fuzzy",
+        "crossmodal_dedup_ctrl", "curation_pipeline",
+        "curation_pipeline_ctrl", "dataset_curriculum_phases",
+        "dataset_dsir_select", "dataset_group_kfold",
+        "dataset_group_kfold_ctrl", "dedup_crosslingual_entities",
+        "dedup_exact", "dedup_incremental", "dedup_incremental_capped",
+        "dedup_incremental_ctrl", "dedup_keep_best",
+        "dedup_minhash_ctrl", "dedup_minhash_lsh",
+        "dedup_modality_agreement", "dedup_simhash",
+        "dedup_substring_chains", "domain_blocklist_filter",
+        "dq_expectations", "drift_psi", "join_broadcast", "lsh_s_curve",
+        "mj_wordcount", "mm_audio_fingerprint", "mm_binary_meta",
+        "mm_transcript_align", "pii_checksum_mask", "proj_filter",
+        "q2_min_cost_supplier", "q3_shipping_priority",
+        "sample_stratified_topn", "sessionize_events",
+        "simhash_neardup", "split_leakage_simhash",
+        "split_leakage_simhash_ctrl", "stream_dedup_sig_index",
+        "stream_domain_quota", "string_funcs", "text_bm25_topk",
+        "text_langid", "text_strip_markup",
+        "ts_rollup_daily_from_hourly", "udf_pandas_scalar",
+        "win_tumbling", "window_rank", "wordcount",
+    }
+)
+
+_EXTERNALLY_VERIFIED = _EXTERNALLY_VERIFIED | _R10_VERIFIED
+
+# Round-11 demotions (same rule: external verification must postdate
+# the last behavior change).
+#   - curation_funnel_report: switched to the shuffle-free
+#     minhash_band_signatures_docs build in round 10-B (dedup_q.py)
+#     but was missed by the round-10 demotion set — the r10 verdict's
+#     #1 item.  Twin-tested bit-identical, re-verify externally anyway.
+_CHANGED_SINCE_VERIFIED_R11 = frozenset(
+    {
+        "curation_funnel_report",
+    }
+)
+
+_EXTERNALLY_VERIFIED = _EXTERNALLY_VERIFIED - _CHANGED_SINCE_VERIFIED_R11
+
 _KNOWN_AT_FREEZE = _KNOWN_AT_FREEZE | (
     frozenset(_R4_VERIFIED)
     | frozenset(

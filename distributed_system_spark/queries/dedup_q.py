@@ -125,8 +125,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard verification at 0.8 — candidate pairs only, the
     scalable fuzzy-dedup shape. Fully oracle-checked: md5-based
     minhashes are bit-identical across engines."""
-    toks = doc_tokens(load_table(spark, sf_dir, "documents"))
-    bands = minhash_band_signatures_docs(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
+    toks = doc_tokens(docs)
+    bands = minhash_band_signatures_docs(docs)
     cand = lsh_candidate_pairs(bands)
     return jaccard_verify(cand, toks, 0.8)
 

@@ -1264,3 +1264,22 @@ def test_minhash_band_docs_twin_bit_identical(spark, sf_dir):
     new = minhash_band_signatures_docs(docs)
     assert old.exceptAll(new).count() == 0
     assert new.exceptAll(old).count() == 0
+
+
+def test_minhash_band_docs_drops_null_text(spark):
+    """Null-text docs emit NO band rows — matching the explode build
+    (explode of a null array emits nothing).  Without the up-front
+    filter the expression build would emit md5-of-empty-string sigs
+    that collide every null-text doc into one standing-index bucket
+    (r10 ADVICE item)."""
+    from distributed_system_spark.operators.dedup import (
+        minhash_band_signatures_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [("d1", "alpha beta gamma"), ("d2", None), ("d3", None)],
+        "doc_id string, text string",
+    )
+    out = minhash_band_signatures_docs(docs)
+    ids = {r["id"] for r in out.collect()}
+    assert ids == {"d1"}

@@ -1340,12 +1340,25 @@ def test_curriculum_phases_no_doc_window(spark, sf_dir):
     stream (no per-doc global rank)."""
     plan = plan_of(spark, sf_dir, "dataset_curriculum_phases")
     assert "CartesianProduct" not in plan, plan
-    # the only window input is a HashAggregate (score table), which
-    # the plan shows as Window above Aggregate — a doc-level window
-    # would sit directly on the scan/project chain
     import re
 
-    assert re.search(r"Window", plan), plan
+    # The Window must ride the score HashAggregate, not the document
+    # stream: between the Window node and the first FileScan below it
+    # there must be a HashAggregate keyed on score.  A regression to a
+    # per-document global window would put the Window directly on the
+    # scan/project chain (no aggregate in between) — and would order on
+    # doc-level columns.  (r10 ADVICE: the old assertion only checked
+    # that SOME Window node existed.)
+    m = re.search(r"Window \[", plan)
+    assert m, plan
+    below = plan[m.start() :]
+    agg = below.find("HashAggregate(keys=[score")
+    scan = below.find("FileScan")
+    assert agg != -1 and scan != -1 and agg < scan, below[:2000]
+    # the window spec itself orders on the aggregated score, never on
+    # doc-level columns
+    spec = below[: below.index("\n")]
+    assert "score" in spec and "text" not in spec and "doc_id" not in spec, spec
 
 
 def test_minhash_bands_no_exchange_before_join(spark, sf_dir):
