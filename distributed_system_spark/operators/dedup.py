@@ -121,7 +121,19 @@ def minhash_band_signatures_docs(
     The filter keeps the twin equivalence exact on ANY input.
     """
     docs = widen_if_narrow(docs).filter(F.col(text_col).isNotNull())
-    toks_arr = F.array_distinct(F.split(F.col(text_col), " ", -1))
+    # Project the token array ONCE before the seed mins reference it:
+    # inlined, the 8 per-seed expressions each re-evaluate
+    # split+array_distinct (Catalyst's CollapseProject keeps this
+    # projection because the producer is non-cheap and multiply used).
+    # Measured at sf0.1: 0.90 -> 0.74 s for the band build alone —
+    # the small-SF constant the round-10-B switch regressed
+    # (dedup_incremental_capped 2.33 -> 3.58 s, the r10 flagged
+    # regression).  Output is bit-identical (twin-tested).
+    docs = docs.select(
+        F.col(id_col),
+        F.array_distinct(F.split(F.col(text_col), " ", -1)).alias("__toks"),
+    )
+    toks_arr = F.col("__toks")
 
     # NOTE: the per-element lambda must take exactly ONE parameter —
     # PySpark dispatches a two-parameter lambda as (element, index),

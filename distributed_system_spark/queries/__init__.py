@@ -431,9 +431,26 @@ _EXTERNALLY_VERIFIED = _EXTERNALLY_VERIFIED | _R10_VERIFIED
 #     minhash_band_signatures_docs build in round 10-B (dedup_q.py)
 #     but was missed by the round-10 demotion set — the r10 verdict's
 #     #1 item.  Twin-tested bit-identical, re-verify externally anyway.
+#   - round-11 changes to minhash_band_signatures_docs (null-text
+#     guard + tokens-projected-once build, both twin-tested
+#     bit-identical): every direct consumer re-fronts anyway, the
+#     round-10 practice.
 _CHANGED_SINCE_VERIFIED_R11 = frozenset(
     {
         "curation_funnel_report",
+        "dedup_minhash_lsh",
+        "dedup_minhash_ctrl",
+        "dedup_incremental",
+        "dedup_incremental_capped",
+        "dedup_incremental_ctrl",
+        "curation_pipeline",
+        "curation_pipeline_ctrl",
+        "lsh_s_curve",
+        "dedup_modality_agreement",
+        "dataset_group_kfold",
+        "dataset_group_kfold_ctrl",
+        "contamination_fuzzy",
+        "stream_dedup_sig_index",
     }
 )
 

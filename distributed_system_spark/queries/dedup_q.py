@@ -529,7 +529,17 @@ def dedup_incremental_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     array-shuffle spill: the sf1→sf10 decade re-measured 15.4× →
     7.5× (101.3 s → 67.9 s) for a ~+1.5 s small-SF constant (the
     extra narrow shuffles) — the right trade for the decade this
-    query exists to certify."""
+    query exists to certify.
+
+    Round-11: the r10 driver flagged this query's sf0.1 wall (2.33 →
+    3.58 s, the round's only regression) — the round-10-B shuffle-free
+    band build inlined split+array_distinct into all 8 per-seed min
+    expressions.  ``minhash_band_signatures_docs`` now projects the
+    token array once before the seed mins (bit-identical, twin-tested);
+    best-of-2 local retime recovered ~1.1 s of the 1.25 s regression.
+    The residual ~0.15 s is the round-10 content-keyed verify's narrow
+    shuffles — the documented trade that halved the sf10/sf100d decades
+    (SCALE.md round-10 rows)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = doc_tokens(docs)
     bands = minhash_band_signatures_docs(docs)
