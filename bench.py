@@ -163,6 +163,12 @@ HEADLINE = [
                           # (exploded-suffix broadcast equi-join)
     "mm_transcript_align",  # chunk→audio-segment forced alignment
                           # (doc_id equi join + per-chunk window)
+    # -- round-11 additions --
+    "window_ntile_bucketed",  # exact global ntile/percent_rank/
+                          # cume_dist with a PARTITIONED window +
+                          # broadcast prefix-sum offsets (scale-safe
+                          # twin of the window_ntile global-window
+                          # demo, r10 verdict #4)
 ]
 # NOT here: dedup_minhash_lsh / dedup_ngram_jaccard.  They are correct
 # (oracle-green at the driver's sf0.01) but this synthetic corpus has a

@@ -183,7 +183,13 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut points and never moves the corpus to one task; use it (or a
     range-partitioned window, which Spark lacks natively) whenever
     the decile/percentile label, not the exact global rank, is what
-    downstream consumes."""
+    downstream consumes.
+
+    DECLARED WEAK (same footnote class as ``embedding_neardup``):
+    this demo stays registered for the rank-function semantics; the
+    production entry is ``window_ntile_bucketed`` below — identical
+    oracle, identical answer, partitioned-window plan (plan-asserted
+    no corpus-sized SinglePartition exchange)."""
     cust = load_table(spark, sf_dir, "customer")
     w = Window.orderBy("c_acctbal", "c_custkey")
     return cust.select(
@@ -191,6 +197,91 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(10).over(w).cast("long").alias("decile"),
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@register(
+    "window_ntile_bucketed",
+    oracle="""
+SELECT c_custkey,
+       ntile(10)       OVER w AS decile,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist()    OVER w, 6) AS cd
+FROM customer
+WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+""",
+    tags=("C5", "bench"),
+)
+def window_ntile_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global ntile/percent_rank/cume_dist with NO corpus-sized
+    single-partition window — the scale-safe twin of the
+    ``window_ntile`` demo (r10 verdict item #4), same answer
+    bit-for-bit (identical oracle).
+
+    Shape (the ``rfm_segments``/``pareto_user_share`` all-integer
+    rank-threshold discipline, lifted to exact global ranks):
+
+    1. Range-bucket each row by an ORDER-PRESERVING coarse function of
+       the sort key — ``floor(c_acctbal / 100)``, ~110 buckets over
+       TPC-H's uniform [-999.99, 9999.99] acctbal domain.  (For an
+       unknown distribution the cut points would come from one
+       approxQuantile pass instead; the bucketing function is the only
+       distribution-dependent piece.)
+    2. Per-bucket ``row_number`` over (c_acctbal, c_custkey) — a
+       PARTITIONED window, one hash exchange on the bucket id, each
+       partition sorts only its own slice.
+    3. Per-bucket counts (tiny aggregate, ~110 rows) → prefix-sum
+       offsets + grand total via a single-partition window OVER THE
+       AGGREGATE ONLY (the ``dataset_curriculum_phases`` idiom — the
+       plan's one SinglePartition exchange moves ~110 rows).
+    4. Broadcast-join offsets back on the bucket id:
+       ``global_rank = offset + local_rank`` — exact, unique (the
+       compound key ends in the c_custkey tiebreaker).
+    5. All three rank functions are then closed-form in (r, n):
+       ntile's uneven-tile rule all-integer (first n%10 tiles take
+       ceil(n/10) rows), percent_rank = (r-1)/(n-1), cume_dist = r/n
+       (ties impossible under the unique ordering).
+
+    At 100 TB: the corpus crosses one hash exchange (the bucket
+    partitioning) instead of collapsing onto a single task; work per
+    partition is |bucket| log |bucket|.  Skewed sort keys need only a
+    finer/quantile-based bucketing function — the plan is unchanged."""
+    cust = load_table(spark, sf_dir, "customer")
+    bucketed = cust.select(
+        "c_custkey",
+        "c_acctbal",
+        F.floor(F.col("c_acctbal") / 100).cast("int").alias("__bucket"),
+    )
+    lw = Window.partitionBy("__bucket").orderBy("c_acctbal", "c_custkey")
+    local = bucketed.select(
+        "c_custkey", "__bucket", F.row_number().over(lw).alias("__lr")
+    )
+    counts = bucketed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__c"))
+    offsets = counts.select(
+        "__bucket",
+        (F.sum("__c").over(Window.orderBy("__bucket"))
+         - F.col("__c")).alias("__off"),
+        F.sum("__c").over(Window.partitionBy()).alias("__n"),
+    )
+    r = F.col("__off") + F.col("__lr")
+    n = F.col("__n")
+    q = F.floor(n / 10).cast("long")   # floor tile size
+    rem = n % 10                       # first `rem` tiles take q+1 rows
+    big_span = rem * (q + 1)
+    decile = (
+        F.when(r <= big_span, F.floor((r - 1) / (q + 1)))
+        .otherwise(rem + F.floor((r - big_span - 1) / q))
+        .cast("long")
+        + 1
+    )
+    joined = local.join(F.broadcast(offsets), "__bucket")
+    return joined.select(
+        "c_custkey",
+        decile.alias("decile"),
+        F.round(
+            F.when(n > 1, (r - 1).cast("double") / (n - 1)).otherwise(0.0), 6
+        ).alias("pr"),
+        F.round(r.cast("double") / n, 6).alias("cd"),
     )
 
 

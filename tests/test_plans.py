@@ -1374,3 +1374,26 @@ def test_minhash_bands_no_exchange_before_join(spark, sf_dir):
     assert not re.search(r"hashpartitioning\(id#\d+L?, seed", plan), plan
     assert not re.search(r"hashpartitioning\(id#\d+L?, band", plan), plan
     assert "seed#" not in plan, plan
+
+
+def test_ntile_bucketed_no_corpus_single_partition_window(spark, sf_dir):
+    """window_ntile_bucketed: the per-row rank window must be
+    PARTITIONED on the bucket id (hash exchange, per-slice sort) and
+    the only SinglePartition exchange in the plan must sit above the
+    ~110-row per-bucket-count HashAggregate — never the customer
+    stream.  The offsets join back must broadcast."""
+    plan = plan_of(spark, sf_dir, "window_ntile_bucketed")
+    import re
+
+    # row-level window partitioned by the bucket id
+    assert re.search(r"windowspecdefinition\(__bucket", plan), plan
+    assert re.search(r"Exchange hashpartitioning\(__bucket", plan), plan
+    # every SinglePartition exchange feeds off an aggregate, not a scan:
+    # below each one, a HashAggregate appears before the next FileScan
+    for m in re.finditer(r"Exchange SinglePartition", plan):
+        below = plan[m.start() :]
+        agg, scan = below.find("HashAggregate"), below.find("FileScan")
+        assert agg != -1 and agg < scan, below[:1500]
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
