@@ -369,6 +369,64 @@ def stream_dedup_sig_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return signature_index_stream(spark, sf_dir)
 
 
+@register(
+    "stream_phash_sig_index",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text, length(text) // 24 AS h FROM documents
+  WHERE length(text) >= 24
+),
+px AS (
+  SELECT doc_id, h * 8 AS npix, i,
+         unicode(substr(text, CAST(3 * i + 1 AS INT), 1))
+       + unicode(substr(text, CAST(3 * i + 2 AS INT), 1))
+       + unicode(substr(text, CAST(3 * i + 3 AS INT), 1)) AS g
+  FROM (SELECT doc_id, text, h, unnest(range(0, h * 8)) AS i FROM d)
+),
+sig AS (
+  SELECT doc_id,
+         CAST(list_sum([CASE WHEN gl[(p * npix) // 32 + 1] * npix > total
+                             THEN CAST(pow(2.0, p) AS BIGINT)
+                             ELSE 0 END
+                        for p in range(0, 32)]) AS BIGINT) AS sig
+  FROM (SELECT doc_id, any_value(npix) AS npix, sum(g) AS total,
+               list(g ORDER BY i) AS gl
+        FROM px GROUP BY doc_id)
+),
+dropped AS (
+  SELECT DISTINCT b.doc_id
+  FROM sig a JOIN sig b
+    ON a.doc_id < b.doc_id
+   AND bit_count(xor(a.sig, b.sig)) <= 2
+)
+SELECT s.doc_id, s.sig
+FROM sig s
+WHERE s.doc_id NOT IN (SELECT doc_id FROM dropped)
+""",
+    tags=("C9", "streaming", "multimodal", "image", "dedup",
+          "incremental"),
+)
+def stream_phash_sig_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental IMAGE dedup with a persisted average-hash
+    signature index: id-ordered microbatches decode ONLY their own
+    images (real PPM codec -> 32-bit integer aHash), probe the
+    standing (doc_id, sig) index for hamming<=2 matches through the
+    4x8-bit banded distinct-sig join, keep first arrivals, and append
+    their signatures — history's image bytes are never re-decoded,
+    exactly-once via checkpoint + overwrite pieces.  Completes the
+    three-modality standing-index story (text:
+    ``stream_dedup_sig_index``, embeddings: ``ann_index_upsert``).
+    The drained result equals the batch keep-first rule over the
+    whole corpus (the all-pairs oracle) because the index stores every
+    processed image's signature, kept or dropped — see
+    streaming/streams.py::phash_signature_index_stream."""
+    from distributed_system_spark.streaming.streams import (
+        phash_signature_index_stream,
+    )
+
+    return phash_signature_index_stream(spark, sf_dir)
+
+
 # Streaming drift monitor shares drift_psi's oracle verbatim: the
 # per-batch counters are mergeable, so the drained monitor equals the
 # batch PSI exactly.

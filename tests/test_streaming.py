@@ -728,6 +728,71 @@ def test_signature_index_stream_incremental_and_idempotent(spark, sf_dir):
     assert got3 == want
 
 
+def test_phash_index_stream_incremental_and_idempotent(spark, sf_dir):
+    """Streaming image dedup against the persisted aHash signature
+    index: (1) the drained output equals the batch keep-first rule
+    under hamming<=2, (2) a re-run against the same checkpoint
+    replays nothing (exactly-once), (3) the index holds one 8-byte-
+    sig piece per microbatch covering ALL processed images (kept and
+    dropped) — the property that makes per-batch probes equal the
+    batch pair rule, with history's image bytes never re-decoded."""
+    import os
+
+    from distributed_system_spark.operators.multimodal import (
+        image_ahash,
+        ppm_payloads,
+    )
+    from distributed_system_spark.streaming.streams import (
+        _src_tag,
+        phash_signature_index_stream,
+    )
+
+    got1 = {
+        (r.doc_id, r.sig)
+        for r in phash_signature_index_stream(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 24
+    )
+    sigs = image_ahash(ppm_payloads(docs), bits=32)
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sb"))
+    dropped = {
+        r.id_b
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= 2)
+        .select("id_b")
+        .distinct()
+        .collect()
+    }
+    want = {
+        (r.doc_id, r.sig)
+        for r in sigs.filter(~F.col("doc_id").isin(dropped)).collect()
+    }
+    assert got1 == want
+    got2 = {
+        (r.doc_id, r.sig)
+        for r in phash_signature_index_stream(spark, sf_dir).collect()
+    }
+    assert got2 == got1
+    root = f"/tmp/dss-phashidx-{_src_tag(f'{sf_dir}/documents.parquet')}"
+    pieces = [
+        d
+        for d in os.listdir(os.path.join(root, "index_sigs"))
+        if d.startswith("piece=")
+    ]
+    assert len(pieces) == 3
+    idx_ids = {
+        r.doc_id
+        for r in spark.read.schema("doc_id BIGINT, sig BIGINT")
+        .parquet(os.path.join(root, "index_sigs"))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert idx_ids == {r.doc_id for r in docs.select("doc_id").collect()}
+
+
 def test_transform_with_state_totals(spark, sf_dir):
     """Spark 4 transformWithStateInPandas equivalence: the final
     per-user snapshot must equal the batch GROUP BY.  Skips when the
