@@ -169,6 +169,8 @@ HEADLINE = [
                           # broadcast prefix-sum offsets (scale-safe
                           # twin of the window_ntile global-window
                           # demo, r10 verdict #4)
+    "mm_interleaved_pack",  # interleaved image+text VLM packing
+                          # (per-shard window, zero global sorts)
 ]
 # NOT here: dedup_minhash_lsh / dedup_ngram_jaccard.  They are correct
 # (oracle-green at the driver's sf0.01) but this synthetic corpus has a

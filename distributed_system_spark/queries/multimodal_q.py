@@ -22,7 +22,7 @@ from distributed_system_spark.operators.multimodal import (
     scene_cuts,
 )
 from distributed_system_spark.queries import register
-from distributed_system_spark.sources.tables import load_table
+from distributed_system_spark.sources.tables import load_table, widen_if_narrow
 
 
 @register(
@@ -1024,5 +1024,153 @@ def mm_transcript_align(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seg_idx",
             "seg_start_ms",
             "seg_md5",
+        )
+    )
+
+
+@register(
+    "mm_interleaved_pack",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, str_split(text, ' ') AS toks, length(text) AS nb,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, h, 2 * cid AS seq, 'text' AS kind,
+         CAST(len(list_slice(toks, 1 + 40 * cid,
+                             least(40 * cid + 50, len(toks)))) AS BIGINT)
+           AS cost
+  FROM (SELECT doc_id, h, toks,
+               unnest(range(0,
+                 CAST(greatest(ceil((len(toks) - 50) / 40.0), 0) AS BIGINT)
+                 + 1)) AS cid
+        FROM t)
+),
+imgs AS (
+  SELECT doc_id, h, 1 AS seq, 'image' AS kind,
+         least(CAST(ceil(nb / 64.0) AS BIGINT), 256) AS cost
+  FROM t
+),
+items AS (
+  SELECT doc_id, h, seq, kind, cost FROM chunks
+  UNION ALL
+  SELECT doc_id, h, seq, kind, cost FROM imgs
+),
+c AS (
+  SELECT substr(h, 1, 1) AS shard, kind, cost,
+         SUM(cost) OVER (PARTITION BY substr(h, 1, 1)
+                         ORDER BY h, doc_id, seq
+                         ROWS UNBOUNDED PRECEDING) AS cum
+  FROM items
+)
+SELECT shard,
+       CAST((cum - cost) // 512 AS BIGINT) AS pack_id,
+       count(*) AS n_items,
+       CAST(sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_text,
+       CAST(sum(CASE WHEN kind = 'image' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_images,
+       CAST(sum(cost) AS BIGINT) AS pack_tokens,
+       CAST(greatest(sum(cost) - 512, 0) AS BIGINT) AS overflow_tokens
+FROM c GROUP BY shard, CAST((cum - cost) // 512 AS BIGINT)
+""",
+    tags=("multimodal", "llm", "packing", "vlm"),
+)
+def mm_interleaved_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERLEAVED image+text sequence packing — the VLM-training prep
+    shape (r10 verdict item #6): the packing family covered text
+    (``seq_packing``) and events (``event_sequence_pack``) but not
+    mixed-modality documents, where image placeholders consume context
+    budget alongside text tokens.
+
+    Each document contributes an ORDERED item stream: its
+    ``doc_chunking`` text chunks (window 50 / stride 40, cost = chunk
+    token count) at even sequence slots, and its image payload as a
+    placeholder at slot 1 (between the first and second chunk — a
+    leading-image interleave), costing ``min(ceil(n_bytes/64), 256)``
+    tokens (the ViT patch-budget rule: 64 payload bytes per visual
+    token, capped at one 256-token tile).  Items pack into 512-token
+    contexts per md5 SHARD with the ``seq_packing`` sequential-fill
+    rule — an item belongs to the pack its first token lands in; the
+    per-(shard, pack) report carries item/text/image counts, token
+    fill, and overflow (tokens past the budget when an item straddles
+    the boundary — the padding/truncation decision downstream
+    training makes).
+
+    Scale shape: one scan; chunk fan-out bounded by n_tokens/stride;
+    the running sum is a window PARTITIONED by the 16-way shard
+    (embarrassingly parallel, zero global sorts — plan-asserted); the
+    report is a partial-aggregated groupBy.  All-integer outputs, so
+    the oracle compare is exact."""
+    docs = widen_if_narrow(load_table(spark, sf_dir, "documents"))
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    toks = F.split("text", " ", -1)
+    base = docs.select(
+        "doc_id",
+        h.alias("h"),
+        toks.alias("toks"),
+        F.size(toks).alias("n"),
+        F.length("text").alias("nb"),
+    )
+    n_chunks = (
+        F.greatest(F.ceil((F.col("n") - 50) / F.lit(40.0)), F.lit(0)).cast(
+            "long"
+        )
+        + 1
+    )
+    piece = F.slice("toks", (1 + 40 * F.col("cid")).cast("int"), 50)
+    chunks = base.select(
+        "doc_id",
+        "h",
+        F.posexplode(
+            F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+        ).alias("_p", "cid"),
+        "toks",
+    ).select(
+        "doc_id",
+        "h",
+        (2 * F.col("cid")).alias("seq"),
+        F.lit("text").alias("kind"),
+        F.size(piece).cast("long").alias("cost"),
+    )
+    imgs = base.select(
+        "doc_id",
+        "h",
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("image").alias("kind"),
+        F.least(
+            F.ceil(F.col("nb") / F.lit(64.0)).cast("long"), F.lit(256)
+        ).alias("cost"),
+    )
+    items = chunks.unionByName(imgs).withColumn(
+        "shard", F.substring("h", 1, 1)
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id", "seq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = items.withColumn("cum", F.sum("cost").over(w))
+    return (
+        c.select(
+            "shard",
+            F.expr("(cum - cost) div 512").alias("pack_id"),
+            "kind",
+            "cost",
+        )
+        .groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum((F.col("kind") == "text").cast("long")).alias("n_text"),
+            F.sum((F.col("kind") == "image").cast("long")).alias(
+                "n_images"
+            ),
+            F.sum("cost").alias("pack_tokens"),
+            F.greatest(
+                F.sum("cost") - 512, F.lit(0).cast("long")
+            ).alias("overflow_tokens"),
         )
     )

@@ -1397,3 +1397,16 @@ def test_ntile_bucketed_no_corpus_single_partition_window(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_interleaved_pack_shard_partitioned_window(spark, sf_dir):
+    """mm_interleaved_pack: the packing running sum must ride a window
+    PARTITIONED by the 16-way md5 shard — never a global sort or a
+    SinglePartition exchange (the whole point of per-shard packing)."""
+    plan = plan_of(spark, sf_dir, "mm_interleaved_pack")
+    import re
+
+    assert re.search(r"windowspecdefinition\(shard", plan), plan
+    assert re.search(r"Exchange hashpartitioning\(shard", plan), plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
