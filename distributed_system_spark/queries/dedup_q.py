@@ -29,6 +29,11 @@ from distributed_system_spark.operators.dedup import (
 from distributed_system_spark.queries import register
 from distributed_system_spark.sources.tables import load_table
 
+# staging roots already scheduled for atexit cleanup (one callback per
+# root even across repeated bench/test invocations — the ann_index_
+# upsert discipline, ADVICE r8)
+_ATEXIT_ROOTS: set[str] = set()
+
 _TOKS_SQL = """
 toks AS (
   SELECT doc_id AS id, unnest(list_distinct(str_split(text, ' '))) AS tok
@@ -2307,43 +2312,11 @@ FROM t LEFT JOIN per_doc p USING (doc_id)
 """
 
 
-@register(
-    "dedup_substring_chains",
-    oracle=_SUBSTR_SPAN_ORACLE,
-    tags=("dedup", "substring", "llm", "curation"),
-)
-def dedup_substring_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-doc EXACT-SUBSTRING dedup (the Lee et al.
-    "Deduplicating Training Data Makes Language Models Better"
-    suffix-array pass, re-expressed as overlapping shingle chains):
-    every 8-token shingle at EVERY position is hashed, a position is
-    duplicated when its shingle occurs in more than one document, and
-    consecutive duplicated positions (gap <= 8, i.e. contiguous or
-    touching coverage) chain into maximal duplicated SPANS — so a
-    copied passage is caught at ARBITRARY offset, which the
-    fixed-20-token segmentation of ``dedup_paragraph_exact`` and the
-    stride-16 char shingling of ``dedup_substring_spans`` miss
-    whenever the copy is not segment/stride-aligned.  Per doc: span count,
-    exact covered-token union (spans are merged precisely when their
-    coverage is contiguous, so sum(last-first+8) IS the union size),
-    and the coverage rate driving a trim/drop decision.
-
-    Recall is PROVEN by planted quotes, the ctrl discipline: docs
-    with doc_id % 10 = 1 append tokens 4..18 of their predecessor
-    doc (15 tokens => 8 guaranteed shared shingle positions at an
-    unaligned offset); tests/test_llm_ops.py asserts every planted
-    doc reports a span covering >= 15 tokens.
-
-    Scale shape: the shingle explode is ~1 row per token (vs 8x for
-    minhash signatures); the frequency table is one partial-agg
-    groupBy on the 16-byte hash; the dup join is position-row x
-    one-freq-row — NO pair emission anywhere, so hot boilerplate
-    shingles cost their posting count, never posting².  The span
-    chain is a per-doc window (bounded by document length, the
-    bounded-cardinality argument).  The oracle's range(1,1000) cap
-    covers every test-corpus doc (max ~200 tokens); the Spark side
-    is uncapped."""
-    docs = load_table(spark, sf_dir, "documents")
+def _substr_positions(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(t, pos) for the substring-chain pass: the planted-quote corpus
+    (doc_id % 10 == 1 appends predecessor tokens 4..18) as
+    (doc_id, n), and every 8-token shingle position as (doc_id, j, h).
+    Shared by the one-shot and the disk-bounded sliced variants."""
     src = docs.select(
         (F.col("doc_id") + 1).alias("doc_id"),
         F.split("text", " ", -1).alias("p_toks"),
@@ -2393,13 +2366,12 @@ def dedup_substring_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
     )
-    freq = (
-        pos.select("doc_id", "h")
-        .distinct()
-        .groupBy("h")
-        .agg(F.count(F.lit(1)).alias("ndocs"))
-    )
-    dup = pos.join(freq, "h").filter(F.col("ndocs") > 1).select("doc_id", "j")
+    return t, pos
+
+
+def _substr_span_report(t: DataFrame, dup: DataFrame) -> DataFrame:
+    """Chain duplicated positions (gap <= 8) into maximal spans and
+    report per-doc span count / covered-token union / coverage rate."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id").orderBy("j")
@@ -2443,6 +2415,126 @@ def dedup_substring_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("coverage_rate"),
         )
     )
+
+
+@register(
+    "dedup_substring_chains",
+    oracle=_SUBSTR_SPAN_ORACLE,
+    tags=("dedup", "substring", "llm", "curation"),
+)
+def dedup_substring_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc EXACT-SUBSTRING dedup (the Lee et al.
+    "Deduplicating Training Data Makes Language Models Better"
+    suffix-array pass, re-expressed as overlapping shingle chains):
+    every 8-token shingle at EVERY position is hashed, a position is
+    duplicated when its shingle occurs in more than one document, and
+    consecutive duplicated positions (gap <= 8, i.e. contiguous or
+    touching coverage) chain into maximal duplicated SPANS — so a
+    copied passage is caught at ARBITRARY offset, which the
+    fixed-20-token segmentation of ``dedup_paragraph_exact`` and the
+    stride-16 char shingling of ``dedup_substring_spans`` miss
+    whenever the copy is not segment/stride-aligned.  Per doc: span count,
+    exact covered-token union (spans are merged precisely when their
+    coverage is contiguous, so sum(last-first+8) IS the union size),
+    and the coverage rate driving a trim/drop decision.
+
+    Recall is PROVEN by planted quotes, the ctrl discipline: docs
+    with doc_id % 10 = 1 append tokens 4..18 of their predecessor
+    doc (15 tokens => 8 guaranteed shared shingle positions at an
+    unaligned offset); tests/test_llm_ops.py asserts every planted
+    doc reports a span covering >= 15 tokens.
+
+    Scale shape: the shingle explode is ~1 row per token (vs 8x for
+    minhash signatures); the frequency table is one partial-agg
+    groupBy on the 16-byte hash; the dup join is position-row x
+    one-freq-row — NO pair emission anywhere, so hot boilerplate
+    shingles cost their posting count, never posting².  The span
+    chain is a per-doc window (bounded by document length, the
+    bounded-cardinality argument).  The oracle's range(1,1000) cap
+    covers every test-corpus doc (max ~200 tokens); the Spark side
+    is uncapped."""
+    t, pos = _substr_positions(load_table(spark, sf_dir, "documents"))
+    freq = (
+        pos.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+    )
+    dup = pos.join(freq, "h").filter(F.col("ndocs") > 1).select("doc_id", "j")
+    return _substr_span_report(t, dup)
+
+
+@register(
+    "dedup_substring_chains_sliced",
+    oracle=_SUBSTR_SPAN_ORACLE,
+    tags=("dedup", "substring", "llm", "curation", "disk-bounded"),
+)
+def dedup_substring_chains_sliced(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``dedup_substring_chains`` under a BOUNDED-DISK execution plan
+    (r10 verdict item #7): the one-shot form's shingle-position
+    shuffle (distinct + frequency join over ~1 row/token) is what ran
+    a single node out of spill disk at the fifth decade (sf1000d, 50 M
+    docs — SCALE.md).  This variant partitions the shingle HASH SPACE
+    into K slices (first md5 hex digit mod K) and processes the
+    slices SEQUENTIALLY: slice k's distinct/frequency/dup-join
+    touches only its own ~1/K of the position rows, its duplicated
+    positions land in a parquet staging piece, and its shuffle files
+    are released before slice k+1 starts — peak scratch disk is
+    ~1/K of the one-shot form's, at the cost of re-running the
+    scan+shingle explode K times (disk-for-CPU, the external-sort
+    trade).  The union of slices is EXACTLY the one-shot dup set
+    (h-buckets partition the hash space), so the span chain and the
+    oracle are unchanged.
+
+    On a real cluster the one-shot plan is right (aggregate disk
+    scales with executors); this form exists to complete — and
+    measure — the fifth decade on one machine, and is the shape to
+    reach for when scratch space, not CPU, is the binding constraint.
+    K: ``SPARK_GRAFT_SUBSTR_SLICES`` (default 4)."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+
+    n_slices = int(os.environ.get("SPARK_GRAFT_SUBSTR_SLICES", "4"))
+    root = (
+        "/tmp/dss-substr-sliced-"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    )
+    if root not in _ATEXIT_ROOTS:
+        _ATEXIT_ROOTS.add(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    t, pos = _substr_positions(load_table(spark, sf_dir, "documents"))
+    bucket = F.conv(F.substring("h", 1, 1), 16, 10).cast("int") % n_slices
+    for k in range(n_slices):
+        pos_k = pos.filter(bucket == k)
+        freq_k = (
+            pos_k.select("doc_id", "h")
+            .distinct()
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias("ndocs"))
+        )
+        dup_k = (
+            pos_k.join(freq_k, "h")
+            .filter(F.col("ndocs") > 1)
+            .select("doc_id", "j")
+        )
+        dup_k.write.mode("overwrite").parquet(f"{root}/slice={k}")
+        # Release the finished slice's shuffle files before the next
+        # slice shuffles its own — the step that bounds peak scratch
+        # disk at ~1/K.  ContextCleaner removes them when the JVM-side
+        # references are collected; its periodic GC (default 30 min)
+        # is too slow for back-to-back slices, so force one.
+        del pos_k, freq_k, dup_k
+        spark.sparkContext._jvm.System.gc()
+    dup = (
+        spark.read.schema("doc_id BIGINT, j BIGINT")
+        .parquet(root)
+        .select("doc_id", "j")
+    )
+    return _substr_span_report(t, dup)
 
 
 @register(
