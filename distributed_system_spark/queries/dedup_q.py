@@ -2492,7 +2492,11 @@ def dedup_substring_chains_sliced(
     scales with executors); this form exists to complete — and
     measure — the fifth decade on one machine, and is the shape to
     reach for when scratch space, not CPU, is the binding constraint.
-    K: ``SPARK_GRAFT_SUBSTR_SLICES`` (default 4)."""
+    K: ``SPARK_GRAFT_SUBSTR_SLICES`` (default 4, max 256 — the bucket
+    key is the first TWO hex digits, 256 values, so slices stay even
+    for any K that divides the space reasonably; a single-digit key
+    capped K at 16 and made K=12's bucket 0 double-width, measured as
+    a 2/16-of-the-space spill spike at sf1000d)."""
     import atexit
     import hashlib
     import os
@@ -2507,7 +2511,7 @@ def dedup_substring_chains_sliced(
         _ATEXIT_ROOTS.add(root)
         atexit.register(shutil.rmtree, root, ignore_errors=True)
     t, pos = _substr_positions(load_table(spark, sf_dir, "documents"))
-    bucket = F.conv(F.substring("h", 1, 1), 16, 10).cast("int") % n_slices
+    bucket = F.conv(F.substring("h", 1, 2), 16, 10).cast("int") % n_slices
     for k in range(n_slices):
         pos_k = pos.filter(bucket == k)
         freq_k = (
