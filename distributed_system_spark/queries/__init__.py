@@ -435,9 +435,14 @@ _EXTERNALLY_VERIFIED = _EXTERNALLY_VERIFIED | _R10_VERIFIED
 #     guard + tokens-projected-once build, both twin-tested
 #     bit-identical): every direct consumer re-fronts anyway, the
 #     round-10 practice.
+#   - dedup_substring_chains: the frequency stage moved from
+#     distinct→count to the single min!=max groupBy and the shuffle
+#     key to binary md5 (round-11 disk work) — same declared
+#     semantics, oracle re-checked green, re-verify externally anyway.
 _CHANGED_SINCE_VERIFIED_R11 = frozenset(
     {
         "curation_funnel_report",
+        "dedup_substring_chains",
         "dedup_minhash_lsh",
         "dedup_minhash_ctrl",
         "dedup_incremental",

@@ -2359,14 +2359,42 @@ def _substr_positions(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         .select(
             "doc_id",
             "j",
-            F.md5(
-                F.array_join(
-                    F.slice("toks", F.col("j").cast("int"), 8), " "
-                ).cast("binary")
+            # 16-byte BINARY hash, not the 32-char hex string: the
+            # position rows are the corpus-scale shuffle payload of
+            # this family, and halving the key halves every shuffle
+            # (round-11; the oracle is output-level, so the key
+            # representation is free to be compact).
+            F.unhex(
+                F.md5(
+                    F.array_join(
+                        F.slice("toks", F.col("j").cast("int"), 8), " "
+                    ).cast("binary")
+                )
             ).alias("h"),
         )
     )
     return t, pos
+
+
+def _substr_dup_positions(pos: DataFrame) -> DataFrame:
+    """Duplicated positions: shingles occurring in MORE THAN ONE doc.
+
+    min(doc_id) != max(doc_id) per shingle hash is exactly the
+    "appears in >1 distinct doc" test (within-doc repeats share the
+    doc_id) — ONE map-side-combinable groupBy where the previous
+    build paid a (doc_id, h) distinct AND a re-shuffle of the
+    positions for the frequency join (round-11: that double
+    corpus-scale shuffle is what filled one node's disk at the fifth
+    decade).  Positions now cross the wire once for the aggregate's
+    partial rows and once for the hot-hash join — with the partial
+    agg compressing repeated shingles map-side."""
+    hot = (
+        pos.groupBy("h")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("h")
+    )
+    return pos.join(hot, "h").select("doc_id", "j")
 
 
 def _substr_span_report(t: DataFrame, dup: DataFrame) -> DataFrame:
@@ -2454,14 +2482,7 @@ def dedup_substring_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers every test-corpus doc (max ~200 tokens); the Spark side
     is uncapped."""
     t, pos = _substr_positions(load_table(spark, sf_dir, "documents"))
-    freq = (
-        pos.select("doc_id", "h")
-        .distinct()
-        .groupBy("h")
-        .agg(F.count(F.lit(1)).alias("ndocs"))
-    )
-    dup = pos.join(freq, "h").filter(F.col("ndocs") > 1).select("doc_id", "j")
-    return _substr_span_report(t, dup)
+    return _substr_span_report(t, _substr_dup_positions(pos))
 
 
 @register(
@@ -2511,27 +2532,21 @@ def dedup_substring_chains_sliced(
         _ATEXIT_ROOTS.add(root)
         atexit.register(shutil.rmtree, root, ignore_errors=True)
     t, pos = _substr_positions(load_table(spark, sf_dir, "documents"))
-    bucket = F.conv(F.substring("h", 1, 2), 16, 10).cast("int") % n_slices
+    # bucket from the first binary hash byte (256 even slices) —
+    # computed map-side, so the slice filter prunes BEFORE any shuffle
+    bucket = F.conv(F.substring(F.hex("h"), 1, 2), 16, 10).cast(
+        "int"
+    ) % n_slices
     for k in range(n_slices):
         pos_k = pos.filter(bucket == k)
-        freq_k = (
-            pos_k.select("doc_id", "h")
-            .distinct()
-            .groupBy("h")
-            .agg(F.count(F.lit(1)).alias("ndocs"))
-        )
-        dup_k = (
-            pos_k.join(freq_k, "h")
-            .filter(F.col("ndocs") > 1)
-            .select("doc_id", "j")
-        )
+        dup_k = _substr_dup_positions(pos_k)
         dup_k.write.mode("overwrite").parquet(f"{root}/slice={k}")
         # Release the finished slice's shuffle files before the next
         # slice shuffles its own — the step that bounds peak scratch
         # disk at ~1/K.  ContextCleaner removes them when the JVM-side
         # references are collected; its periodic GC (default 30 min)
         # is too slow for back-to-back slices, so force one.
-        del pos_k, freq_k, dup_k
+        del pos_k, dup_k
         spark.sparkContext._jvm.System.gc()
     dup = (
         spark.read.schema("doc_id BIGINT, j BIGINT")

@@ -4684,3 +4684,144 @@ def dataset_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("score").alias("max_score"),
         F.sum("toks").cast("long").alias("token_sum"),
     )
+
+
+@register(
+    "dataset_mix_temperature",
+    oracle="""
+WITH s AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+t AS (SELECT *, CAST(sum(n_tokens) OVER () AS DOUBLE) AS N FROM s),
+w AS (SELECT *, CAST(sqrt(n_tokens / N) AS DECIMAL(18,12)) AS wd FROM t),
+x AS (SELECT *, CAST(sum(wd) OVER () AS DOUBLE) AS S FROM w)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / N, 6) AS nat_share,
+       round(CAST(wd AS DOUBLE) / S, 6) AS temp_share,
+       round((CAST(wd AS DOUBLE) / S) / (n_tokens / N), 6) AS epoch_mult
+FROM x
+""",
+    tags=("llm", "sampling", "mixing", "temperature"),
+)
+def dataset_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-scaled source mixing (the multilingual-sampling
+    rule: p_i ∝ (n_i/N)^α) at α = 0.5 — sqrt sampling, the classic
+    high-resource-flattening exponent.  Per source: natural token
+    share, temperature share, and the epoch multiplier (how many
+    epochs of that source one pass of the mixture consumes — the
+    number a training-data order actually needs).
+
+    α = 0.5 on purpose: IEEE-754 requires sqrt be correctly rounded,
+    so the weights are BIT-IDENTICAL in any engine — a pow(x, 0.3)
+    would differ in the last ulp between libm implementations and is
+    exactly the class of cross-engine drift the oracle contract
+    forbids.  The weight normalizer folds through DECIMAL(18,12)
+    (order-insensitive sum, the _util discipline).
+
+    Scale shape: one scan into a per-source partial-agg groupBy
+    (|sources| rows), then two tiny windows OVER THE AGGREGATE — the
+    corpus never moves."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " ", -1)))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    wall = Window.partitionBy()
+    t = s.withColumn(
+        "N", F.sum("n_tokens").over(wall).cast("double")
+    )
+    w = t.withColumn(
+        "wd",
+        F.sqrt(F.col("n_tokens") / F.col("N")).cast("decimal(18,12)"),
+    )
+    x = w.withColumn("S", F.sum("wd").over(wall).cast("double"))
+    nat = F.col("n_tokens") / F.col("N")
+    tmp = F.col("wd").cast("double") / F.col("S")
+    return x.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(nat, 6).alias("nat_share"),
+        F.round(tmp, 6).alias("temp_share"),
+        F.round(tmp / nat, 6).alias("epoch_mult"),
+    )
+
+
+@register(
+    "aug_span_corruption",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, str_split(text, ' ') AS toks,
+         len(str_split(text, ' ')) AS n
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(len([i for i in range(1, n + 1) if i % 7 = 4]) AS BIGINT)
+         AS n_spans,
+       array_to_string(
+         [CASE WHEN i % 7 = 4
+               THEN '<extra_id_' || CAST((i - 4) // 7 AS VARCHAR) || '>'
+               ELSE toks[CAST(i AS INT)] END
+          for i in range(1, n + 1) if i % 7 <> 5],
+         ' ') AS corrupted_text,
+       array_to_string(
+         flatten([['<extra_id_' || CAST((i - 4) // 7 AS VARCHAR) || '>']
+                  || toks[CAST(i AS INT):CAST(i + 1 AS INT)]
+                  for i in range(1, n + 1) if i % 7 = 4]),
+         ' ') AS targets_text
+FROM t
+""",
+    tags=("text", "augmentation", "training-prep", "t5"),
+)
+def aug_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style SPAN CORRUPTION prep: 2-token spans at fixed
+    period 7 (positions i ≡ 4, 5 mod 7, 1-based) are replaced by
+    numbered sentinels in the corrupted text, and the targets string
+    pairs each sentinel with the tokens it hides — the
+    denoising-objective input/label pair, generated deterministically
+    so any engine (and any re-run) derives byte-identical training
+    examples with no stored mask (the ``aug_word_dropout``
+    discipline, lifted from token masks to spans).
+
+    Scale shape: pure per-row higher-order array expressions over the
+    projected token array — ONE scan, zero exchanges, the mandatory
+    shape for an augmentation pass at 100 TB.  Spark's lambda index
+    is its element value here (we iterate an explicit 1-based
+    sequence), so both engines mask identical positions; slice()/
+    list-slicing clip identically at the document tail."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.split("text", " ", -1).alias("toks"),
+        F.size(F.split("text", " ", -1)).alias("n"),
+    )
+    corrupted = F.expr(
+        "filter(transform(sequence(1, n), i -> "
+        "CASE WHEN i % 7 = 5 THEN CAST(NULL AS STRING) "
+        "WHEN i % 7 = 4 THEN concat('<extra_id_', "
+        "cast((i - 4) div 7 as string), '>') "
+        "ELSE element_at(toks, cast(i as int)) END), "
+        "x -> x IS NOT NULL)"
+    )
+    targets = F.expr(
+        "flatten(transform(filter(sequence(1, n), i -> i % 7 = 4), "
+        "i -> concat(array(concat('<extra_id_', "
+        "cast((i - 4) div 7 as string), '>')), "
+        "slice(toks, cast(i as int), 2))))"
+    )
+    return base.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.size(
+            F.expr("filter(sequence(1, n), i -> i % 7 = 4)")
+        )
+        .cast("long")
+        .alias("n_spans"),
+        F.concat_ws(" ", corrupted).alias("corrupted_text"),
+        F.concat_ws(" ", targets).alias("targets_text"),
+    )
