@@ -2889,3 +2889,77 @@ def dataset_group_kfold_ctrl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_moved"),
     )
+
+
+from distributed_system_spark.queries import REGISTRY as _REG  # noqa: E402
+
+
+@register(
+    "dedup_incremental_capped_sliced",
+    oracle=_REG["dedup_incremental_capped"].oracle,
+    tags=("dedup", "lsh", "incremental", "capped", "disk-bounded"),
+)
+def dedup_incremental_capped_sliced(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``dedup_incremental_capped`` under the BOUNDED-DISK execution
+    plan (the ``dedup_substring_chains_sliced`` move, applied to the
+    OTHER fifth-decade out-of-disk row): the band-SIGNATURE space is
+    partitioned into K slices (first two sig hex digits mod K,
+    ``SPARK_GRAFT_LSH_SLICES``, default 4) and the candidate join +
+    content-keyed Jaccard verify run PER SLICE, sequentially, each
+    slice's verified duplicate ids staging to parquet with shuffle
+    files released in between — peak scratch disk ÷ ~K.
+
+    Correctness is exact, not approximate: a (band, sig) BUCKET lives
+    in exactly one slice, so the 64-member occupancy valve counts the
+    same occupancies, every surviving candidate pair appears in at
+    least one slice (pairs colliding in several bands may verify in
+    several slices — redundant work bounded by the band count, 4),
+    and the union of verified ids equals the one-shot rule.  Same
+    oracle as ``dedup_incremental_capped``, shared verbatim.
+
+    The trade is re-deriving the band signatures and the token sets
+    K times (CPU) for 1/K the scratch disk — on a cluster run the
+    one-shot plan wins; on one machine this is the form that can
+    finish the fifth decade."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+
+    n_slices = int(os.environ.get("SPARK_GRAFT_LSH_SLICES", "4"))
+    root = (
+        "/tmp/dss-cappedsl-"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    )
+    if root not in _ATEXIT_ROOTS:
+        _ATEXIT_ROOTS.add(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = doc_tokens(docs)
+    bands = minhash_band_signatures_docs(docs)
+    bucket = F.conv(F.substring("sig", 1, 2), 16, 10).cast(
+        "int"
+    ) % n_slices
+    for k in range(n_slices):
+        bands_k = bands.filter(bucket == k)
+        cand_k = lsh_candidate_pairs(
+            bands_k, max_bucket=_BUCKET_CAP
+        ).filter(F.col("id_b") >= 400)
+        dups_k = (
+            jaccard_verify_setdedup(cand_k, toks, 0.8)
+            .select(F.col("id_b").alias("doc_id"))
+            .distinct()
+        )
+        dups_k.write.mode("overwrite").parquet(f"{root}/slice={k}")
+        del bands_k, cand_k, dups_k
+        spark.sparkContext._jvm.System.gc()
+    dup_new = (
+        spark.read.schema("doc_id BIGINT").parquet(root).distinct()
+    )
+    return (
+        docs.filter(F.col("doc_id") >= 400)
+        .join(dup_new, "doc_id", "left_anti")
+        .select("doc_id", "n_chars")
+    )
