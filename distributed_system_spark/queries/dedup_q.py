@@ -2376,7 +2376,9 @@ def _substr_positions(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return t, pos
 
 
-def _substr_dup_positions(pos: DataFrame) -> DataFrame:
+def _substr_dup_positions(
+    pos: DataFrame, broadcast_hot: bool = False
+) -> DataFrame:
     """Duplicated positions: shingles occurring in MORE THAN ONE doc.
 
     min(doc_id) != max(doc_id) per shingle hash is exactly the
@@ -2385,15 +2387,25 @@ def _substr_dup_positions(pos: DataFrame) -> DataFrame:
     build paid a (doc_id, h) distinct AND a re-shuffle of the
     positions for the frequency join (round-11: that double
     corpus-scale shuffle is what filled one node's disk at the fifth
-    decade).  Positions now cross the wire once for the aggregate's
-    partial rows and once for the hot-hash join — with the partial
-    agg compressing repeated shingles map-side."""
+    decade).
+
+    ``broadcast_hot``: with it, the hot-hash set joins back as a
+    BROADCAST and the positions never shuffle for the join at all —
+    the per-slice mode of the disk-bounded variant, where the hot
+    set is 1/K of an already-output-scale table (measured: the
+    shuffle-join form's two coexisting positions-scale shuffle file
+    sets were 47 GB for ONE sf1000d slice at K=8; broadcast mode
+    halves the slice's footprint to the aggregate alone).  The
+    one-shot form keeps the shuffle join: an unsliced hot set on a
+    degenerate corpus can exceed any broadcast budget."""
     hot = (
         pos.groupBy("h")
         .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
         .filter(F.col("mn") != F.col("mx"))
         .select("h")
     )
+    if broadcast_hot:
+        hot = F.broadcast(hot)
     return pos.join(hot, "h").select("doc_id", "j")
 
 
@@ -2539,7 +2551,7 @@ def dedup_substring_chains_sliced(
     ) % n_slices
     for k in range(n_slices):
         pos_k = pos.filter(bucket == k)
-        dup_k = _substr_dup_positions(pos_k)
+        dup_k = _substr_dup_positions(pos_k, broadcast_hot=True)
         dup_k.write.mode("overwrite").parquet(f"{root}/slice={k}")
         # Release the finished slice's shuffle files before the next
         # slice shuffles its own — the step that bounds peak scratch
