@@ -1410,3 +1410,25 @@ def test_interleaved_pack_shard_partitioned_window(spark, sf_dir):
     assert re.search(r"Exchange hashpartitioning\(shard", plan), plan
     assert "Exchange SinglePartition" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_mix_temperature_windows_over_aggregate_only(spark, sf_dir):
+    """dataset_mix_temperature: both normalizer windows ride the
+    |sources|-row aggregate — every SinglePartition exchange must sit
+    above a HashAggregate, never the document scan."""
+    plan = plan_of(spark, sf_dir, "dataset_mix_temperature")
+    import re
+
+    for m in re.finditer(r"Exchange SinglePartition", plan):
+        below = plan[m.start() :]
+        agg, scan = below.find("HashAggregate"), below.find("FileScan")
+        assert agg != -1 and agg < scan, below[:1500]
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_span_corruption_zero_exchanges(spark, sf_dir):
+    """aug_span_corruption is a pure per-row projection: ONE scan,
+    zero exchanges of any kind (the aug_word_dropout discipline)."""
+    plan = plan_of(spark, sf_dir, "aug_span_corruption")
+    assert "Exchange" not in plan, plan
+    assert plan.count("FileScan") == 1, plan
