@@ -1283,3 +1283,22 @@ def test_minhash_band_docs_drops_null_text(spark):
     out = minhash_band_signatures_docs(docs)
     ids = {r["id"] for r in out.collect()}
     assert ids == {"d1"}
+
+
+def test_sliced_forms_equal_one_shot(spark):
+    """The round-11 disk-bounded *_sliced variants must equal their
+    one-shot twins EXACTLY on the sf0.01 corpus (10x the oracle
+    fixture; exercises multi-bucket slicing and the broadcast-hot
+    path on real duplicate mass)."""
+    from distributed_system_spark.queries import load_all
+
+    reg = load_all()
+    sf = "/root/testdata/sf0.01"
+    for one_shot, sliced in (
+        ("dedup_substring_chains", "dedup_substring_chains_sliced"),
+        ("dedup_incremental_capped", "dedup_incremental_capped_sliced"),
+    ):
+        a = reg[one_shot].fn(spark, sf)
+        b = reg[sliced].fn(spark, sf)
+        assert a.exceptAll(b).count() == 0, (one_shot, sliced)
+        assert b.exceptAll(a).count() == 0, (one_shot, sliced)
