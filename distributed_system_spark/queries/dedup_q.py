@@ -2312,33 +2312,38 @@ FROM t LEFT JOIN per_doc p USING (doc_id)
 """
 
 
-def _substr_positions(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(t, pos) for the substring-chain pass: the planted-quote corpus
-    (doc_id % 10 == 1 appends predecessor tokens 4..18) as
-    (doc_id, n), and every 8-token shingle position as (doc_id, j, h).
-    Shared by the one-shot and the disk-bounded sliced variants."""
+def _substr_corpus(docs: DataFrame) -> DataFrame:
+    """The planted-quote corpus (doc_id % 10 == 1 appends predecessor
+    tokens 4..18) as (doc_id, text).  This is a full-corpus self-join
+    on doc_id — at the fifth decade its sort spill alone is a ~35 GB
+    scratch constant, which is why the SLICED variant stages this
+    result to parquet ONCE instead of paying the join per slice."""
     src = docs.select(
         (F.col("doc_id") + 1).alias("doc_id"),
         F.split("text", " ", -1).alias("p_toks"),
     )
-    corpus = (
-        docs.join(src, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.when(
-                (F.col("doc_id") % 10 == 1)
-                & F.col("p_toks").isNotNull()
-                & (F.size("p_toks") >= 18),
-                F.concat(
-                    F.col("text"),
-                    F.lit(" "),
-                    F.array_join(F.slice("p_toks", 4, 15), " "),
-                ),
-            )
-            .otherwise(F.col("text"))
-            .alias("text"),
+    return docs.join(src, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 10 == 1)
+            & F.col("p_toks").isNotNull()
+            & (F.size("p_toks") >= 18),
+            F.concat(
+                F.col("text"),
+                F.lit(" "),
+                F.array_join(F.slice("p_toks", 4, 15), " "),
+            ),
         )
+        .otherwise(F.col("text"))
+        .alias("text"),
     )
+
+
+def _substr_positions_from_corpus(
+    corpus: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """(t, pos) from an already-built planted corpus: (doc_id, n) and
+    every 8-token shingle position as (doc_id, j, h)."""
     t = corpus.select(
         "doc_id",
         F.split("text", " ", -1).alias("toks"),
@@ -2374,6 +2379,11 @@ def _substr_positions(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         )
     )
     return t, pos
+
+
+def _substr_positions(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One-shot convenience: corpus build + positions in one plan."""
+    return _substr_positions_from_corpus(_substr_corpus(docs))
 
 
 def _substr_dup_positions(
@@ -2543,7 +2553,20 @@ def dedup_substring_chains_sliced(
     if root not in _ATEXIT_ROOTS:
         _ATEXIT_ROOTS.add(root)
         atexit.register(shutil.rmtree, root, ignore_errors=True)
-    t, pos = _substr_positions(load_table(spark, sf_dir, "documents"))
+    # Stage the planted corpus ONCE: the corpus build is a full-corpus
+    # self-join whose sort spill is a ~35 GB scratch CONSTANT at the
+    # fifth decade — paid per slice, it erases the slicing's whole
+    # disk bound (measured: K=8 and K=16 slices both peaked ~47 GB
+    # before this staging).  One parquet write ≈ the documents table's
+    # own size; every slice then scans it join-free.
+    _substr_corpus(load_table(spark, sf_dir, "documents")).write.mode(
+        "overwrite"
+    ).parquet(f"{root}/corpus")
+    spark.sparkContext._jvm.System.gc()
+    staged = spark.read.schema("doc_id BIGINT, text STRING").parquet(
+        f"{root}/corpus"
+    )
+    t, pos = _substr_positions_from_corpus(staged)
     # bucket from the first binary hash byte (256 even slices) —
     # computed map-side, so the slice filter prunes BEFORE any shuffle
     bucket = F.conv(F.substring(F.hex("h"), 1, 2), 16, 10).cast(
@@ -2552,7 +2575,7 @@ def dedup_substring_chains_sliced(
     for k in range(n_slices):
         pos_k = pos.filter(bucket == k)
         dup_k = _substr_dup_positions(pos_k, broadcast_hot=True)
-        dup_k.write.mode("overwrite").parquet(f"{root}/slice={k}")
+        dup_k.write.mode("overwrite").parquet(f"{root}/slices/slice={k}")
         # Release the finished slice's shuffle files before the next
         # slice shuffles its own — the step that bounds peak scratch
         # disk at ~1/K.  ContextCleaner removes them when the JVM-side
@@ -2562,7 +2585,7 @@ def dedup_substring_chains_sliced(
         spark.sparkContext._jvm.System.gc()
     dup = (
         spark.read.schema("doc_id BIGINT, j BIGINT")
-        .parquet(root)
+        .parquet(f"{root}/slices")
         .select("doc_id", "j")
     )
     return _substr_span_report(t, dup)
