@@ -419,7 +419,10 @@ def stream_phash_sig_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     The drained result equals the batch keep-first rule over the
     whole corpus (the all-pairs oracle) because the index stores every
     processed image's signature, kept or dropped — see
-    streaming/streams.py::phash_signature_index_stream."""
+    streaming/streams.py::phash_signature_index_stream.  Reference
+    analog: the event-callback-driven incremental processing surface
+    (§2.A A19 — mock_sdfs_master.cpp:35-67's per-append callbacks),
+    here as a third dedup modality beside stream_dedup_sig_index."""
     from distributed_system_spark.streaming.streams import (
         phash_signature_index_stream,
     )
