@@ -300,6 +300,45 @@ def jaccard_verify(
     )
 
 
+def doc_token_sets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, ts) sorted distinct-token arrays, built MAP-SIDE — zero
+    shuffle, bit-identical to ``toks.groupBy("id").agg(sort_array(
+    collect_set("tok")))`` over :func:`doc_tokens` output (the tokens
+    come from the same space split; collect_set ≡ array_distinct and
+    sort_array ≡ array_sort on null-free string arrays, and null-text
+    docs are filtered here exactly as explode drops them there).
+
+    Why it exists: the groupBy form re-shuffles the exploded token
+    mass (~100 GB at the 52.5 M-doc fifth decade) just to reassemble
+    per-doc sets the scan row already holds.  The sliced bounded-disk
+    dedup forms stage this table to parquet once and every slice
+    reads it join-free, so no slice pays a corpus-scale shuffle — the
+    slice-INDEPENDENT-constant trap that band-space slicing alone
+    cannot fix (SCALE.md round-11 fifth-decade failure)."""
+    docs = widen_if_narrow(docs).filter(F.col(text_col).isNotNull())
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.array_sort(
+            F.array_distinct(F.split(_text_col(text_col), " ", -1))
+        ).alias("ts"),
+    )
+
+
+def token_set_keyed(sets_: DataFrame) -> DataFrame:
+    """(id, ts, tsk, n) — the content-fingerprint row the set-dedup
+    verify runs on: tsk is md5 of the space-joined sorted set (the
+    encoding is injective because tokens come from a space split), n
+    is the set size for the Bayardo length filter."""
+    return sets_.select(
+        "id",
+        "ts",
+        F.unhex(F.md5(F.concat_ws(" ", "ts").cast("binary"))).alias("tsk"),
+        F.size("ts").cast("long").alias("n"),
+    )
+
+
 def jaccard_verify_setdedup(
     pairs: DataFrame, toks: DataFrame, threshold: float
 ) -> DataFrame:
@@ -329,19 +368,35 @@ def jaccard_verify_setdedup(
     :func:`jaccard_verify` (twin-tested); md5 set-fingerprint
     collisions are the accepted 16-byte-join-key idiom
     (``dedup_crosslingual_entities``)."""
+    sets_ = toks.groupBy("id").agg(
+        F.sort_array(F.collect_set("tok")).alias("ts")
+    )
+    return jaccard_verify_keyed(pairs, token_set_keyed(sets_), threshold)
+
+
+def jaccard_verify_keyed(
+    pairs: DataFrame,
+    keyed: DataFrame,
+    threshold: float,
+    prune_arrays: bool = False,
+) -> DataFrame:
+    """Body of :func:`jaccard_verify_setdedup` over a prebuilt
+    ``keyed`` table (:func:`token_set_keyed` output, possibly staged
+    to parquet) — the entry point the bounded-disk sliced dedup forms
+    use so each slice reads the fingerprints join-free.
+
+    ``prune_arrays=True`` replaces the global ``(tsk, ts) distinct``
+    — a shuffle proportional to the WHOLE corpus's array mass, i.e. a
+    slice-independent scratch constant — with a semi-join against the
+    slice's needed fingerprints followed by a ``min_by`` representative
+    pick, so each slice shuffles only the arrays its own candidate
+    pairs reference (same mapping: rows sharing tsk share ts by
+    construction).  Default False keeps the one-shot plan
+    bit-identical."""
     from fractions import Fraction
 
     fr = Fraction(round(threshold * 10**6) - 1, 10**6)
     num, den = fr.numerator, fr.denominator
-    sets_ = toks.groupBy("id").agg(
-        F.sort_array(F.collect_set("tok")).alias("ts")
-    )
-    keyed = sets_.select(
-        "id",
-        "ts",
-        F.unhex(F.md5(F.concat_ws(" ", "ts").cast("binary"))).alias("tsk"),
-        F.size("ts").cast("long").alias("n"),
-    )
     ids_a = keyed.select(
         F.col("id").alias("id_a"),
         F.col("tsk").alias("ka"),
@@ -361,7 +416,19 @@ def jaccard_verify_setdedup(
         )
     )
     upairs = narrow.select("ka", "kb").distinct()
-    arrs = keyed.select("tsk", "ts").distinct()
+    if prune_arrays:
+        need = (
+            upairs.select(F.col("ka").alias("tsk"))
+            .union(upairs.select(F.col("kb").alias("tsk")))
+            .distinct()
+        )
+        arrs = (
+            keyed.join(need, "tsk", "left_semi")
+            .groupBy("tsk")
+            .agg(F.min_by("ts", "id").alias("ts"))
+        )
+    else:
+        arrs = keyed.select("tsk", "ts").distinct()
     inter = F.size(F.array_intersect("ts_a", "ts_b"))
     jac = inter / (F.size("ts_a") + F.size("ts_b") - inter)
     verdict = (

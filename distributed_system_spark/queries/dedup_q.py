@@ -13,8 +13,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from distributed_system_spark.operators.dedup import (
     containment_pairs,
+    doc_token_sets,
     doc_tokens,
     jaccard_verify,
+    jaccard_verify_keyed,
     jaccard_verify_setdedup,
     lsh_band_signatures,
     minhash_band_signatures_docs,
@@ -25,6 +27,7 @@ from distributed_system_spark.operators.dedup import (
     simhash128_docs,
     simhash128_neardup_pairs,
     simhash_neardup_pairs,
+    token_set_keyed,
 )
 from distributed_system_spark.queries import register
 from distributed_system_spark.sources.tables import load_table
@@ -33,6 +36,55 @@ from distributed_system_spark.sources.tables import load_table
 # root even across repeated bench/test invocations — the ann_index_
 # upsert discipline, ADVICE r8)
 _ATEXIT_ROOTS: set[str] = set()
+
+
+def _slice_count(env_name: str) -> int:
+    """Validated slice count for the bounded-disk dedup forms.
+
+    The bucket key is the first two hash hex digits — a 256-value
+    space — so K must sit in [1, 256]: K <= 0 would make the
+    ``% n_slices`` bucket expression null (every slice filter empty —
+    silently wrong output), and K > 256 would write permanently-empty
+    slices past bucket 255 (r11 ADVICE: enforce the documented
+    contract instead of failing silently)."""
+    import os
+
+    raw = os.environ.get(env_name, "4")
+    try:
+        k = int(raw)
+    except ValueError:
+        raise ValueError(f"{env_name} must be an integer, got {raw!r}")
+    if not 1 <= k <= 256:
+        raise ValueError(
+            f"{env_name} must be in [1, 256] (two-hex-digit bucket "
+            f"space), got {k}"
+        )
+    return k
+
+
+def _staging_root(prefix: str, sf_dir: str, n_slices: int) -> str:
+    """Fresh per-run staging root for a sliced dedup form.
+
+    Keyed by sf_dir hash + K + pid, and rmtree'd up front: slices
+    left by a prior run with a different K, by a killed process
+    (atexit never fires on SIGKILL), or by a concurrent process on
+    the same sf_dir are never silently unioned into this run's
+    result (r11 ADVICE)."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+
+    root = (
+        f"/tmp/{prefix}-"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        + f"-k{n_slices}-p{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    if root not in _ATEXIT_ROOTS:
+        _ATEXIT_ROOTS.add(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return root
 
 _TOKS_SQL = """
 toks AS (
@@ -2540,19 +2592,8 @@ def dedup_substring_chains_sliced(
     for any K that divides the space reasonably; a single-digit key
     capped K at 16 and made K=12's bucket 0 double-width, measured as
     a 2/16-of-the-space spill spike at sf1000d)."""
-    import atexit
-    import hashlib
-    import os
-    import shutil
-
-    n_slices = int(os.environ.get("SPARK_GRAFT_SUBSTR_SLICES", "4"))
-    root = (
-        "/tmp/dss-substr-sliced-"
-        + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    )
-    if root not in _ATEXIT_ROOTS:
-        _ATEXIT_ROOTS.add(root)
-        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    n_slices = _slice_count("SPARK_GRAFT_SUBSTR_SLICES")
+    root = _staging_root("dss-substr-sliced", sf_dir, n_slices)
     # Stage the planted corpus ONCE: the corpus build is a full-corpus
     # self-join whose sort spill is a ~35 GB scratch CONSTANT at the
     # fifth decade — paid per slice, it erases the slicing's whole
@@ -2939,59 +2980,93 @@ def dedup_incremental_capped_sliced(
 ) -> DataFrame:
     """``dedup_incremental_capped`` under the BOUNDED-DISK execution
     plan (the ``dedup_substring_chains_sliced`` move, applied to the
-    OTHER fifth-decade out-of-disk row): the band-SIGNATURE space is
-    partitioned into K slices (first two sig hex digits mod K,
-    ``SPARK_GRAFT_LSH_SLICES``, default 4) and the candidate join +
-    content-keyed Jaccard verify run PER SLICE, sequentially, each
-    slice's verified duplicate ids staging to parquet with shuffle
-    files released in between — peak scratch disk ÷ ~K.
+    OTHER fifth-decade out-of-disk row), round-12 two-phase rebuild.
+    Round 11's single loop sliced only the band-SIGNATURE space; its
+    sf1000d attempt died at slice 4 because the VERIFY stage's output
+    mass — candidate token arrays — is not divided by band-space
+    slicing (SCALE.md round-11 diagnosis).  This form slices BOTH
+    axes, K = ``SPARK_GRAFT_LSH_SLICES`` (default 4, clamped to
+    [1, 256]):
 
-    Correctness is exact, not approximate: a (band, sig) BUCKET lives
-    in exactly one slice, so the 64-member occupancy valve counts the
-    same occupancies, every surviving candidate pair appears in at
-    least one slice (pairs colliding in several bands may verify in
-    several slices — redundant work bounded by the band count, 4),
-    and the union of verified ids equals the one-shot rule.  Same
-    oracle as ``dedup_incremental_capped``, shared verbatim.
+    - **Stage 0** writes the two corpus-derived inputs to parquet
+      ONCE, both built map-side with zero shuffle: the band
+      signatures (``minhash_band_signatures_docs``) and the
+      content-keyed token sets (``doc_token_sets`` →
+      ``token_set_keyed`` — (id, ts, tsk, n); the groupBy form would
+      re-shuffle the exploded token mass, a slice-INDEPENDENT scratch
+      constant, the trap the substring twin hit with its corpus
+      self-join).  Every slice then scans these join-free; parquet
+      column pruning serves the narrow (id, tsk, n) reads without
+      touching the arrays.
+    - **Phase 1** partitions the band-sig space (first two sig hex
+      digits mod K) and stages each slice's CANDIDATE PAIRS — two
+      longs per row — releasing shuffle files between slices.  A
+      (band, sig) bucket lives in exactly one slice, so the
+      64-member occupancy valve counts the same occupancies and the
+      union of slices is exactly the one-shot candidate set.
+    - **Phase 2** partitions the VERIFY by candidate doc id
+      (``pmod(id_b, K)`` — every pair verifies in exactly ONE slice,
+      which also deletes the cross-band redundant verification the
+      r11 form paid): each slice distincts its own 1/K of the pairs,
+      fetches only the token arrays its pairs reference
+      (``jaccard_verify_keyed(prune_arrays=True)``), and stages its
+      verified duplicate ids.  Verify output mass per slice is ~1/K —
+      the axis band-space slicing could not divide.
 
-    The trade is re-deriving the band signatures and the token sets
-    K times (CPU) for 1/K the scratch disk — on a cluster run the
-    one-shot plan wins; on one machine this is the form that can
-    finish the fifth decade."""
-    import atexit
-    import hashlib
-    import os
-    import shutil
-
-    n_slices = int(os.environ.get("SPARK_GRAFT_LSH_SLICES", "4"))
-    root = (
-        "/tmp/dss-cappedsl-"
-        + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    )
-    if root not in _ATEXIT_ROOTS:
-        _ATEXIT_ROOTS.add(root)
-        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    Correctness is exact, not approximate: same oracle as
+    ``dedup_incremental_capped``, shared verbatim.  The trade is K
+    scans of the staged narrow inputs (CPU + one corpus-sized parquet
+    staging write) for ÷K scratch disk at every shuffle; on a cluster
+    the one-shot plan wins (aggregate disk scales with executors) —
+    this is the form that finishes the fifth decade on one machine."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = doc_tokens(docs)
-    bands = minhash_band_signatures_docs(docs)
+    n_slices = _slice_count("SPARK_GRAFT_LSH_SLICES")
+    root = _staging_root("dss-cappedsl", sf_dir, n_slices)
+    minhash_band_signatures_docs(docs).write.mode("overwrite").parquet(
+        f"{root}/bands"
+    )
+    token_set_keyed(doc_token_sets(docs)).write.mode(
+        "overwrite"
+    ).parquet(f"{root}/keyed")
+    spark.sparkContext._jvm.System.gc()
+    bands = spark.read.schema("id BIGINT, band INT, sig STRING").parquet(
+        f"{root}/bands"
+    )
+    keyed = spark.read.schema(
+        "id BIGINT, ts ARRAY<STRING>, tsk BINARY, n BIGINT"
+    ).parquet(f"{root}/keyed")
     bucket = F.conv(F.substring("sig", 1, 2), 16, 10).cast(
         "int"
     ) % n_slices
     for k in range(n_slices):
-        bands_k = bands.filter(bucket == k)
         cand_k = lsh_candidate_pairs(
-            bands_k, max_bucket=_BUCKET_CAP
+            bands.filter(bucket == k), max_bucket=_BUCKET_CAP
         ).filter(F.col("id_b") >= 400)
-        dups_k = (
-            jaccard_verify_setdedup(cand_k, toks, 0.8)
+        cand_k.write.mode("overwrite").parquet(
+            f"{root}/cand/slice={k}"
+        )
+        # Release the finished slice's shuffle files before the next
+        # slice shuffles its own — ContextCleaner's periodic GC
+        # (default 30 min) is too slow for back-to-back slices.
+        del cand_k
+        spark.sparkContext._jvm.System.gc()
+    cand = spark.read.schema("id_a BIGINT, id_b BIGINT").parquet(
+        f"{root}/cand"
+    )
+    for m in range(n_slices):
+        cand_m = cand.filter(F.pmod("id_b", F.lit(n_slices)) == m).distinct()
+        dups_m = (
+            jaccard_verify_keyed(cand_m, keyed, 0.8, prune_arrays=True)
             .select(F.col("id_b").alias("doc_id"))
             .distinct()
         )
-        dups_k.write.mode("overwrite").parquet(f"{root}/slice={k}")
-        del bands_k, cand_k, dups_k
+        dups_m.write.mode("overwrite").parquet(f"{root}/dups/slice={m}")
+        del cand_m, dups_m
         spark.sparkContext._jvm.System.gc()
     dup_new = (
-        spark.read.schema("doc_id BIGINT").parquet(root).distinct()
+        spark.read.schema("doc_id BIGINT")
+        .parquet(f"{root}/dups")
+        .distinct()
     )
     return (
         docs.filter(F.col("doc_id") >= 400)

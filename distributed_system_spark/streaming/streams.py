@@ -77,6 +77,28 @@ def events_stream_schema(src: str) -> StructType:
     )
 
 
+def _index_exists(spark: SparkSession, path: str) -> bool:
+    """True iff a standing-index directory exists AND holds at least
+    one data file (not `_`/`.`-prefixed metadata), probed through
+    Hadoop's FileSystem API so the answer is correct for ANY index
+    location — file:/, hdfs:/, s3a:/ — not just the driver's local
+    filesystem.  A driver-local ``os.path.exists`` probe (the r11
+    pattern) would misreport "no index" on a real cluster whose index
+    root lives in an object store, silently breaking the keep-first
+    rule by re-admitting previously-indexed duplicates (r11 ADVICE)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(hconf)
+    if not fs.exists(p):
+        return False
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if not name.startswith(("_", ".")):
+            return True
+    return False
+
+
 def _stage_dir(sf_dir: str) -> str:
     """The file-stream source watches a DIRECTORY (files arriving in
     it are the A19 events), but the driver ships events as one file —
@@ -759,10 +781,7 @@ def signature_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         tsets = toks.groupBy("id").agg(
             F.sort_array(F.collect_set("tok")).alias("ts")
         )
-        have_index = os.path.exists(bands_dir) and any(
-            not f.startswith(("_", "."))
-            for f in os.listdir(bands_dir)
-        )
+        have_index = _index_exists(s, bands_dir)
         if have_index:
             idx_bands = s.read.schema(bands_schema).parquet(bands_dir)
             idx_toks = s.read.schema(toks_schema).parquet(toks_dir)
@@ -898,9 +917,7 @@ def phash_signature_index_stream(
         sigs = image_ahash(ppm_payloads(docs), bits=32).localCheckpoint(
             eager=True
         )
-        have_index = os.path.exists(idx_dir) and any(
-            not f.startswith(("_", ".")) for f in os.listdir(idx_dir)
-        )
+        have_index = _index_exists(s, idx_dir)
         if have_index:
             idx = s.read.schema(idx_schema).parquet(idx_dir)
             all_sigs = idx.select("doc_id", "sig").unionByName(sigs)
@@ -1509,9 +1526,7 @@ def token_budget_stream(
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         cum = docs.withColumn("cum_batch", F.sum("n_toks").over(w))
-        have_totals = os.path.exists(totals_dir) and any(
-            not f.startswith(("_", ".")) for f in os.listdir(totals_dir)
-        )
+        have_totals = _index_exists(s, totals_dir)
         if have_totals:
             # Read WITH the piece partition column and drop the
             # current batch's own piece: a crashed attempt may have
@@ -1626,9 +1641,7 @@ def domain_quota_stream(
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         cum = docs.withColumn("cum_src", F.sum("n_toks").over(wsrc))
-        have_totals = os.path.exists(totals_dir) and any(
-            not f.startswith(("_", ".")) for f in os.listdir(totals_dir)
-        )
+        have_totals = _index_exists(s, totals_dir)
         if have_totals:
             pr = (
                 s.read.schema(totals_schema + ", piece BIGINT")

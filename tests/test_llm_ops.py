@@ -1302,3 +1302,41 @@ def test_sliced_forms_equal_one_shot(spark):
         b = reg[sliced].fn(spark, sf)
         assert a.exceptAll(b).count() == 0, (one_shot, sliced)
         assert b.exceptAll(a).count() == 0, (one_shot, sliced)
+
+
+@pytest.mark.parametrize("k", [1, 3, 5, 8])
+def test_sliced_forms_equal_one_shot_awkward_k(spark, k, monkeypatch):
+    """Slicing invariant at K values that do NOT divide the 256-value
+    bucket space evenly (r11 verdict item #5): the builder already hit
+    one K-geometry bug (a single-hex-digit bucket key capped K at 16
+    and made K=12's bucket 0 double-width, SCALE.md), so the
+    sliced == one-shot equality is pinned across awkward K — K=1
+    (degenerate single slice), K=3 and K=5 (256 % K != 0), K=8 — for
+    BOTH disk-bounded families at sf0.001."""
+    from distributed_system_spark.queries import load_all
+
+    monkeypatch.setenv("SPARK_GRAFT_SUBSTR_SLICES", str(k))
+    monkeypatch.setenv("SPARK_GRAFT_LSH_SLICES", str(k))
+    reg = load_all()
+    sf = "/root/testdata/sf0.001"
+    for one_shot, sliced in (
+        ("dedup_substring_chains", "dedup_substring_chains_sliced"),
+        ("dedup_incremental_capped", "dedup_incremental_capped_sliced"),
+    ):
+        a = reg[one_shot].fn(spark, sf)
+        b = reg[sliced].fn(spark, sf)
+        assert a.exceptAll(b).count() == 0, (one_shot, sliced, k)
+        assert b.exceptAll(a).count() == 0, (one_shot, sliced, k)
+
+
+@pytest.mark.parametrize("bad", ["0", "-2", "257", "abc"])
+def test_slice_count_rejects_out_of_contract_k(bad, monkeypatch):
+    """K outside [1, 256] (or non-integer) must raise, not silently
+    produce empty slices (r11 ADVICE: K <= 0 nulls the % bucket and
+    every slice filter goes empty; K > 256 writes permanently-empty
+    slices past bucket 255)."""
+    from distributed_system_spark.queries.dedup_q import _slice_count
+
+    monkeypatch.setenv("SPARK_GRAFT_LSH_SLICES", bad)
+    with pytest.raises(ValueError):
+        _slice_count("SPARK_GRAFT_LSH_SLICES")
