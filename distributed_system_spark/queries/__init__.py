@@ -461,6 +461,63 @@ _CHANGED_SINCE_VERIFIED_R11 = frozenset(
 
 _EXTERNALLY_VERIFIED = _EXTERNALLY_VERIFIED - _CHANGED_SINCE_VERIFIED_R11
 
+# Names with a hash-green row in the driver's round-11 window
+# (CORRECTNESS_r11.json: 50/50 green) — includes all 15 round-11
+# demotions and all 7 round-11 additions, so the R11 demotion set is
+# fully re-verified.
+_R11_VERIFIED = frozenset(
+    {
+        "ann_topk_cosine", "aug_span_corruption", "contamination_fuzzy",
+        "curation_funnel_report", "curation_pipeline",
+        "curation_pipeline_ctrl", "dataset_group_kfold",
+        "dataset_group_kfold_ctrl", "dataset_mix_temperature",
+        "dedup_exact", "dedup_incremental", "dedup_incremental_capped",
+        "dedup_incremental_capped_sliced", "dedup_incremental_ctrl",
+        "dedup_minhash_ctrl", "dedup_minhash_lsh",
+        "dedup_modality_agreement", "dedup_ngram_jaccard",
+        "dedup_substring_chains", "dedup_substring_chains_sliced",
+        "dq_expectations", "drift_psi", "filter_like", "join_broadcast",
+        "join_sortmerge", "lsh_s_curve", "mj_wordcount", "mm_binary_meta",
+        "mm_frame_sample", "mm_interleaved_pack", "pipe_tokens",
+        "proj_filter", "q2_min_cost_supplier", "q3_shipping_priority",
+        "q5_local_supplier_volume", "retention_cohorts", "ri_orphan_audit",
+        "sessionize_events", "stats_mergeable_moments",
+        "stream_dedup_sig_index", "stream_phash_sig_index", "string_funcs",
+        "text_bm25_topk", "text_langid", "ts_rollup_daily_from_hourly",
+        "udf_pandas_scalar", "win_tumbling", "window_ntile_bucketed",
+        "window_rank", "wordcount",
+    }
+)
+
+_EXTERNALLY_VERIFIED = _EXTERNALLY_VERIFIED | _R11_VERIFIED
+
+# Round-12 demotions: every registered name whose code path changed in
+# the post-r11-window commit bb816e5 (the capped-LSH sliced rebuild):
+#   - dedup_incremental_capped_sliced: rebuilt two-phase (band-sig
+#     candidate slices + pmod(id_b, K) verify slices).
+#   - dedup_incremental_capped: one-shot verify now routes through the
+#     split-out token_set_keyed/jaccard_verify_keyed (twin-tested
+#     bit-identical, re-verify externally anyway).
+#   - dedup_substring_chains_sliced: staging root now keyed by
+#     sf_dir+K+pid and rmtree'd up front.
+#   - stream_dedup_sig_index / stream_phash_sig_index /
+#     stream_token_budget / stream_domain_quota: standing-index
+#     existence probe moved from driver-local os.path to Hadoop
+#     FileSystem.
+_CHANGED_SINCE_VERIFIED_R12 = frozenset(
+    {
+        "dedup_incremental_capped",
+        "dedup_incremental_capped_sliced",
+        "dedup_substring_chains_sliced",
+        "stream_dedup_sig_index",
+        "stream_phash_sig_index",
+        "stream_token_budget",
+        "stream_domain_quota",
+    }
+)
+
+_EXTERNALLY_VERIFIED = _EXTERNALLY_VERIFIED - _CHANGED_SINCE_VERIFIED_R12
+
 _KNOWN_AT_FREEZE = _KNOWN_AT_FREEZE | (
     frozenset(_R4_VERIFIED)
     | frozenset(
