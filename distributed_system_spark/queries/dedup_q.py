@@ -2633,6 +2633,93 @@ def dedup_substring_chains_sliced(
 
 
 @register(
+    "dedup_substring_chains_incr",
+    oracle=_SUBSTR_SPAN_ORACLE + "WHERE t.doc_id >= 400\n",
+    tags=("dedup", "substring", "llm", "incremental"),
+)
+def dedup_substring_chains_incr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STANDING-INDEX exact-substring dedup: the Lee-et-al shingle
+    chain (``dedup_substring_chains``) as never-reprocess-history
+    index maintenance — the form text MinHash
+    (``stream_dedup_sig_index``), image aHash
+    (``stream_phash_sig_index``), and embeddings (``ann_index_upsert``)
+    already have, completing the incremental story for the fourth
+    dedup family (r11 verdict item #6; reference analog: per-append
+    event callbacks, mock_sdfs_master.cpp:35-67).
+
+    Day 0 shingles the HISTORY docs (doc_id < 400) once and persists
+    only the shingle FREQUENCY table as (h, mn, mx) = (16-byte hash,
+    min doc_id, max doc_id) — min/max are mergeable, and
+    "occurs in >1 distinct doc" is exactly mn != mx after any merge,
+    so the standing index never needs history's position rows, let
+    alone its text.  Each arriving batch (day 1: 400-699, day 2:
+    700+) shingles ONLY its own docs, stages its own positions, and
+    APPENDS its (h, mn, mx) piece — history bytes are never
+    re-tokenized, the LSM append-only discipline with merge-on-read.
+    The returned report is the merge-time readout over the NEW docs:
+    merged min/max across all pieces gives the hot-shingle set, the
+    staged new-doc positions join it (position-row x one-freq-row, no
+    pair emission), and spans chain per doc exactly as the one-shot
+    form.  The oracle recomputes everything from scratch over the
+    union corpus restricted to the new docs, so a green row certifies
+    incremental-maintenance == full-rebuild — the ``ann_index_upsert``
+    certificate, which holds because min/max doc_id are
+    order-insensitive mergeable statistics.
+
+    Scale: each batch pass is linear in ITS OWN token count (the
+    shingle explode + one partial-agg groupBy on the 16-byte hash);
+    the index grows with distinct-shingle count, not corpus bytes;
+    the merge-on-read is one map-side-combinable groupBy over the
+    pieces.  At 100 TB/day this is the only shape that works — the
+    one-shot form's cost grows with TOTAL corpus size every run,
+    this one's with the day's arrivals."""
+    docs = load_table(spark, sf_dir, "documents")
+    # The planted-quote corpus is the shared test fixture — built over
+    # the union (the oracle does the same), then split into arrival
+    # batches.  The operator itself never re-reads history after day 0.
+    corpus = _substr_corpus(docs)
+    root = _staging_root("dss-substr-incr", sf_dir, 1)
+    batches = [
+        ("0", F.col("doc_id") < 400),
+        ("1", (F.col("doc_id") >= 400) & (F.col("doc_id") < 700)),
+        ("2", F.col("doc_id") >= 700),
+    ]
+    for day, pred in batches:
+        t_b, pos_b = _substr_positions_from_corpus(corpus.filter(pred))
+        if day != "0":
+            # A batch's own rows are the day's arrivals — staged once
+            # at ingest so the readout never re-shingles them either.
+            pos_b.write.mode("overwrite").parquet(f"{root}/pos/day={day}")
+            t_b.select("doc_id", "n").write.mode("overwrite").parquet(
+                f"{root}/meta/day={day}"
+            )
+            pos_b = spark.read.schema(
+                "doc_id BIGINT, j BIGINT, h BINARY"
+            ).parquet(f"{root}/pos/day={day}")
+        pos_b.groupBy("h").agg(
+            F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+        ).write.mode("overwrite").parquet(f"{root}/freq/day={day}")
+    hot = (
+        spark.read.schema("h BINARY, mn BIGINT, mx BIGINT")
+        .parquet(f"{root}/freq")
+        .groupBy("h")
+        .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("h")
+    )
+    new_pos = spark.read.schema(
+        "doc_id BIGINT, j BIGINT, h BINARY"
+    ).parquet(f"{root}/pos")
+    new_meta = spark.read.schema("doc_id BIGINT, n BIGINT").parquet(
+        f"{root}/meta"
+    )
+    dup = new_pos.join(hot, "h").select("doc_id", "j")
+    return _substr_span_report(new_meta, dup)
+
+
+@register(
     "dataset_group_kfold",
     oracle=f"""
 WITH RECURSIVE

@@ -1329,6 +1329,29 @@ def test_sliced_forms_equal_one_shot_awkward_k(spark, k, monkeypatch):
         assert b.exceptAll(a).count() == 0, (one_shot, sliced, k)
 
 
+def test_substring_incr_equals_one_shot_restricted(spark):
+    """The standing-index substring form (r11 verdict item #6) must
+    equal the from-scratch chain report restricted to the new docs
+    (doc_id >= 400) — incremental-maintenance == full-rebuild, the
+    ann_index_upsert certificate — and its staged batch positions
+    must contain NO history rows (history is never re-shingled; only
+    its day-0 (h, mn, mx) frequency piece persists)."""
+    from distributed_system_spark.queries import load_all
+
+    reg = load_all()
+    sf = "/root/testdata/sf0.001"
+    a = reg["dedup_substring_chains"].fn(spark, sf).filter("doc_id >= 400")
+    b = reg["dedup_substring_chains_incr"].fn(spark, sf)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    import glob as _glob
+
+    pos_roots = _glob.glob("/tmp/dss-substr-incr-*/pos")
+    assert pos_roots, "batch positions should be staged"
+    staged = spark.read.parquet(pos_roots[-1])
+    assert staged.filter("doc_id < 400").count() == 0
+
+
 @pytest.mark.parametrize("bad", ["0", "-2", "257", "abc"])
 def test_slice_count_rejects_out_of_contract_k(bad, monkeypatch):
     """K outside [1, 256] (or non-integer) must raise, not silently

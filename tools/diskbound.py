@@ -1,0 +1,156 @@
+"""Measure one registry query's wall-clock AND peak scratch disk.
+
+The scale decades beyond sf10 are disk-bound before they are
+CPU-bound on one node (SCALE.md rounds 10-11: the one-shot
+dedup_substring_chains ran OUT OF DISK at sf1000d; its sliced twin
+completed at 50.3 GB peak).  bench.py and tools/decade.py measure
+wall only; this harness is the committed form of the round-11
+watermark methodology:
+
+- the query runs in a SEPARATE process (fresh JVM — no shuffle files
+  or broadcast state inherited from a warm session) with
+  ``SPARK_GRAFT_DRIVER_MEM`` (default 16g) and an ISOLATED
+  ``SPARK_LOCAL_DIRS`` scratch root, so every blockmgr/spill byte it
+  writes is attributable to it;
+- the parent samples ``du`` over that scratch root PLUS the query's
+  own /tmp staging roots (the *_sliced forms stage per-slice parquet
+  under ``/tmp/dss-*-p<pid>``) every ``--sample`` seconds — the peak
+  of that sum is the single-node disk requirement the SCALE.md
+  tables report;
+- the parent watches filesystem free space and kills the child
+  before the disk fills (``--min-free-gb``, default 6), reporting
+  ABORTED instead of wedging the machine — the round-11 sf1000d
+  capped attempt was killed by hand at 19 GB free; this automates
+  that valve.
+
+Usage:
+  python tools/diskbound.py dedup_substring_chains_sliced \
+      /tmp/dss-scale/sf1000d --mem 16g --sample 5
+  SPARK_GRAFT_LSH_SLICES=8 python tools/diskbound.py \
+      dedup_incremental_capped_sliced /tmp/dss-scale/sf1000d
+
+Prints a timeline line per sample and ONE final JSON line:
+  {"query": ..., "sf_dir": ..., "wall_sec": ..., "peak_scratch_gb":
+   ..., "rows": ..., "status": "completed"|"aborted"|"failed"}
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _du_bytes(paths: list[str]) -> int:
+    total = 0
+    for p in paths:
+        for root, _dirs, files in os.walk(p, onerror=lambda e: None):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    return total
+
+
+def _child(name: str, sf_dir: str) -> int:
+    sys.path.insert(0, REPO)
+    from distributed_system_spark.queries import load_all
+    from distributed_system_spark.session import get_spark
+
+    q = load_all()[name]
+    spark = get_spark(f"diskbound-{name}")
+    t0 = time.time()
+    df = q.fn(spark, sf_dir)
+    n = df.count()
+    wall = time.time() - t0
+    print(json.dumps({"child_wall_sec": round(wall, 1), "rows": n}))
+    return 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("query")
+    ap.add_argument("sf_dir")
+    ap.add_argument("--mem", default="16g")
+    ap.add_argument("--sample", type=float, default=5.0)
+    ap.add_argument("--min-free-gb", type=float, default=6.0)
+    ap.add_argument("--child", action="store_true", help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
+    if args.child:
+        return _child(args.query, args.sf_dir)
+
+    scratch = f"/tmp/dss-diskbound-{os.getpid()}"
+    os.makedirs(scratch, exist_ok=True)
+    env = dict(os.environ)
+    env["SPARK_GRAFT_DRIVER_MEM"] = args.mem
+    env["SPARK_LOCAL_DIRS"] = scratch
+    child = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), args.query,
+         args.sf_dir, "--child"],
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+        cwd=REPO,
+    )
+    peak = 0
+    status = "completed"
+    t0 = time.time()
+    # The *_sliced forms stage under /tmp/dss-*-p<child pid>; their
+    # staging is scratch the same as Spark's spill and counts toward
+    # the single-node disk requirement.
+    staging_glob = f"/tmp/dss-*-p{child.pid}"
+    while child.poll() is None:
+        paths = [scratch] + glob.glob(staging_glob)
+        used = _du_bytes(paths)
+        peak = max(peak, used)
+        free = shutil.disk_usage("/tmp").free
+        print(
+            f"t={time.time() - t0:7.0f}s scratch={used / 2**30:7.2f}GB "
+            f"peak={peak / 2**30:7.2f}GB free={free / 2**30:6.1f}GB",
+            flush=True,
+        )
+        if free < args.min_free_gb * 2**30:
+            status = "aborted"
+            child.kill()
+            break
+        time.sleep(args.sample)
+    out = child.communicate()[0] or ""
+    wall = time.time() - t0
+    rows = None
+    for line in out.splitlines():
+        if line.startswith('{"child_wall_sec"'):
+            d = json.loads(line)
+            wall, rows = d["child_wall_sec"], d["rows"]
+    if child.returncode not in (0, None) and status != "aborted":
+        status = "failed"
+        print(out[-4000:])
+    shutil.rmtree(scratch, ignore_errors=True)
+    for p in glob.glob(staging_glob):
+        shutil.rmtree(p, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "query": args.query,
+                "sf_dir": args.sf_dir,
+                "wall_sec": round(wall, 1),
+                "peak_scratch_gb": round(peak / 2**30, 2),
+                "rows": rows,
+                "status": status,
+            }
+        )
+    )
+    return 0 if status == "completed" else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
