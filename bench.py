@@ -175,6 +175,11 @@ HEADLINE = [
                           # demo, r10 verdict #4)
     "mm_interleaved_pack",  # interleaved image+text VLM packing
                           # (per-shard window, zero global sorts)
+    # -- round-12 additions --
+    "dedup_substring_chains_incr",  # standing-index substring dedup:
+                          # batches shingle only their own docs and
+                          # append mergeable (h, min/max doc_id)
+                          # freq pieces; merge-on-read probe
 ]
 # NOT here: the round-11 *_sliced forms (dedup_substring_chains_sliced,
 # dedup_incremental_capped_sliced).  They are disk-bounded EXECUTION

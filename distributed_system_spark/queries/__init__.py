@@ -506,6 +506,10 @@ _EXTERNALLY_VERIFIED = _EXTERNALLY_VERIFIED | _R11_VERIFIED
 #     FileSystem.
 _CHANGED_SINCE_VERIFIED_R12 = frozenset(
     {
+        # round-12 in-round change: _distinct_8grams factored out of
+        # contamination_check so contamination_incr shares it
+        # (expression identical; re-verify externally anyway).
+        "contamination_check",
         "dedup_incremental_capped",
         "dedup_incremental_capped_sliced",
         "dedup_substring_chains_sliced",

@@ -512,9 +512,7 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "contamination_check",
-    oracle="""
+_CONTAMINATION_ORACLE = """
 WITH assign AS (
   SELECT doc_id, text,
          CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
@@ -538,7 +536,31 @@ JOIN (SELECT * FROM grams WHERE split = 'train') tr ON te.h = tr.h
 JOIN common ON te.h = common.h
 GROUP BY te.doc_id, tr.doc_id
 HAVING count(*) >= 3
-""",
+"""
+
+
+def _distinct_8grams() -> "F.Column":
+    """Per-doc DISTINCT word-8-gram md5 array over a ``toks`` column.
+
+    Docs shorter than 8 tokens have no 8-grams: guard explicitly —
+    sequence(1, size-7) would DESCEND for size<=7 (step -1 when
+    start > stop) and slice(toks, 0, 8) throws."""
+    return F.when(
+        F.size("toks") >= 8,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 7),
+                lambda i: F.md5(
+                    F.array_join(F.slice("toks", i, 8), " ").cast("binary")
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+@register(
+    "contamination_check",
+    oracle=_CONTAMINATION_ORACLE,
     tags=("llm", "contamination"),
 )
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -551,27 +573,13 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     b = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
     split = F.when(b < "cd", "train").when(b < "e6", "val").otherwise("test")
-    # Docs shorter than 8 tokens have no 8-grams: guard explicitly —
-    # sequence(1, size-7) would DESCEND for size<=7 (step -1 when
-    # start > stop) and slice(toks, 0, 8) throws.
-    grams8 = F.when(
-        F.size("toks") >= 8,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - 7),
-                lambda i: F.md5(
-                    F.array_join(F.slice("toks", i, 8), " ").cast("binary")
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     grams = (
         docs.select(
             "doc_id", split.alias("split"),
             F.split("text", " ", -1).alias("toks"),
         )
         .filter(F.col("split") != "val")
-        .select("doc_id", "split", F.explode(grams8).alias("h"))
+        .select("doc_id", "split", F.explode(_distinct_8grams()).alias("h"))
     )
     train = grams.filter(F.col("split") == "train").select(
         F.col("doc_id").alias("train_doc"), "h"
@@ -588,6 +596,94 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         test.join(common, "h")
         .join(train, "h")
+        .groupBy("test_doc", "train_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+
+
+@register(
+    "contamination_incr",
+    oracle=_CONTAMINATION_ORACLE,
+    tags=("llm", "contamination", "incremental"),
+)
+def contamination_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STANDING EVAL-SET decontamination: ``contamination_check`` as
+    never-reprocess-the-eval-set index maintenance, the incremental
+    rung the contamination family was missing (text MinHash, image
+    aHash, embeddings, and substring chains all have one; reference
+    analog: per-append event callbacks, mock_sdfs_master.cpp:35-67).
+
+    Day 0 shingles the FROZEN test split ONCE and persists its
+    distinct-8-gram postings (h, test_doc) — the eval set's text is
+    never re-read after this.  Each arriving train batch (day 1:
+    doc_id < 250, day 2: the rest) shingles only its own docs, stages
+    the grams once, and appends two pieces derived from that staging:
+    a mergeable (h, n) train-frequency piece, and its probe HITS
+    (test_doc, train_doc, h) against the persisted eval index.  The
+    readout applies the >100-train-doc boilerplate suppression at
+    MERGE time — counts are mergeable, so suppression over the summed
+    pieces equals the one-shot rule — then counts shared grams per
+    (test, train) pair.  The oracle is ``contamination_check``'s,
+    shared VERBATIM: batch boundaries cannot change the answer
+    because every train doc's grams land in exactly one batch and
+    both the frequency sum and the hit union are order-insensitive.
+
+    Scale: each batch pass is linear in the day's arrivals; the eval
+    index is eval-set-sized (fixed, small — eval sets don't grow with
+    the crawl); hits are output mass; the merge-on-read is one
+    partial-agg groupBy.  The one-shot form re-shingles the whole
+    train corpus every run — at 100 TB/day this form's cost is the
+    day's data, full stop."""
+    from distributed_system_spark.queries.dedup_q import _staging_root
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+    split = F.when(b < "cd", "train").when(b < "e6", "val").otherwise("test")
+    base = docs.select(
+        "doc_id", split.alias("split"), F.split("text", " ", -1).alias("toks")
+    )
+    root = _staging_root("dss-contam-incr", sf_dir, 1)
+    base.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc"),
+        F.explode(_distinct_8grams()).alias("h"),
+    ).write.mode("overwrite").parquet(f"{root}/eval_index")
+    eval_index = spark.read.schema("test_doc BIGINT, h STRING").parquet(
+        f"{root}/eval_index"
+    )
+    train = base.filter(F.col("split") == "train")
+    for day, pred in (
+        ("1", F.col("doc_id") < 250),
+        ("2", F.col("doc_id") >= 250),
+    ):
+        # One shingle pass per batch: grams staged, both derived
+        # pieces (frequency + probe hits) read the staging.
+        train.filter(pred).select(
+            F.col("doc_id").alias("train_doc"),
+            F.explode(_distinct_8grams()).alias("h"),
+        ).write.mode("overwrite").parquet(f"{root}/grams/day={day}")
+        g = spark.read.schema("train_doc BIGINT, h STRING").parquet(
+            f"{root}/grams/day={day}"
+        )
+        g.groupBy("h").agg(F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/freq/day={day}")
+        g.join(eval_index, "h").select(
+            "test_doc", "train_doc", "h"
+        ).write.mode("overwrite").parquet(f"{root}/hits/day={day}")
+    common = (
+        spark.read.schema("h STRING, n BIGINT")
+        .parquet(f"{root}/freq")
+        .groupBy("h")
+        .agg(F.sum("n").alias("n_train"))
+        .filter(F.col("n_train") <= 100)
+        .select("h")
+    )
+    hits = spark.read.schema(
+        "test_doc BIGINT, train_doc BIGINT, h STRING"
+    ).parquet(f"{root}/hits")
+    return (
+        hits.join(common, "h")
         .groupBy("test_doc", "train_doc")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 3)

@@ -1352,6 +1352,44 @@ def test_substring_incr_equals_one_shot_restricted(spark):
     assert staged.filter("doc_id < 400").count() == 0
 
 
+def test_contamination_incr_equals_one_shot(spark):
+    """The standing eval-set decontamination index must equal the
+    one-shot contamination_check exactly (shared oracle, shared
+    answer): mergeable train-gram counts make merge-time suppression
+    == one-shot suppression, and each train doc's grams land in
+    exactly one batch piece.  Also pins the standing-index
+    discipline: the staged eval index contains only test-split docs,
+    and the staged train grams contain no test/val docs."""
+    from distributed_system_spark.queries import load_all
+
+    reg = load_all()
+    sf = "/root/testdata/sf0.001"
+    a = reg["contamination_check"].fn(spark, sf)
+    b = reg["contamination_incr"].fn(spark, sf)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    import glob as _glob
+
+    roots = sorted(_glob.glob("/tmp/dss-contam-incr-*"))
+    assert roots, "standing index should be staged"
+    root = roots[-1]
+    eval_docs = {
+        r["test_doc"]
+        for r in spark.read.parquet(f"{root}/eval_index")
+        .select("test_doc")
+        .distinct()
+        .collect()
+    }
+    train_docs = {
+        r["train_doc"]
+        for r in spark.read.parquet(f"{root}/grams")
+        .select("train_doc")
+        .distinct()
+        .collect()
+    }
+    assert eval_docs and train_docs and not (eval_docs & train_docs)
+
+
 @pytest.mark.parametrize("bad", ["0", "-2", "257", "abc"])
 def test_slice_count_rejects_out_of_contract_k(bad, monkeypatch):
     """K outside [1, 256] (or non-integer) must raise, not silently
