@@ -1167,3 +1167,20 @@ def test_domain_quota_stream_budget_binds_early(spark, sf_dir):
         for r in domain_quota_stream(spark, sf_dir, dcap, budget).collect()
     }
     assert got == expect
+
+
+def test_index_exists_probe_via_hadoop_fs(spark, tmp_path):
+    """_index_exists (r11 ADVICE fix) answers through Hadoop's
+    FileSystem API: absent dir -> False, metadata-only dir (_SUCCESS,
+    .crc) -> False, dir with one data file -> True — the
+    keep-first-rule gate every standing-index stream opens with."""
+    from distributed_system_spark.streaming.streams import _index_exists
+
+    d = tmp_path / "idx"
+    assert _index_exists(spark, str(d)) is False
+    d.mkdir()
+    (d / "_SUCCESS").write_text("")
+    (d / ".part-0.crc").write_text("x")
+    assert _index_exists(spark, str(d)) is False
+    (d / "part-0.parquet").write_bytes(b"PAR1")
+    assert _index_exists(spark, str(d)) is True
