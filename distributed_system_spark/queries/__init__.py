@@ -510,6 +510,10 @@ _CHANGED_SINCE_VERIFIED_R12 = frozenset(
         # contamination_check so contamination_incr shares it
         # (expression identical; re-verify externally anyway).
         "contamination_check",
+        # round-12 in-round change: the bucketed exact-rank machinery
+        # factored into _exact_global_ranks so the orders fact-table
+        # form shares it (plan identical; re-verify externally anyway).
+        "window_ntile_bucketed",
         "dedup_incremental_capped",
         "dedup_incremental_capped_sliced",
         "dedup_substring_chains_sliced",

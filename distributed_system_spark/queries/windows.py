@@ -247,14 +247,27 @@ def window_ntile_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition is |bucket| log |bucket|.  Skewed sort keys need only a
     finer/quantile-based bucketing function — the plan is unchanged."""
     cust = load_table(spark, sf_dir, "customer")
-    bucketed = cust.select(
-        "c_custkey",
-        "c_acctbal",
-        F.floor(F.col("c_acctbal") / 100).cast("int").alias("__bucket"),
+    return _exact_global_ranks(
+        cust,
+        id_col="c_custkey",
+        sort_col="c_acctbal",
+        bucket=F.floor(F.col("c_acctbal") / 100).cast("int"),
     )
-    lw = Window.partitionBy("__bucket").orderBy("c_acctbal", "c_custkey")
+
+
+def _exact_global_ranks(
+    df: DataFrame, id_col: str, sort_col: str, bucket
+) -> DataFrame:
+    """The bucketed exact-global-rank machinery behind
+    ``window_ntile_bucketed`` (steps 1-5 of its docstring), over any
+    (id, sort) pair and order-preserving coarse bucket expression —
+    one hash exchange on the bucket id, a prefix-sum aggregate the
+    size of the bucket count, a broadcast join-back, and closed-form
+    ntile/percent_rank/cume_dist in (rank, n)."""
+    bucketed = df.select(id_col, sort_col, bucket.alias("__bucket"))
+    lw = Window.partitionBy("__bucket").orderBy(sort_col, id_col)
     local = bucketed.select(
-        "c_custkey", "__bucket", F.row_number().over(lw).alias("__lr")
+        id_col, "__bucket", F.row_number().over(lw).alias("__lr")
     )
     counts = bucketed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__c"))
     offsets = counts.select(
@@ -276,12 +289,48 @@ def window_ntile_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = local.join(F.broadcast(offsets), "__bucket")
     return joined.select(
-        "c_custkey",
+        id_col,
         decile.alias("decile"),
         F.round(
             F.when(n > 1, (r - 1).cast("double") / (n - 1)).otherwise(0.0), 6
         ).alias("pr"),
         F.round(r.cast("double") / n, 6).alias("cd"),
+    )
+
+
+@register(
+    "window_ntile_bucketed_orders",
+    oracle="""
+SELECT o_orderkey,
+       ntile(10)       OVER w AS decile,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist()    OVER w, 6) AS cd
+FROM orders
+WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+""",
+    tags=("C5",),
+)
+def window_ntile_bucketed_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``window_ntile_bucketed``'s machinery on a FACT table: exact
+    global order-value deciles / percent_rank / cume_dist over
+    ``orders`` with no corpus-sized single-partition window.  Exists
+    because ``customer`` is a fixed DIMENSION in the manufactured
+    scale decades (tools/scaleup.py pins dimensions, as 100 TB
+    reality does), so only a fact-table form can decade-measure the
+    claim that the corpus crosses one hash exchange while the
+    SinglePartition window touches only the ~120-row bucket
+    aggregate.  Bucketing: floor(o_totalprice / 5000) — TPC-H total
+    prices span ~[800, 600k], so ~120 buckets at every decade (the
+    manufactured replicas shift keys, not the price domain), and
+    per-bucket work grows linearly with the decade."""
+    orders = load_table(spark, sf_dir, "orders")
+    return _exact_global_ranks(
+        orders,
+        id_col="o_orderkey",
+        sort_col="o_totalprice",
+        bucket=F.floor(F.col("o_totalprice") / 5000).cast("int"),
     )
 
 

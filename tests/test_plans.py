@@ -1376,13 +1376,19 @@ def test_minhash_bands_no_exchange_before_join(spark, sf_dir):
     assert "seed#" not in plan, plan
 
 
-def test_ntile_bucketed_no_corpus_single_partition_window(spark, sf_dir):
-    """window_ntile_bucketed: the per-row rank window must be
-    PARTITIONED on the bucket id (hash exchange, per-slice sort) and
-    the only SinglePartition exchange in the plan must sit above the
-    ~110-row per-bucket-count HashAggregate — never the customer
-    stream.  The offsets join back must broadcast."""
-    plan = plan_of(spark, sf_dir, "window_ntile_bucketed")
+@pytest.mark.parametrize(
+    "name", ["window_ntile_bucketed", "window_ntile_bucketed_orders"]
+)
+def test_ntile_bucketed_no_corpus_single_partition_window(
+    spark, sf_dir, name
+):
+    """window_ntile_bucketed (+ the orders fact-table form): the
+    per-row rank window must be PARTITIONED on the bucket id (hash
+    exchange, per-slice sort) and the only SinglePartition exchange in
+    the plan must sit above the ~110-row per-bucket-count
+    HashAggregate — never the base-table stream.  The offsets join
+    back must broadcast."""
+    plan = plan_of(spark, sf_dir, name)
     import re
 
     # row-level window partitioned by the bucket id
