@@ -43,7 +43,10 @@ HEADLINE = [
     "q5_local_supplier_volume",  # 6-table join (TPC-H Q5 shape)
     "q10_returned_items", # selective join + agg + top-k (TPC-H Q10 shape)
     "q6_revenue_forecast",  # pure scan+filter+agg (TPC-H Q6 shape, IO-bound)
-    "q9_product_profit",  # 5-table join, profit rollup (TPC-H Q9 shape)
+    "q9_product_profit",  # 5-table join, profit rollup (TPC-H Q9
+                          # shape).  r12 adjudication (2026-08-16) of
+                          # the r11 1.40x flag: warm best-of-3 0.812 s
+                          # — noise, untouched code
     "q18_large_volume",   # HAVING over grouped fact + join-back (TPC-H Q18)
     "q21_waiting_supplier",  # correlated EXISTS/NOT-EXISTS (TPC-H Q21)
     "join_broadcast",     # 3-way broadcast dim join
@@ -101,9 +104,14 @@ HEADLINE = [
     "lsh_neardup_prod",   # pinned-knob production near-dup contract
                           # (planted-twin corpus, exact-recall oracle)
     "lsh_neardup_adaptive",  # the production entry: corpus-count-
-                          # derived band width (ceil(log2 n)+6)
+                          # derived band width (ceil(log2 n)+6).
+                          # r12 adjudication (2026-08-16) of the r11
+                          # 1.45x flag: warm best-of-3 2.923 s — noise
     "ann_index_upsert",   # incremental ANN postings maintenance
-                          # (delta-only assignment == full rebuild)
+                          # (delta-only assignment == full rebuild).
+                          # r12 adjudication (2026-08-16) of the r11
+                          # +26% drift (3.21->4.04 s, untouched code):
+                          # warm best-of-3 2.378 s — noise
     "prep_pipeline",      # training-data prep flagship: filter ->
                           # split -> decontaminate -> pack -> report
                           # in ONE plan
