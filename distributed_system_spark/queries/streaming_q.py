@@ -430,6 +430,83 @@ def stream_phash_sig_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_signature_index_stream(spark, sf_dir)
 
 
+@register(
+    "stream_substr_freq_index",
+    oracle="""
+WITH meta AS (
+  SELECT CAST(ceil(count(*) / 3.0) AS BIGINT) AS step FROM documents
+),
+t AS (
+  SELECT doc_id, str_split(text, ' ') AS toks,
+         len(str_split(text, ' ')) AS n,
+         doc_id // step AS b
+  FROM documents, meta
+),
+pos AS (
+  SELECT doc_id, b, CAST(j AS BIGINT) AS j,
+         md5(array_to_string(toks[j:j+7], ' ')) AS h
+  FROM t CROSS JOIN (SELECT unnest(range(1, 1000)) AS j) s
+  WHERE j <= n - 7
+),
+dup AS (
+  SELECT p.doc_id, p.j FROM pos p
+  WHERE EXISTS (SELECT 1 FROM pos q
+                WHERE q.h = p.h AND q.doc_id <> p.doc_id
+                  AND q.b <= p.b)
+),
+chain AS (
+  SELECT doc_id, j,
+         CASE WHEN j - lag(j) OVER (PARTITION BY doc_id ORDER BY j) <= 8
+              THEN 0 ELSE 1 END AS new_span
+  FROM dup
+),
+spans AS (
+  SELECT doc_id, j,
+         sum(new_span) OVER (PARTITION BY doc_id ORDER BY j
+                             ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM chain
+),
+agg AS (
+  SELECT doc_id, span_id, max(j) - min(j) + 8 AS covered
+  FROM spans GROUP BY doc_id, span_id
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_dup_spans,
+         CAST(sum(covered) AS BIGINT) AS covered_tokens
+  FROM agg GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(coalesce(p.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+       CAST(t.n AS BIGINT) AS n_tokens,
+       CAST(round(CAST(CAST(coalesce(p.covered_tokens, 0) AS DOUBLE) / t.n
+                  AS DECIMAL(18,12)), 6) AS DOUBLE) AS coverage_rate
+FROM t LEFT JOIN per_doc p USING (doc_id)
+""",
+    tags=("C9", "streaming", "dedup", "substring", "incremental"),
+)
+def stream_substr_freq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-substring dedup with a persisted shingle
+    frequency index: id-ordered microbatches shingle only their own
+    docs, probe the standing mergeable (h, min/max doc_id) index via
+    a batch-restricted semi-join, chain duplicated positions into
+    spans AS-OF arrival, and append their frequency piece — history
+    texts never re-shingled, exactly-once pieces.  The oracle
+    recomputes the as-of rule from scratch (EXISTS over
+    batch(q) <= batch(p), batch = doc_id // ceil(n/3), the thirds the
+    stage dir arranges) — see streaming/streams.py::
+    substring_freq_index_stream for the scale analysis.  Reference
+    analog: §2.A A19 per-append event callbacks
+    (mock_sdfs_master.cpp:35-67), the fourth dedup modality with a
+    standing-index stream beside text LSH, image aHash, and the
+    ANN postings upsert."""
+    from distributed_system_spark.streaming.streams import (
+        substring_freq_index_stream,
+    )
+
+    return substring_freq_index_stream(spark, sf_dir)
+
+
 # Streaming drift monitor shares drift_psi's oracle verbatim: the
 # per-batch counters are mergeable, so the drained monitor equals the
 # batch PSI exactly.

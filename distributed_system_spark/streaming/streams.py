@@ -978,6 +978,190 @@ def phash_signature_index_stream(
     )
 
 
+def substring_freq_index_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming exact-substring dedup against a persisted shingle
+    FREQUENCY index — the streaming face of
+    ``dedup_substring_chains_incr``, completing the standing-index
+    story for the fourth dedup family (text MinHash
+    ``signature_index_stream``, image aHash
+    ``phash_signature_index_stream``, embeddings ``ann_index_upsert``;
+    reference analog: per-append event callbacks,
+    mock_sdfs_master.cpp:35-67).
+
+    Per id-ordered microbatch: shingle ONLY the batch's docs (stride-1
+    8-token windows, 16-byte md5), probe the standing (h, mn, mx) =
+    (hash, min doc_id, max doc_id) frequency index RESTRICTED to the
+    batch's own hashes (semi-join — the probe reads index bytes
+    proportional to the batch, not to history), merge with the batch's
+    own frequencies (min/max are mergeable), mark positions whose
+    shingle spans >1 distinct doc, chain them (gap<=8) into maximal
+    spans, and emit the batch's per-doc span report piece.  The
+    batch's (h, mn, mx) piece then APPENDS to the index — history
+    texts are never re-shingled, merge-on-read, the LSM discipline.
+
+    Semantics are AS-OF ARRIVAL (the keep-first-family rule): a
+    position in batch b is duplicated iff some OTHER doc in batches
+    <= b shares its shingle — exactly ``merged min != max`` because
+    the probing doc's own id is always in the merge.  The registered
+    oracle recomputes that from scratch with an EXISTS over
+    (batch(q) <= batch(p)), batch = doc_id // ceil(n/3) — the same
+    thirds ``_docs_idordered_stage_dir`` stages (ids are dense and the
+    slices are id-ordered).
+
+    Exactly-once: checkpoint + deterministic ``piece=<batch_id>``
+    overwrite paths (the pieces_sink discipline).
+
+    Scale: per-batch work is linear in the batch's tokens + one
+    partial-agg groupBy on the 16-byte hash; the index grows with
+    distinct-shingle count; no pair emission anywhere (position rows
+    join one frequency row each) — a hot boilerplate shingle costs
+    its posting count, never posting².
+    """
+    import os
+
+    src = f"{sf_dir.rstrip('/')}/documents.parquet"
+    root = f"/tmp/dss-substrfreq-{_src_tag(src)}"
+    out_dir = os.path.join(root, "out")
+    freq_dir = os.path.join(root, "index_freq")
+    ckpt = os.path.join(root, "ckpt")
+    freq_schema = "h BINARY, mn BIGINT, mx BIGINT"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        docs = batch_df.localCheckpoint(eager=True)
+        t = docs.select(
+            "doc_id",
+            F.split("text", " ", -1).alias("toks"),
+            F.size(F.split("text", " ", -1)).cast("long").alias("n"),
+        )
+        pos = t.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.col("n") >= 8,
+                    F.sequence(F.lit(1).cast("long"), F.col("n") - 7),
+                ).otherwise(F.array().cast("array<long>"))
+            ).alias("j"),
+            "toks",
+        ).select(
+            "doc_id",
+            "j",
+            F.unhex(
+                F.md5(
+                    F.array_join(
+                        F.slice("toks", F.col("j").cast("int"), 8), " "
+                    ).cast("binary")
+                )
+            ).alias("h"),
+        )
+        own_freq = pos.groupBy("h").agg(
+            F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+        )
+        if _index_exists(s, freq_dir):
+            idx = (
+                s.read.schema(freq_schema)
+                .parquet(freq_dir)
+                .select("h", "mn", "mx")  # drop the piece discovery col
+            )
+            merged = idx.join(
+                own_freq.select("h"), "h", "leftsemi"
+            ).unionByName(own_freq)
+        else:
+            merged = own_freq
+        hot = (
+            merged.groupBy("h")
+            .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
+            .filter(F.col("mn") != F.col("mx"))
+            .select("h")
+        )
+        dup = pos.join(hot, "h").select("doc_id", "j")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_id").orderBy("j")
+        chain = dup.withColumn(
+            "new_span",
+            F.when(F.col("j") - F.lag("j").over(w) <= 8, 0).otherwise(1),
+        )
+        spans = chain.withColumn(
+            "span_id",
+            F.sum("new_span").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        agg = spans.groupBy("doc_id", "span_id").agg(
+            (F.max("j") - F.min("j") + 8).alias("covered")
+        )
+        per_doc = agg.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_dup_spans"),
+            F.sum("covered").cast("long").alias("covered_tokens"),
+        )
+        report = (
+            t.select("doc_id", "n")
+            .join(per_doc, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_dup_spans", F.lit(0))
+                .cast("long")
+                .alias("n_dup_spans"),
+                F.coalesce("covered_tokens", F.lit(0))
+                .cast("long")
+                .alias("covered_tokens"),
+                F.col("n").alias("n_tokens"),
+                F.round(
+                    (
+                        F.coalesce("covered_tokens", F.lit(0)).cast(
+                            "double"
+                        )
+                        / F.col("n")
+                    ).cast("decimal(18,12)"),
+                    6,
+                )
+                .cast("double")
+                .alias("coverage_rate"),
+            )
+        )
+        report.write.mode("overwrite").parquet(
+            f"{out_dir}/piece={batch_id}"
+        )
+        own_freq.write.mode("overwrite").parquet(
+            f"{freq_dir}/piece={batch_id}"
+        )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        raw = (
+            spark.readStream.schema(DOCS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_docs_idordered_stage_dir(sf_dir))
+        )
+        q = (
+            raw.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.read.schema(
+            "doc_id BIGINT, n_dup_spans BIGINT, covered_tokens BIGINT, "
+            "n_tokens BIGINT, coverage_rate DOUBLE"
+        )
+        .parquet(out_dir)
+        .select(
+            "doc_id",
+            "n_dup_spans",
+            "covered_tokens",
+            "n_tokens",
+            "coverage_rate",
+        )
+    )
+
+
 def make_totals_processor():
     """Build the ``Totals`` StatefulProcessor class for
     :func:`user_totals_tws`.

@@ -1184,3 +1184,62 @@ def test_index_exists_probe_via_hadoop_fs(spark, tmp_path):
     assert _index_exists(spark, str(d)) is False
     (d / "part-0.parquet").write_bytes(b"PAR1")
     assert _index_exists(spark, str(d)) is True
+
+
+def test_substr_freq_index_stream_incremental_and_idempotent(
+    spark, sf_dir
+):
+    """Streaming substring dedup against the persisted shingle
+    frequency index: (1) a warm re-run against the same checkpoint
+    replays nothing (exactly-once), (2) the index holds one (h, mn,
+    mx) piece per microbatch whose min/max doc ids lie INSIDE that
+    batch's id slice — the written proof that each piece derives from
+    its own batch's shingles only (history never re-shingled), (3) a
+    mid-batch crash replay (commit file removed) overwrites the piece
+    and leaves the drained report unchanged."""
+    import math
+    import os
+
+    from distributed_system_spark.streaming.streams import (
+        _src_tag,
+        substring_freq_index_stream,
+    )
+
+    got1 = {
+        tuple(r) for r in substring_freq_index_stream(spark, sf_dir).collect()
+    }
+    assert got1
+    got2 = {
+        tuple(r) for r in substring_freq_index_stream(spark, sf_dir).collect()
+    }
+    assert got2 == got1
+    root = f"/tmp/dss-substrfreq-{_src_tag(f'{sf_dir}/documents.parquet')}"
+    pieces = sorted(
+        d
+        for d in os.listdir(os.path.join(root, "index_freq"))
+        if d.startswith("piece=")
+    )
+    assert len(pieces) == 3
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    step = math.ceil(n_docs / 3)
+    for k, piece in enumerate(pieces):
+        lo, hi = (
+            spark.read.schema("h BINARY, mn BIGINT, mx BIGINT")
+            .parquet(os.path.join(root, "index_freq", piece))
+            .agg(F.min("mn"), F.max("mx"))
+            .collect()[0]
+        )
+        assert k * step <= lo and hi < (k + 1) * step, (piece, lo, hi)
+    commits = sorted(
+        c
+        for c in os.listdir(os.path.join(root, "ckpt", "commits"))
+        if not c.startswith(".")
+    )
+    os.remove(os.path.join(root, "ckpt", "commits", commits[-1]))
+    crc = os.path.join(root, "ckpt", "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    got3 = {
+        tuple(r) for r in substring_freq_index_stream(spark, sf_dir).collect()
+    }
+    assert got3 == got1
