@@ -188,6 +188,12 @@ HEADLINE = [
                           # batches shingle only their own docs and
                           # append mergeable (h, min/max doc_id)
                           # freq pieces; merge-on-read probe
+    "contamination_incr", # standing eval-set decontamination: frozen
+                          # test-split gram index probed by train
+                          # batches; suppression merged at readout
+    "window_ntile_bucketed_orders",  # the exact-global-rank machinery
+                          # on a FACT table (customer is a pinned
+                          # dimension in the scale decades)
 ]
 # NOT here: the round-11 *_sliced forms (dedup_substring_chains_sliced,
 # dedup_incremental_capped_sliced).  They are disk-bounded EXECUTION
@@ -233,14 +239,26 @@ def main() -> int:
     # warmup: JVM + codegen + FS metadata
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # Warm best-of-N per query (default 2, BENCH_BEST_OF to change).
+    # r11->r12: single-shot timing let a broad ~9-25% machine/JVM band
+    # drift 52 of 55 queries with no code cause (r11 verdict item #2);
+    # the second pass costs ~2 min of bench wall and removes the band
+    # from round-over-round comparisons.  First round reported with
+    # best_of=2: r12 (the JSON carries "best_of" so histories compare
+    # like with like).
+    best_of = max(1, int(os.environ.get("BENCH_BEST_OF", "2")))
     times: dict[str, float] = {}
     for name in names:
-        times[name] = _time_query(spark, registry, name, sf_dir)
+        times[name] = min(
+            _time_query(spark, registry, name, sf_dir)
+            for _ in range(best_of)
+        )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total",
         "unit": "sec",
+        "best_of": best_of,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     prior = _latest_prior_times()
