@@ -635,6 +635,8 @@ def contamination_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg groupBy.  The one-shot form re-shingles the whole
     train corpus every run — at 100 TB/day this form's cost is the
     day's data, full stop."""
+    import os
+
     from distributed_system_spark.queries.dedup_q import _staging_root
 
     docs = load_table(spark, sf_dir, "documents")
@@ -652,9 +654,13 @@ def contamination_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{root}/eval_index"
     )
     train = base.filter(F.col("split") == "train")
+    # Batch boundary is env-tunable for the invariance test: the
+    # answer is boundary-independent BY CONSTRUCTION (counts merge,
+    # hits union) and tests/test_llm_ops.py pins it at {1, 100, 499}.
+    cut = int(os.environ.get("SPARK_GRAFT_CONTAM_SPLIT", "250"))
     for day, pred in (
-        ("1", F.col("doc_id") < 250),
-        ("2", F.col("doc_id") >= 250),
+        ("1", F.col("doc_id") < cut),
+        ("2", F.col("doc_id") >= cut),
     ):
         # One shingle pass per batch: grams staged, both derived
         # pieces (frequency + probe hits) read the staging.

@@ -1390,6 +1390,25 @@ def test_contamination_incr_equals_one_shot(spark):
     assert eval_docs and train_docs and not (eval_docs & train_docs)
 
 
+@pytest.mark.parametrize("cut", ["1", "100", "499"])
+def test_contamination_incr_batch_boundary_invariance(
+    spark, cut, monkeypatch
+):
+    """The standing-index answer must be INDEPENDENT of where the
+    train arrivals are cut into batches (mergeable counts + unioned
+    hits): pinned at a degenerate first batch (cut=1), an uneven cut
+    (100), and a degenerate last batch (499)."""
+    from distributed_system_spark.queries import load_all
+
+    monkeypatch.setenv("SPARK_GRAFT_CONTAM_SPLIT", cut)
+    reg = load_all()
+    sf = "/root/testdata/sf0.001"
+    a = reg["contamination_check"].fn(spark, sf)
+    b = reg["contamination_incr"].fn(spark, sf)
+    assert a.exceptAll(b).count() == 0, cut
+    assert b.exceptAll(a).count() == 0, cut
+
+
 @pytest.mark.parametrize("bad", ["0", "-2", "257", "abc"])
 def test_slice_count_rejects_out_of_contract_k(bad, monkeypatch):
     """K outside [1, 256] (or non-integer) must raise, not silently
