@@ -2676,11 +2676,16 @@ def dedup_substring_chains_incr(
     one-shot form's cost grows with TOTAL corpus size every run,
     this one's with the day's arrivals."""
     docs = load_table(spark, sf_dir, "documents")
-    # The planted-quote corpus is the shared test fixture — built over
-    # the union (the oracle does the same), then split into arrival
-    # batches.  The operator itself never re-reads history after day 0.
-    corpus = _substr_corpus(docs)
     root = _staging_root("dss-substr-incr", sf_dir, 1)
+    # The planted-quote corpus is the shared test fixture — built over
+    # the union (the oracle does the same), STAGED ONCE (its self-join
+    # would otherwise re-run per batch — the sliced form's lesson),
+    # then split into arrival batches.  The operator itself never
+    # re-reads history after day 0.
+    _substr_corpus(docs).write.mode("overwrite").parquet(f"{root}/corpus")
+    corpus = spark.read.schema("doc_id BIGINT, text STRING").parquet(
+        f"{root}/corpus"
+    )
     batches = [
         ("0", F.col("doc_id") < 400),
         ("1", (F.col("doc_id") >= 400) & (F.col("doc_id") < 700)),
