@@ -261,7 +261,18 @@ def main() -> int:
         "best_of": best_of,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    prior = _latest_prior_times()
+    prior, prior_bo = _latest_prior_times()
+    # Deltas only compare like-with-like: a min-of-2 time vs a
+    # single-shot prior differs by the measured ~9-25% noise band
+    # with no code cause, so names whose prior round ran a different
+    # best_of are excluded (count surfaced so a methodology change
+    # is visible in the record, not silent).
+    skipped_bo = sorted(
+        n for n in times if n in prior and prior_bo.get(n, 1) != best_of
+    )
+    if skipped_bo:
+        out["delta_skipped_best_of_mismatch"] = len(skipped_bo)
+        prior = {n: t for n, t in prior.items() if n not in skipped_bo}
     if prior:
         # self-adjudicate: re-time any >1.5x query once, warm, same
         # process; report the best of the two (contention passes the
@@ -334,16 +345,25 @@ def _recover_times_from_tail(tail: str) -> dict[str, float]:
     }
 
 
-def _latest_prior_times() -> dict[str, float]:
+def _latest_prior_times() -> tuple[dict[str, float], dict[str, int]]:
     """Per-query seconds from the newest BENCH_r{N}.json the driver
-    recorded, for round-over-round regression tracking.  A newer
+    recorded, for round-over-round regression tracking, PLUS the
+    best_of each query's prior time was measured under.  A newer
     round whose JSON line was truncated by the driver's capture
     window contributes what its tail can recover, backfilled from
-    the newest fully-parsed round."""
+    the newest fully-parsed round.
+
+    The best_of map exists because min-of-N times are systematically
+    below single-shot times by the whole JVM/harness noise band
+    (r11→r12 measured that band at ~9-25%): comparing a best_of=2
+    time against a best_of=1 prior emits spurious deltas in BOTH
+    directions, so the caller skips any pair measured under different
+    best_of (r12 ADVICE).  Rounds before the field existed (≤r11) are
+    single-shot, hence the default of 1."""
     import glob
     import re
 
-    rounds: list[tuple[int, dict[str, float]]] = []
+    rounds: list[tuple[int, dict[str, float], int]] = []
     here = os.path.dirname(os.path.abspath(__file__))
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
@@ -352,17 +372,24 @@ def _latest_prior_times() -> dict[str, float]:
         try:
             with open(path) as fh:
                 rec = json.load(fh)
-            queries = (rec.get("parsed") or {}).get("queries") or {}
+            parsed = rec.get("parsed") or {}
+            queries = parsed.get("queries") or {}
+            bo = parsed.get("best_of")
             if not queries:
-                queries = _recover_times_from_tail(rec.get("tail") or "")
+                tail = rec.get("tail") or ""
+                queries = _recover_times_from_tail(tail)
+                bom = re.search(r'"best_of":\s*(\d+)', tail)
+                bo = int(bom.group(1)) if bom else bo
         except (OSError, json.JSONDecodeError):
             continue
         if queries:
-            rounds.append((int(m.group(1)), queries))
+            rounds.append((int(m.group(1)), queries, int(bo or 1)))
     prior: dict[str, float] = {}
-    for _, queries in sorted(rounds):  # newest wins per query name
+    prior_bo: dict[str, int] = {}
+    for _, queries, bo in sorted(rounds):  # newest wins per query name
         prior.update(queries)
-    return prior
+        prior_bo.update({n: bo for n in queries})
+    return prior, prior_bo
 
 
 if __name__ == "__main__":

@@ -2320,9 +2320,14 @@ t AS (
          len(str_split(text, ' ')) AS n FROM corpus
 ),
 pos AS (
+  -- position range derived from the corpus' own max token count so
+  -- a longer-than-expected doc can never silently diverge from the
+  -- uncapped Spark side (r12 ADVICE; the fixed range(1, 1000) form
+  -- capped shingle positions at j <= 999)
   SELECT doc_id, n, CAST(j AS BIGINT) AS j,
          md5(array_to_string(toks[j:j+7], ' ')) AS h
-  FROM t CROSS JOIN (SELECT unnest(range(1, 1000)) AS j) s
+  FROM t CROSS JOIN (SELECT unnest(range(1,
+           (SELECT coalesce(max(n), 7) - 6 FROM t))) AS j) s
   WHERE j <= n - 7
 ),
 freq AS (
@@ -2552,9 +2557,9 @@ def dedup_substring_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-freq-row — NO pair emission anywhere, so hot boilerplate
     shingles cost their posting count, never posting².  The span
     chain is a per-doc window (bounded by document length, the
-    bounded-cardinality argument).  The oracle's range(1,1000) cap
-    covers every test-corpus doc (max ~200 tokens); the Spark side
-    is uncapped."""
+    bounded-cardinality argument).  The oracle derives its position
+    range from the corpus' max token count, so both sides are
+    effectively uncapped."""
     t, pos = _substr_positions(load_table(spark, sf_dir, "documents"))
     return _substr_span_report(t, _substr_dup_positions(pos))
 

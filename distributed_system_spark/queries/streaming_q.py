@@ -443,9 +443,14 @@ t AS (
   FROM documents, meta
 ),
 pos AS (
+  -- position range derived from the corpus' own max token count so
+  -- a longer-than-expected doc can never silently diverge from the
+  -- uncapped Spark side (r12 ADVICE; the fixed range(1, 1000) form
+  -- capped shingle positions at j <= 999)
   SELECT doc_id, b, CAST(j AS BIGINT) AS j,
          md5(array_to_string(toks[j:j+7], ' ')) AS h
-  FROM t CROSS JOIN (SELECT unnest(range(1, 1000)) AS j) s
+  FROM t CROSS JOIN (SELECT unnest(range(1,
+           (SELECT coalesce(max(n), 7) - 6 FROM t))) AS j) s
   WHERE j <= n - 7
 ),
 dup AS (

@@ -38,6 +38,22 @@ def _toks(spark, sf_dir):
     return doc_tokens(load_table(spark, sf_dir, "documents"))
 
 
+def _expected_staging_root(prefix: str, sf_dir: str, k: int) -> str:
+    """THIS process' staging root for a sliced/incremental dedup form,
+    rebuilt from dedup_q._staging_root's documented keying (sf_dir
+    md5 + K + pid) instead of globbing /tmp — a stale root left by a
+    SIGKILLed prior run (atexit never fires) must never be the one a
+    test inspects (r12 ADVICE)."""
+    import hashlib
+    import os
+
+    return (
+        f"/tmp/{prefix}-"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        + f"-k{k}-p{os.getpid()}"
+    )
+
+
 def test_lsh_pairs_subset_of_exact_with_high_recall(spark, sf_dir):
     toks = _toks(spark, sf_dir).cache()
     exact = {
@@ -1344,11 +1360,11 @@ def test_substring_incr_equals_one_shot_restricted(spark):
     b = reg["dedup_substring_chains_incr"].fn(spark, sf)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
-    import glob as _glob
-
-    pos_roots = _glob.glob("/tmp/dss-substr-incr-*/pos")
-    assert pos_roots, "batch positions should be staged"
-    staged = spark.read.parquet(pos_roots[-1])
+    # THIS run's staging root, built from _staging_root's own keying
+    # (sf md5 + K + pid) — a glob could pick up a stale root left by
+    # a SIGKILLed prior process, whose atexit never fired (r12 ADVICE)
+    root = _expected_staging_root("dss-substr-incr", sf, 1)
+    staged = spark.read.parquet(f"{root}/pos")
     assert staged.filter("doc_id < 400").count() == 0
 
 
@@ -1368,11 +1384,9 @@ def test_contamination_incr_equals_one_shot(spark):
     b = reg["contamination_incr"].fn(spark, sf)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
-    import glob as _glob
-
-    roots = sorted(_glob.glob("/tmp/dss-contam-incr-*"))
-    assert roots, "standing index should be staged"
-    root = roots[-1]
+    # deterministic root (not a glob) — see
+    # test_substring_incr_equals_one_shot_restricted
+    root = _expected_staging_root("dss-contam-incr", sf, 1)
     eval_docs = {
         r["test_doc"]
         for r in spark.read.parquet(f"{root}/eval_index")

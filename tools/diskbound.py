@@ -75,6 +75,18 @@ def _child(name: str, sf_dir: str) -> int:
     return 0
 
 
+def _kill_tree(child: "subprocess.Popen") -> None:
+    """SIGKILL the child's whole process group (it was started with
+    start_new_session=True, so the group is exactly its tree: the
+    Python driver AND the Spark JVM it launched)."""
+    import signal
+
+    try:
+        os.killpg(child.pid, signal.SIGKILL)
+    except (ProcessLookupError, PermissionError):
+        child.kill()
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("query")
@@ -93,6 +105,11 @@ def main() -> int:
     env = dict(os.environ)
     env["SPARK_GRAFT_DRIVER_MEM"] = args.mem
     env["SPARK_LOCAL_DIRS"] = scratch
+    # Own process GROUP so the abort valve can kill the whole tree:
+    # child.kill() alone leaves the Spark JVM grandchild alive and
+    # writing scratch into the nearly-full disk the valve exists to
+    # protect, and — because the JVM inherits the stdout pipe —
+    # communicate() would block until that orphan exits (r12 ADVICE).
     child = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), args.query,
          args.sf_dir, "--child"],
@@ -101,6 +118,7 @@ def main() -> int:
         stderr=subprocess.STDOUT,
         text=True,
         cwd=REPO,
+        start_new_session=True,
     )
     peak = 0
     status = "completed"
@@ -121,7 +139,7 @@ def main() -> int:
         )
         if free < args.min_free_gb * 2**30:
             status = "aborted"
-            child.kill()
+            _kill_tree(child)
             break
         time.sleep(args.sample)
     out = child.communicate()[0] or ""
