@@ -540,7 +540,15 @@ HAVING count(*) >= 3
 
 
 def _distinct_8grams() -> "F.Column":
-    """Per-doc DISTINCT word-8-gram md5 array over a ``toks`` column.
+    """Per-doc DISTINCT word-8-gram md5 array over a ``toks`` column,
+    as 16-byte BINARY keys — these grams are the contamination
+    family's corpus-scale shuffle payload (explode → groupBy →
+    cross-split join), and halving the key vs the 32-char hex string
+    halves every one of those shuffles plus the standing-index
+    staging bytes (the substring family's round-11 lesson: the same
+    switch cut its one-shot sf100d wall 363→241 s).  The key never
+    reaches an output column, so the oracles — which keep comparing
+    hex on the DuckDB side — are unchanged.
 
     Docs shorter than 8 tokens have no 8-grams: guard explicitly —
     sequence(1, size-7) would DESCEND for size<=7 (step -1 when
@@ -550,12 +558,16 @@ def _distinct_8grams() -> "F.Column":
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), F.size("toks") - 7),
-                lambda i: F.md5(
-                    F.array_join(F.slice("toks", i, 8), " ").cast("binary")
+                lambda i: F.unhex(
+                    F.md5(
+                        F.array_join(F.slice("toks", i, 8), " ").cast(
+                            "binary"
+                        )
+                    )
                 ),
             )
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<binary>"))
 
 
 @register(
@@ -650,7 +662,7 @@ def contamination_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("test_doc"),
         F.explode(_distinct_8grams()).alias("h"),
     ).write.mode("overwrite").parquet(f"{root}/eval_index")
-    eval_index = spark.read.schema("test_doc BIGINT, h STRING").parquet(
+    eval_index = spark.read.schema("test_doc BIGINT, h BINARY").parquet(
         f"{root}/eval_index"
     )
     train = base.filter(F.col("split") == "train")
@@ -668,7 +680,7 @@ def contamination_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("train_doc"),
             F.explode(_distinct_8grams()).alias("h"),
         ).write.mode("overwrite").parquet(f"{root}/grams/day={day}")
-        g = spark.read.schema("train_doc BIGINT, h STRING").parquet(
+        g = spark.read.schema("train_doc BIGINT, h BINARY").parquet(
             f"{root}/grams/day={day}"
         )
         g.groupBy("h").agg(F.count(F.lit(1)).alias("n")).write.mode(
@@ -678,7 +690,7 @@ def contamination_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "test_doc", "train_doc", "h"
         ).write.mode("overwrite").parquet(f"{root}/hits/day={day}")
     common = (
-        spark.read.schema("h STRING, n BIGINT")
+        spark.read.schema("h BINARY, n BIGINT")
         .parquet(f"{root}/freq")
         .groupBy("h")
         .agg(F.sum("n").alias("n_train"))
@@ -686,7 +698,7 @@ def contamination_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("h")
     )
     hits = spark.read.schema(
-        "test_doc BIGINT, train_doc BIGINT, h STRING"
+        "test_doc BIGINT, train_doc BIGINT, h BINARY"
     ).parquet(f"{root}/hits")
     return (
         hits.join(common, "h")
