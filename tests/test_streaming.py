@@ -7,6 +7,7 @@ from __future__ import annotations
 import time
 
 import pyspark.sql.functions as F
+import pytest
 
 from distributed_system_spark.sources.tables import load_table
 from distributed_system_spark.streaming import (
@@ -1213,7 +1214,10 @@ def test_substr_freq_index_stream_incremental_and_idempotent(
         tuple(r) for r in substring_freq_index_stream(spark, sf_dir).collect()
     }
     assert got2 == got1
-    root = f"/tmp/dss-substrfreq-{_src_tag(f'{sf_dir}/documents.parquet')}"
+    root = (
+        f"/tmp/dss-substrfreq-"
+        f"{_src_tag(f'{sf_dir}/documents.parquet', 'nb:3')}"
+    )
     pieces = sorted(
         d
         for d in os.listdir(os.path.join(root, "index_freq"))
@@ -1243,3 +1247,39 @@ def test_substr_freq_index_stream_incremental_and_idempotent(
         tuple(r) for r in substring_freq_index_stream(spark, sf_dir).collect()
     }
     assert got3 == got1
+
+
+@pytest.mark.parametrize("nb", [2, 5])
+def test_substr_freq_index_stream_batch_geometry(spark, sf_dir, nb):
+    """The streaming substring dedup's AS-OF rule must hold at every
+    arrival geometry, not just the registered 3-thirds staging: drive
+    the stream at n ∈ {2, 5} microbatches and compare against the
+    oracle re-derived for that geometry (batch = doc_id //
+    ceil(n_docs/nb)) — the contamination_incr cut-invariance pattern
+    applied to the KEEP-FIRST rule (r12 verdict item #6).  Unlike the
+    boundary-INVARIANT contamination merge, the as-of answer is
+    geometry-DEPENDENT by design (an early batch can only be
+    duplicated against earlier arrivals), so each geometry gets its
+    own recomputed expectation."""
+    import duckdb
+
+    from distributed_system_spark.queries.streaming_q import (
+        _substr_stream_oracle,
+    )
+    from distributed_system_spark.streaming.streams import (
+        substring_freq_index_stream,
+    )
+
+    got = {
+        tuple(r)
+        for r in substring_freq_index_stream(
+            spark, sf_dir, n_batches=nb
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = {tuple(r) for r in con.execute(_substr_stream_oracle(nb)).fetchall()}
+    assert got == want
