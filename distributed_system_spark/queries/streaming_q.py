@@ -531,6 +531,32 @@ def stream_substr_freq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # batch PSI exactly.
 from distributed_system_spark.queries import REGISTRY as _REG  # noqa: E402
 from distributed_system_spark.queries import drift_q as _drift_q  # noqa: E402,F401
+from distributed_system_spark.queries import text_q as _text_q  # noqa: E402,F401
+
+
+@register(
+    "stream_contam_index",
+    oracle=_REG["contamination_check"].oracle,
+    tags=("C9", "streaming", "contamination", "incremental"),
+)
+def stream_contam_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming eval-set decontamination with a persisted frozen
+    eval-gram index: the test split is shingled ONCE (day 0), then
+    id-ordered train microbatches shingle only their own docs, probe
+    the standing index, and append mergeable (h, n) frequency + hit
+    pieces exactly-once; the drained readout applies the
+    >100-train-doc suppression at merge.  Mergeable counts + unioned
+    hits make the answer batch-boundary INVARIANT, so the oracle is
+    ``contamination_check``'s, shared verbatim — the same certificate
+    ``contamination_incr`` carries, now through a real readStream
+    (see streaming/streams.py::contamination_index_stream for the
+    scale analysis; reference analog: §2.A A19 per-append event
+    callbacks, mock_sdfs_master.cpp:35-67)."""
+    from distributed_system_spark.streaming.streams import (
+        contamination_index_stream,
+    )
+
+    return contamination_index_stream(spark, sf_dir)
 
 
 @register(

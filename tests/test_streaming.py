@@ -1249,6 +1249,89 @@ def test_substr_freq_index_stream_incremental_and_idempotent(
     assert got3 == got1
 
 
+def test_contam_index_stream_incremental_and_idempotent(spark, sf_dir):
+    """Streaming decontamination against the frozen eval index:
+    (1) the drained result equals the one-shot contamination_check
+    (the shared-oracle certificate, asserted directly here too),
+    (2) a warm re-run against the same checkpoint replays nothing
+    (exactly-once) and does NOT rebuild the frozen eval index,
+    (3) each batch's freq piece derives only from its own id slice's
+    TRAIN docs (history never re-shingled), (4) a mid-batch crash
+    replay (commit file removed) overwrites the piece and leaves the
+    drained report unchanged."""
+    import math
+    import os
+
+    from distributed_system_spark.queries import load_all
+    from distributed_system_spark.streaming.streams import (
+        _src_tag,
+        contamination_index_stream,
+    )
+
+    got1 = {
+        tuple(r)
+        for r in contamination_index_stream(spark, sf_dir).collect()
+    }
+    want = {
+        tuple(r)
+        for r in load_all()["contamination_check"].fn(spark, sf_dir).collect()
+    }
+    assert got1 == want
+    root = (
+        f"/tmp/dss-contamstream-{_src_tag(f'{sf_dir}/documents.parquet')}"
+    )
+    eval_mtime = max(
+        os.path.getmtime(os.path.join(root, "eval_index", f))
+        for f in os.listdir(os.path.join(root, "eval_index"))
+        if not f.startswith((".", "_"))
+    )
+    got2 = {
+        tuple(r)
+        for r in contamination_index_stream(spark, sf_dir).collect()
+    }
+    assert got2 == got1
+    eval_mtime2 = max(
+        os.path.getmtime(os.path.join(root, "eval_index", f))
+        for f in os.listdir(os.path.join(root, "eval_index"))
+        if not f.startswith((".", "_"))
+    )
+    assert eval_mtime2 == eval_mtime, "frozen eval index was rebuilt"
+    # each hits piece probes only its own id slice's train docs
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    step = math.ceil(n_docs / 3)
+    pieces = sorted(
+        d
+        for d in os.listdir(os.path.join(root, "hits"))
+        if d.startswith("piece=")
+    )
+    assert len(pieces) == 3
+    for k, piece in enumerate(pieces):
+        stats = (
+            spark.read.schema(
+                "test_doc BIGINT, train_doc BIGINT, h BINARY"
+            )
+            .parquet(os.path.join(root, "hits", piece))
+            .agg(F.min("train_doc"), F.max("train_doc"), F.count("*"))
+            .collect()[0]
+        )
+        if stats[2]:  # a slice may have no hits
+            assert k * step <= stats[0] and stats[1] < (k + 1) * step
+    commits = sorted(
+        c
+        for c in os.listdir(os.path.join(root, "ckpt", "commits"))
+        if not c.startswith(".")
+    )
+    os.remove(os.path.join(root, "ckpt", "commits", commits[-1]))
+    crc = os.path.join(root, "ckpt", "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    got3 = {
+        tuple(r)
+        for r in contamination_index_stream(spark, sf_dir).collect()
+    }
+    assert got3 == got1
+
+
 @pytest.mark.parametrize("nb", [2, 5])
 def test_substr_freq_index_stream_batch_geometry(spark, sf_dir, nb):
     """The streaming substring dedup's AS-OF rule must hold at every
