@@ -120,25 +120,60 @@ def udf_python_row(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct",
-    oracle=None,  # HLL sketches are engine-specific; driver records rows-only
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS within_rel_err
+FROM lineitem GROUP BY l_returnflag
+""",
     tags=("C4", "approx"),
 )
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) next to the exact count;
-    at 100 TB the sketch avoids the count-distinct shuffle entirely.
-    No SQL oracle — two engines' HLL estimates legitimately differ;
-    the pytest suite asserts the estimate lands within the configured
-    relative error of the exact count."""
+    """approx_count_distinct (HyperLogLog++) checked against the exact
+    count; at 100 TB the sketch avoids the count-distinct shuffle
+    entirely.
+
+    Two engines' raw HLL estimates legitimately differ, so the
+    estimate itself can't be hash-compared — instead the output
+    carries the exact count (oracle-checkable) plus a boolean
+    ``within_rel_err`` computed from the Spark-side estimate (|approx
+    - exact| <= max(1, 10% of exact) — a loose multiple of the
+    configured rsd=0.02, so the bound never flakes on a legitimate
+    estimator tail).  The oracle asserts the boolean is TRUE on every
+    row, which turns the former rows-only record into a real hash
+    check certifying the accuracy CONTRACT rather than the
+    engine-specific estimate (r12 verdict item #5); the tight-rsd
+    assertion lives in tests/test_udf_approx.py."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= F.greatest(
+                F.lit(1.0), 0.10 * F.col("exact_parts").cast("double")
+            )
+        ).alias("within_rel_err"),
     )
 
 
 @register(
     "hll_mergeable_rollup",
-    oracle=None,  # Datasketches HLL binary sketches are engine-specific
+    oracle="""
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS within_rel_err
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'ALL' AS event_type,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS within_rel_err
+FROM events
+""",
     tags=("C4", "approx", "sketch"),
 )
 def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,24 +185,48 @@ def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the 100 TB pattern the plain approx_count_distinct can't
     do: persist per-partition/per-day sketch bytes, answer any
     rollup (day → month → all-time distinct) by unioning kilobytes.
-    No SQL oracle (sketch encodings are engine-specific); the pytest
-    suite asserts per-type and merged estimates land within 5% of
-    exact, and that merging per-type sketches equals sketching the
-    union."""
+
+    The sketch bytes/estimates are engine-specific, so — like
+    ``approx_distinct`` — the output carries the exact counts
+    (oracle-checkable; the 'ALL' row's exact global distinct comes
+    from a second 1-row aggregate, joined back by a broadcast of one
+    row) plus a boolean ``within_rel_err`` (|estimate - exact| <=
+    max(1, 5% of exact), the published lgK=14 accuracy with wide
+    margin).  The oracle asserts TRUE on every row INCLUDING the
+    merged one, so the hash check certifies both the per-type
+    accuracy contract and the sketch-union re-aggregation property
+    (r12 verdict item #5); the estimate-level assertions live in
+    tests/test_udf_approx.py."""
     ev = load_table(spark, sf_dir, "events")
+
+    def within(approx, exact):
+        return (
+            F.abs(approx - exact)
+            <= F.greatest(F.lit(1.0), 0.05 * exact.cast("double"))
+        ).alias("within_rel_err")
+
     per_type = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
         F.countDistinct("user_id").alias("exact_users"),
     )
-    merged = per_type.agg(
-        F.lit("ALL").alias("event_type"),
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
-        F.lit(None).cast("long").alias("exact_users"),
+    global_exact = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    merged = (
+        per_type.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                "approx_users"
+            )
+        )
+        .crossJoin(F.broadcast(global_exact))
+        .select(
+            F.lit("ALL").alias("event_type"),
+            "exact_users",
+            within(F.col("approx_users"), F.col("exact_users")),
+        )
     )
     return per_type.select(
         "event_type",
-        F.hll_sketch_estimate("sk").alias("approx_users"),
         "exact_users",
+        within(F.hll_sketch_estimate("sk"), F.col("exact_users")),
     ).unionByName(merged)
 
 
