@@ -86,6 +86,49 @@ def _staging_root(prefix: str, sf_dir: str, n_slices: int) -> str:
         atexit.register(shutil.rmtree, root, ignore_errors=True)
     return root
 
+def _phase(name: str):
+    """Context manager stamping a named phase's [t0, t1] wall-clock
+    window as a JSON line into ``$SPARK_GRAFT_PHASE_LOG`` (no-op when
+    the env is unset, the normal case).  Exists so
+    tools/diskbound.py can correlate the incremental forms' EAGER
+    phases (day-0 index build vs each arriving batch) with its
+    scratch-sampling timeline and report marginal per-batch cost
+    separately from the one-time build — the standing-index forms'
+    product claim is "cost = the day's arrivals, not the corpus",
+    and that claim needs the split measured, not inferred (r12
+    verdict item #1).  The lazy merge-on-read readout isn't a phase:
+    it executes at the caller's action, so the harness reports it as
+    the post-last-phase remainder."""
+    import contextlib
+    import json
+    import os
+    import time
+
+    @contextlib.contextmanager
+    def _cm():
+        path = os.environ.get("SPARK_GRAFT_PHASE_LOG")
+        if not path:
+            yield
+            return
+        t0 = time.time()
+        try:
+            yield
+        finally:
+            with open(path, "a") as fh:
+                fh.write(
+                    json.dumps(
+                        {
+                            "phase": name,
+                            "t0": round(t0, 3),
+                            "t1": round(time.time(), 3),
+                        }
+                    )
+                    + "\n"
+                )
+
+    return _cm()
+
+
 _TOKS_SQL = """
 toks AS (
   SELECT doc_id AS id, unnest(list_distinct(str_split(text, ' '))) AS tok
@@ -2680,6 +2723,8 @@ def dedup_substring_chains_incr(
     pieces.  At 100 TB/day this is the only shape that works — the
     one-shot form's cost grows with TOTAL corpus size every run,
     this one's with the day's arrivals."""
+    import os
+
     docs = load_table(spark, sf_dir, "documents")
     root = _staging_root("dss-substr-incr", sf_dir, 1)
     # The planted-quote corpus is the shared test fixture — built over
@@ -2687,30 +2732,47 @@ def dedup_substring_chains_incr(
     # would otherwise re-run per batch — the sliced form's lesson),
     # then split into arrival batches.  The operator itself never
     # re-reads history after day 0.
-    _substr_corpus(docs).write.mode("overwrite").parquet(f"{root}/corpus")
+    with _phase("corpus_stage"):
+        _substr_corpus(docs).write.mode("overwrite").parquet(
+            f"{root}/corpus"
+        )
     corpus = spark.read.schema("doc_id BIGINT, text STRING").parquet(
         f"{root}/corpus"
     )
+    # Batch cuts are env-tunable for the DECADE measurement only (the
+    # marginal-cost harness makes day 0 ~the corpus and the batches a
+    # day's arrivals); the registered oracle assumes the defaults —
+    # its report is restricted to doc_id >= the first cut.
+    c1, c2 = (
+        int(x)
+        for x in os.environ.get(
+            "SPARK_GRAFT_SUBSTR_INCR_CUTS", "400,700"
+        ).split(",")
+    )
     batches = [
-        ("0", F.col("doc_id") < 400),
-        ("1", (F.col("doc_id") >= 400) & (F.col("doc_id") < 700)),
-        ("2", F.col("doc_id") >= 700),
+        ("0", F.col("doc_id") < c1),
+        ("1", (F.col("doc_id") >= c1) & (F.col("doc_id") < c2)),
+        ("2", F.col("doc_id") >= c2),
     ]
     for day, pred in batches:
-        t_b, pos_b = _substr_positions_from_corpus(corpus.filter(pred))
-        if day != "0":
-            # A batch's own rows are the day's arrivals — staged once
-            # at ingest so the readout never re-shingles them either.
-            pos_b.write.mode("overwrite").parquet(f"{root}/pos/day={day}")
-            t_b.select("doc_id", "n").write.mode("overwrite").parquet(
-                f"{root}/meta/day={day}"
-            )
-            pos_b = spark.read.schema(
-                "doc_id BIGINT, j BIGINT, h BINARY"
-            ).parquet(f"{root}/pos/day={day}")
-        pos_b.groupBy("h").agg(
-            F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
-        ).write.mode("overwrite").parquet(f"{root}/freq/day={day}")
+        with _phase(f"day{day}"):
+            t_b, pos_b = _substr_positions_from_corpus(corpus.filter(pred))
+            if day != "0":
+                # A batch's own rows are the day's arrivals — staged
+                # once at ingest so the readout never re-shingles
+                # them either.
+                pos_b.write.mode("overwrite").parquet(
+                    f"{root}/pos/day={day}"
+                )
+                t_b.select("doc_id", "n").write.mode("overwrite").parquet(
+                    f"{root}/meta/day={day}"
+                )
+                pos_b = spark.read.schema(
+                    "doc_id BIGINT, j BIGINT, h BINARY"
+                ).parquet(f"{root}/pos/day={day}")
+            pos_b.groupBy("h").agg(
+                F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+            ).write.mode("overwrite").parquet(f"{root}/freq/day={day}")
     hot = (
         spark.read.schema("h BINARY, mn BIGINT, mx BIGINT")
         .parquet(f"{root}/freq")

@@ -649,7 +649,10 @@ def contamination_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     day's data, full stop."""
     import os
 
-    from distributed_system_spark.queries.dedup_q import _staging_root
+    from distributed_system_spark.queries.dedup_q import (
+        _phase,
+        _staging_root,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     b = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
@@ -658,10 +661,11 @@ def contamination_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", split.alias("split"), F.split("text", " ", -1).alias("toks")
     )
     root = _staging_root("dss-contam-incr", sf_dir, 1)
-    base.filter(F.col("split") == "test").select(
-        F.col("doc_id").alias("test_doc"),
-        F.explode(_distinct_8grams()).alias("h"),
-    ).write.mode("overwrite").parquet(f"{root}/eval_index")
+    with _phase("eval_index"):
+        base.filter(F.col("split") == "test").select(
+            F.col("doc_id").alias("test_doc"),
+            F.explode(_distinct_8grams()).alias("h"),
+        ).write.mode("overwrite").parquet(f"{root}/eval_index")
     eval_index = spark.read.schema("test_doc BIGINT, h BINARY").parquet(
         f"{root}/eval_index"
     )
@@ -674,21 +678,22 @@ def contamination_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("1", F.col("doc_id") < cut),
         ("2", F.col("doc_id") >= cut),
     ):
-        # One shingle pass per batch: grams staged, both derived
-        # pieces (frequency + probe hits) read the staging.
-        train.filter(pred).select(
-            F.col("doc_id").alias("train_doc"),
-            F.explode(_distinct_8grams()).alias("h"),
-        ).write.mode("overwrite").parquet(f"{root}/grams/day={day}")
-        g = spark.read.schema("train_doc BIGINT, h BINARY").parquet(
-            f"{root}/grams/day={day}"
-        )
-        g.groupBy("h").agg(F.count(F.lit(1)).alias("n")).write.mode(
-            "overwrite"
-        ).parquet(f"{root}/freq/day={day}")
-        g.join(eval_index, "h").select(
-            "test_doc", "train_doc", "h"
-        ).write.mode("overwrite").parquet(f"{root}/hits/day={day}")
+        with _phase(f"day{day}"):
+            # One shingle pass per batch: grams staged, both derived
+            # pieces (frequency + probe hits) read the staging.
+            train.filter(pred).select(
+                F.col("doc_id").alias("train_doc"),
+                F.explode(_distinct_8grams()).alias("h"),
+            ).write.mode("overwrite").parquet(f"{root}/grams/day={day}")
+            g = spark.read.schema("train_doc BIGINT, h BINARY").parquet(
+                f"{root}/grams/day={day}"
+            )
+            g.groupBy("h").agg(F.count(F.lit(1)).alias("n")).write.mode(
+                "overwrite"
+            ).parquet(f"{root}/freq/day={day}")
+            g.join(eval_index, "h").select(
+                "test_doc", "train_doc", "h"
+            ).write.mode("overwrite").parquet(f"{root}/hits/day={day}")
     common = (
         spark.read.schema("h BINARY, n BIGINT")
         .parquet(f"{root}/freq")

@@ -105,6 +105,13 @@ def main() -> int:
     env = dict(os.environ)
     env["SPARK_GRAFT_DRIVER_MEM"] = args.mem
     env["SPARK_LOCAL_DIRS"] = scratch
+    # Phase-aware reporting for the incremental/standing-index forms:
+    # queries wrapping their eager steps in dedup_q._phase append
+    # [t0, t1] windows here; the parent correlates them with its
+    # scratch timeline so day-0 build vs per-arriving-batch cost is
+    # MEASURED separately (the marginal-cost claim, r12 verdict #1).
+    phase_log = os.path.join(scratch, "phases.jsonl")
+    env["SPARK_GRAFT_PHASE_LOG"] = phase_log
     # Own process GROUP so the abort valve can kill the whole tree:
     # child.kill() alone leaves the Spark JVM grandchild alive and
     # writing scratch into the nearly-full disk the valve exists to
@@ -123,6 +130,7 @@ def main() -> int:
     peak = 0
     status = "completed"
     t0 = time.time()
+    samples: list[tuple[float, int]] = []
     # The *_sliced forms stage under /tmp/dss-*-p<child pid>; their
     # staging is scratch the same as Spark's spill and counts toward
     # the single-node disk requirement.
@@ -131,6 +139,7 @@ def main() -> int:
         paths = [scratch] + glob.glob(staging_glob)
         used = _du_bytes(paths)
         peak = max(peak, used)
+        samples.append((time.time(), used))
         free = shutil.disk_usage("/tmp").free
         print(
             f"t={time.time() - t0:7.0f}s scratch={used / 2**30:7.2f}GB "
@@ -152,6 +161,7 @@ def main() -> int:
     if child.returncode not in (0, None) and status != "aborted":
         status = "failed"
         print(out[-4000:])
+    phases = _phase_report(phase_log, samples, time.time())
     shutil.rmtree(scratch, ignore_errors=True)
     for p in glob.glob(staging_glob):
         shutil.rmtree(p, ignore_errors=True)
@@ -164,10 +174,56 @@ def main() -> int:
                 "peak_scratch_gb": round(peak / 2**30, 2),
                 "rows": rows,
                 "status": status,
+                **({"phases": phases} if phases else {}),
             }
         )
     )
     return 0 if status == "completed" else 1
+
+
+def _phase_report(
+    phase_log: str,
+    samples: list[tuple[float, int]],
+    end_ts: float,
+) -> dict[str, dict[str, float]]:
+    """Per-phase wall and peak scratch from the child's phase windows
+    (dedup_q._phase JSON lines) joined against the parent's sampled
+    timeline.  Peak attribution widens each window by one sampling
+    interval on each side so a spike landing between samples at the
+    boundary is charged to the adjacent phase rather than dropped.
+    Adds a synthetic ``readout`` phase from the last logged window's
+    end to child exit — the lazy merge-on-read the incremental forms
+    execute at the caller's action."""
+    if not os.path.exists(phase_log):
+        return {}
+    windows: list[tuple[str, float, float]] = []
+    with open(phase_log) as fh:
+        for line in fh:
+            try:
+                d = json.loads(line)
+                windows.append((d["phase"], d["t0"], d["t1"]))
+            except (json.JSONDecodeError, KeyError):
+                continue
+    if not windows:
+        return {}
+    last_t1 = max(t1 for _, _, t1 in windows)
+    if end_ts > last_t1:
+        windows.append(("readout", last_t1, end_ts))
+    slack = 6.0
+    if len(samples) >= 2:
+        slack = max(slack, samples[1][0] - samples[0][0])
+    report: dict[str, dict[str, float]] = {}
+    for name, t0, t1 in windows:
+        inside = [
+            used
+            for ts, used in samples
+            if t0 - slack <= ts <= t1 + slack
+        ]
+        report[name] = {
+            "wall_sec": round(t1 - t0, 1),
+            "peak_scratch_gb": round(max(inside, default=0) / 2**30, 2),
+        }
+    return report
 
 
 if __name__ == "__main__":

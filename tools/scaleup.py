@@ -32,6 +32,7 @@ collide.
 Usage:
   python tools/scaleup.py                  # sf0.1 -> /tmp/dss-scale/sf1
   python tools/scaleup.py /tmp/dss-scale sf10   # chain sf1 -> sf10
+  python tools/scaleup.py /tmp/dss-scale sf100o # orders-only 4th decade
   python tools/scaleup.py /tmp/dss-scale sf100d # docs-only 4th decade
   python tools/scaleup.py /tmp/dss-scale sf1000d # docs-only 5th decade
 Writes <out_root>/<name>/{table}.parquet; ~10 s (sf1) / ~2 min (sf10) /
@@ -217,6 +218,52 @@ def build_embeddings_only(
     return out
 
 
+def build_orders_only(
+    out_root: str,
+    name: str,
+    src: str,
+    stride_scale: int,
+) -> str:
+    """Chain ONLY the orders table another decade (same key-shift
+    replication as :func:`build`), symlinking every other table from
+    the source dir.  Exists for the FACT-TABLE window family's fourth
+    decade: ``window_ntile_bucketed_orders`` was built precisely so
+    the exact-global-rank claim could be decade-measured on a fact
+    table (customer is a pinned dimension), but the manufactured
+    sf100d/sf1000d corpora are documents-only, so its decade series
+    stopped at sf10 (r12 verdict item #4).  150 M orders is a ~2 GB
+    build; a full sf100 would be a 6-billion-row lineitem.  Streamed
+    one replica per COPY into a parquet directory like the documents
+    parts mode (the single-statement cross join would materialize all
+    150 M rows first)."""
+    out = os.path.join(out_root, name)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    order_stride = ORDER_STRIDE * stride_scale
+    src_ord = f"{src}/orders.parquet"
+    src_glob = (
+        src_ord + "/*.parquet" if os.path.isdir(src_ord) else src_ord
+    )
+    pdir = f"{out}/orders.parquet"
+    os.makedirs(pdir, exist_ok=True)
+    for rep in range(REPLICAS):
+        con.execute(
+            f"""COPY (
+            SELECT o_orderkey + {rep} * {order_stride} AS o_orderkey,
+                   o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+                   o_orderpriority
+            FROM {src_glob!r}
+            ) TO '{pdir}/part-{rep:03d}.parquet' (FORMAT PARQUET)"""
+        )
+    for t in (
+        "region nation customer supplier part lineitem "
+        "events documents embeddings"
+    ).split():
+        os.symlink(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
+    return out
+
+
 def build_documents_only(
     out_root: str,
     name: str,
@@ -299,6 +346,15 @@ if __name__ == "__main__":
                 root, "sf100e", src=sf10, stride_scale=REPLICAS**2
             )
         )
+    elif which == "sf100o":
+        sf10 = os.path.join(root, "sf10")
+        if not os.path.isdir(sf10):
+            raise SystemExit("build sf10 first")
+        print(
+            build_orders_only(
+                root, "sf100o", src=sf10, stride_scale=REPLICAS**2
+            )
+        )
     elif which == "sf100d":
         sf10 = os.path.join(root, "sf10")
         if not os.path.isdir(sf10):
@@ -328,6 +384,6 @@ if __name__ == "__main__":
         )
     else:
         raise SystemExit(
-            f"unknown target {which!r}; use sf1, sf10, sf100e, sf100d, "
-            "or sf1000d"
+            f"unknown target {which!r}; use sf1, sf10, sf100e, sf100o, "
+            "sf100d, or sf1000d"
         )
