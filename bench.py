@@ -187,7 +187,14 @@ HEADLINE = [
     "dedup_substring_chains_incr",  # standing-index substring dedup:
                           # batches shingle only their own docs and
                           # append mergeable (h, min/max doc_id)
-                          # freq pieces; merge-on-read probe
+                          # freq pieces; merge-on-read probe.
+                          # r13: +~0.8 s constant at sf0.1 (3.3->4.1,
+                          # measured twice) — the readout's merge is
+                          # now batch-restricted via a broadcast
+                          # semi-join (2 extra toy-scale jobs), which
+                          # converts readout shuffle from index-scale
+                          # to batch-scale: the fifth-decade marginal
+                          # cost in SCALE.md is what it buys
     "contamination_incr", # standing eval-set decontamination: frozen
                           # test-split gram index probed by train
                           # batches; suppression merged at readout

@@ -38,7 +38,7 @@ from distributed_system_spark.sources.tables import load_table
 _ATEXIT_ROOTS: set[str] = set()
 
 
-def _slice_count(env_name: str) -> int:
+def _slice_count(env_name: str, default: int = 4) -> int:
     """Validated slice count for the bounded-disk dedup forms.
 
     The bucket key is the first two hash hex digits — a 256-value
@@ -49,7 +49,7 @@ def _slice_count(env_name: str) -> int:
     contract instead of failing silently)."""
     import os
 
-    raw = os.environ.get(env_name, "4")
+    raw = os.environ.get(env_name, str(default))
     try:
         k = int(raw)
     except ValueError:
@@ -2754,6 +2754,19 @@ def dedup_substring_chains_incr(
         ("1", (F.col("doc_id") >= c1) & (F.col("doc_id") < c2)),
         ("2", F.col("doc_id") >= c2),
     ]
+    # Day-0 (the history backfill) is the one corpus-scale shuffle in
+    # this form; at the fifth decade its single groupBy coexisting
+    # with the growing freq parquet exceeds one node's scratch, so it
+    # can be sliced over the hash space exactly like the *_sliced
+    # forms (sequential 1/K shuffles, files released between slices).
+    # K=1 (the default, and the cluster plan) is the plain groupBy;
+    # the union over slices == the unsliced aggregate because hash
+    # buckets partition the space.  Every day writes under a slice=
+    # level so partition discovery sees one consistent depth.
+    k0 = _slice_count("SPARK_GRAFT_SUBSTR_INCR_DAY0_SLICES", default=1)
+    bucket0 = F.conv(F.substring(F.hex("h"), 1, 2), 16, 10).cast(
+        "int"
+    ) % k0
     for day, pred in batches:
         with _phase(f"day{day}"):
             t_b, pos_b = _substr_positions_from_corpus(corpus.filter(pred))
@@ -2770,24 +2783,45 @@ def dedup_substring_chains_incr(
                 pos_b = spark.read.schema(
                     "doc_id BIGINT, j BIGINT, h BINARY"
                 ).parquet(f"{root}/pos/day={day}")
-            pos_b.groupBy("h").agg(
-                F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
-            ).write.mode("overwrite").parquet(f"{root}/freq/day={day}")
-    hot = (
-        spark.read.schema("h BINARY, mn BIGINT, mx BIGINT")
-        .parquet(f"{root}/freq")
-        .groupBy("h")
-        .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
-        .filter(F.col("mn") != F.col("mx"))
-        .select("h")
-    )
+            slices = range(k0) if day == "0" else (0,)
+            for k in slices:
+                p_k = pos_b if len(slices) == 1 else pos_b.filter(
+                    bucket0 == k
+                )
+                p_k.groupBy("h").agg(
+                    F.min("doc_id").alias("mn"),
+                    F.max("doc_id").alias("mx"),
+                ).write.mode("overwrite").parquet(
+                    f"{root}/freq/day={day}/slice={k}"
+                )
+                if len(slices) > 1:
+                    spark.sparkContext._jvm.System.gc()
     new_pos = spark.read.schema(
         "doc_id BIGINT, j BIGINT, h BINARY"
     ).parquet(f"{root}/pos")
     new_meta = spark.read.schema("doc_id BIGINT, n BIGINT").parquet(
         f"{root}/meta"
     )
-    dup = new_pos.join(hot, "h").select("doc_id", "j")
+    # The merge-on-read readout, restricted to the NEW docs' own
+    # hashes BEFORE the merge shuffles: the report only ever needs
+    # the hot verdict for shingles the arriving batches contain, and
+    # restricting the (h, mn, mx) merge to that set cannot change any
+    # new position's mn != mx outcome.  The standing index is scanned
+    # map-side against a broadcast of the batch's distinct hashes —
+    # the batch-restricted probe the streaming twin already does —
+    # so readout shuffle mass is batch-scale, not index-scale (the
+    # marginal-cost claim, measured in SCALE.md).
+    new_h = new_pos.select("h").distinct()
+    hot = (
+        spark.read.schema("h BINARY, mn BIGINT, mx BIGINT")
+        .parquet(f"{root}/freq")
+        .join(F.broadcast(new_h), "h", "leftsemi")
+        .groupBy("h")
+        .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("h")
+    )
+    dup = new_pos.join(F.broadcast(hot), "h").select("doc_id", "j")
     return _substr_span_report(new_meta, dup)
 
 

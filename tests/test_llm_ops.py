@@ -1423,6 +1423,50 @@ def test_contamination_incr_batch_boundary_invariance(
     assert b.exceptAll(a).count() == 0, cut
 
 
+def test_contamination_incr_multicut_and_dropped_grams(spark, monkeypatch):
+    """The decade-measurement knobs must not change the answer: a
+    multi-cut geometry (4 batches, awkward boundaries) with the
+    transient grams staging DROPPED after each batch's pieces derive
+    must still equal the one-shot contamination_check — mergeable
+    counts + unioned hits are cut-count-insensitive, and the derived
+    pieces carry everything the readout needs."""
+    import os
+
+    from distributed_system_spark.queries import load_all
+
+    monkeypatch.setenv("SPARK_GRAFT_CONTAM_SPLIT", "100,250,400")
+    monkeypatch.setenv("SPARK_GRAFT_CONTAM_DROP_GRAMS", "1")
+    reg = load_all()
+    sf = "/root/testdata/sf0.001"
+    a = reg["contamination_check"].fn(spark, sf)
+    b = reg["contamination_incr"].fn(spark, sf)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    root = _expected_staging_root("dss-contam-incr", sf, 1)
+    assert sorted(os.listdir(f"{root}/freq")) == [
+        f"day={d}" for d in "1234"
+    ]
+    assert not os.path.exists(f"{root}/grams/day=1")
+
+
+def test_substring_incr_day0_slices_invariant(spark, monkeypatch):
+    """Slicing the day-0 history backfill over the hash space (the
+    bounded-disk knob for the fifth decade) must not change the
+    report: hash buckets partition the shingle space, so the union of
+    per-slice (h, mn, mx) aggregates == the unsliced aggregate.
+    K=3 deliberately does not divide the 256-bucket space (the
+    geometry class that bit round 11)."""
+    from distributed_system_spark.queries import load_all
+
+    reg = load_all()
+    sf = "/root/testdata/sf0.001"
+    a = reg["dedup_substring_chains"].fn(spark, sf).filter("doc_id >= 400")
+    monkeypatch.setenv("SPARK_GRAFT_SUBSTR_INCR_DAY0_SLICES", "3")
+    b = reg["dedup_substring_chains_incr"].fn(spark, sf)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
 @pytest.mark.parametrize("bad", ["0", "-2", "257", "abc"])
 def test_slice_count_rejects_out_of_contract_k(bad, monkeypatch):
     """K outside [1, 256] (or non-integer) must raise, not silently
