@@ -39,3 +39,58 @@ def test_truncated_queries_key_falls_back_without_ratio_pollution():
     tail = ':1.25},"deltas":{"q1":9.9},"regressions":[]}'
     out = _recover_times_from_tail(tail)
     assert out == {}
+
+
+def _load_diskbound():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "diskbound", "/root/repo/tools/diskbound.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_phase_report_attributes_aborted_phase_to_child_exit(tmp_path):
+    """A phase the abort valve cuts short leaves an entry stamp
+    (t1 null) with no exit stamp; the report must charge its partial
+    window to the phase — marked aborted — rather than folding it
+    into the synthetic readout remainder (the first sf1000d day-0
+    abort reported 1490 s of day-0 work as 'readout')."""
+    import json
+
+    db = _load_diskbound()
+    log = tmp_path / "phases.jsonl"
+    log.write_text(
+        json.dumps({"phase": "day0", "t0": 100.0, "t1": None})
+        + "\n"
+        + json.dumps({"phase": "day0", "t0": 100.0, "t1": 200.0})
+        + "\n"
+        + json.dumps({"phase": "day1", "t0": 200.0, "t1": None})
+        + "\n"
+    )
+    samples = [(float(t), (t - 90) * 2**30) for t in range(95, 260, 5)]
+    report = db._phase_report(str(log), samples, 250.0)
+    assert set(report) == {"day0", "day1 (aborted)"}
+    assert report["day0"]["wall_sec"] == 100.0
+    assert report["day1 (aborted)"]["wall_sec"] == 50.0
+    # no spurious synthetic readout after an aborted tail phase
+    assert "readout" not in report
+
+
+def test_phase_report_closed_windows_still_get_readout(tmp_path):
+    import json
+
+    db = _load_diskbound()
+    log = tmp_path / "phases.jsonl"
+    log.write_text(
+        json.dumps({"phase": "day0", "t0": 100.0, "t1": None})
+        + "\n"
+        + json.dumps({"phase": "day0", "t0": 100.0, "t1": 200.0})
+        + "\n"
+    )
+    samples = [(float(t), (t - 90) * 2**30) for t in range(95, 260, 5)]
+    report = db._phase_report(str(log), samples, 250.0)
+    assert set(report) == {"day0", "readout"}
+    assert report["readout"]["wall_sec"] == 50.0

@@ -196,14 +196,27 @@ def _phase_report(
     execute at the caller's action."""
     if not os.path.exists(phase_log):
         return {}
-    windows: list[tuple[str, float, float]] = []
+    closed: list[tuple[str, float, float]] = []
+    open_starts: list[tuple[str, float]] = []
     with open(phase_log) as fh:
         for line in fh:
             try:
                 d = json.loads(line)
-                windows.append((d["phase"], d["t0"], d["t1"]))
+                if d["t1"] is None:
+                    open_starts.append((d["phase"], d["t0"]))
+                else:
+                    closed.append((d["phase"], d["t0"], d["t1"]))
             except (json.JSONDecodeError, KeyError):
                 continue
+    # An entry stamp without a matching exit stamp is a phase the
+    # abort valve (or a crash) cut short — charge it to child exit so
+    # the partial work lands on the right phase, marked aborted.
+    closed_keys = {(n, t0) for n, t0, _ in closed}
+    windows = closed + [
+        (f"{n} (aborted)", t0, end_ts)
+        for n, t0 in open_starts
+        if (n, t0) not in closed_keys
+    ]
     if not windows:
         return {}
     last_t1 = max(t1 for _, _, t1 in windows)
