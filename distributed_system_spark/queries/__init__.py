@@ -526,6 +526,48 @@ _CHANGED_SINCE_VERIFIED_R12 = frozenset(
 
 _EXTERNALLY_VERIFIED = _EXTERNALLY_VERIFIED - _CHANGED_SINCE_VERIFIED_R12
 
+# Round-13 demotions: names whose implementation OR shared oracle
+# changed after the r12 driver window closed, so their last green row
+# predates the code that now runs.  (stream_contam_index is NEW this
+# round and needs no demotion — never-verified names are always in
+# the driver's window.)
+_CHANGED_SINCE_VERIFIED_R13 = frozenset(
+    {
+        # 16-byte BINARY shingle keys (commit 1cf1d4d): the shared
+        # _distinct_8grams helper now emits unhex(md5(..)) — key is
+        # internal, oracles unchanged, re-verify externally anyway.
+        "contamination_check",
+        # + batch-restricted merge-on-read, multi-cut geometry, and
+        # optional transient-grams cleanup (commits ea8312e, 89b0b74).
+        "contamination_incr",
+        # the shared _SUBSTR_SPAN_ORACLE now derives its shingle-
+        # position range from the corpus' max token count instead of
+        # a fixed j<=999 cap (r12 ADVICE #1, commit a4ebb38) — an
+        # ORACLE change, so every query that pins against it must
+        # re-green.
+        "dedup_substring_chains",
+        "dedup_substring_chains_sliced",
+        # + day-0 hash-space slicing knob, batch-restricted readout
+        # semi-join, phase stamps, env-tunable cuts.
+        "dedup_substring_chains_incr",
+        # arrival geometry parametrized (n-batch replay, per-geometry
+        # oracle re-derivation, commit b9fef4c) + the same oracle
+        # j-range fix in its as-of SQL.
+        "stream_substr_freq_index",
+        # output schema changed: exact distinct counts + within_rel_err
+        # verdict columns replace the rows-only sketch readout
+        # (commit 8ff211c) — both now carry REAL DuckDB oracles.
+        "approx_distinct",
+        "hll_mergeable_rollup",
+        # shares _slice_count/_staging_root, whose signatures grew the
+        # day-0 default + phase-stamp plumbing — behavior-identical by
+        # test, re-verify externally anyway (the r12 discipline).
+        "dedup_incremental_capped_sliced",
+    }
+)
+
+_EXTERNALLY_VERIFIED = _EXTERNALLY_VERIFIED - _CHANGED_SINCE_VERIFIED_R13
+
 _KNOWN_AT_FREEZE = _KNOWN_AT_FREEZE | (
     frozenset(_R4_VERIFIED)
     | frozenset(

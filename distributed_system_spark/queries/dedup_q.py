@@ -111,6 +111,19 @@ def _phase(name: str):
             yield
             return
         t0 = time.time()
+        # Open-window stamp at ENTRY (t1 null) so a run the harness
+        # aborts MID-phase still attributes the partial window to the
+        # right phase instead of folding it into the synthetic
+        # readout remainder (observed: the first sf1000d day-0 abort
+        # reported 1490 s of day-0 work as "readout").  The exit
+        # stamp below supersedes it (diskbound keeps the closed form).
+        with open(path, "a") as fh:
+            fh.write(
+                json.dumps(
+                    {"phase": name, "t0": round(t0, 3), "t1": None}
+                )
+                + "\n"
+            )
         try:
             yield
         finally:
@@ -2414,20 +2427,27 @@ FROM t LEFT JOIN per_doc p USING (doc_id)
 
 def _substr_corpus(docs: DataFrame) -> DataFrame:
     """The planted-quote corpus (doc_id % 10 == 1 appends predecessor
-    tokens 4..18) as (doc_id, text).  This is a full-corpus self-join
-    on doc_id — at the fifth decade its sort spill alone is a ~35 GB
-    scratch constant, which is why the SLICED variant stages this
-    result to parquet ONCE instead of paying the join per slice."""
-    src = docs.select(
+    tokens 4..18) as (doc_id, text).
+
+    Only 2/10 of the corpus participates in the predecessor join —
+    the quote targets (doc_id % 10 == 1) and their sources (% 10 ==
+    0) — so BOTH join inputs are pre-filtered to their 1/10 slice and
+    the untouched 8/10 bypasses the join entirely via union.  The
+    previous full-corpus self-join sorted every text byte twice: its
+    spill was measured at 53 GB during the sf1000d corpus_stage
+    (db_substr_incr2.log, 2026-08-16), a base that left no headroom
+    for the day-0 index build; the filtered join cuts that sort mass
+    ~5× without changing a single output row (the when/otherwise
+    fallback semantics are preserved on the quote slice)."""
+    quotes = docs.filter(F.col("doc_id") % 10 == 1)
+    src = docs.filter((F.col("doc_id") + 1) % 10 == 1).select(
         (F.col("doc_id") + 1).alias("doc_id"),
         F.split("text", " ", -1).alias("p_toks"),
     )
-    return docs.join(src, "doc_id", "left").select(
+    planted = quotes.join(src, "doc_id", "left").select(
         "doc_id",
         F.when(
-            (F.col("doc_id") % 10 == 1)
-            & F.col("p_toks").isNotNull()
-            & (F.size("p_toks") >= 18),
+            F.col("p_toks").isNotNull() & (F.size("p_toks") >= 18),
             F.concat(
                 F.col("text"),
                 F.lit(" "),
@@ -2437,6 +2457,10 @@ def _substr_corpus(docs: DataFrame) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
+    rest = docs.filter(F.col("doc_id") % 10 != 1).select(
+        "doc_id", "text"
+    )
+    return planted.unionByName(rest)
 
 
 def _substr_positions_from_corpus(
@@ -2736,6 +2760,12 @@ def dedup_substring_chains_incr(
         _substr_corpus(docs).write.mode("overwrite").parquet(
             f"{root}/corpus"
         )
+    # Release the staging join's shuffle files BEFORE day 0 starts —
+    # without this the dead spill (measured 45+ GB at sf1000d before
+    # the filtered-join rewrite) sits under the whole index build and
+    # is what pushed both day-0-sliced attempts over the disk valve.
+    # Same discipline as the sliced form's per-slice gc.
+    spark.sparkContext._jvm.System.gc()
     corpus = spark.read.schema("doc_id BIGINT, text STRING").parquet(
         f"{root}/corpus"
     )
