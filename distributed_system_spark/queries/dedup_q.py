@@ -2779,8 +2779,21 @@ def dedup_substring_chains_incr(
             "SPARK_GRAFT_SUBSTR_INCR_CUTS", "400,700"
         ).split(",")
     )
+    day0_pred = F.col("doc_id") < c1
+    # Measurement-only HISTORY CAP: the full sf1000d standing index
+    # is ~80 GB of real product mass (measured 5 GB per 1/16
+    # hash-slice, 2026-08-16 run) — index MASS, not spill, so no
+    # slicing can fit it on one 69-GB-free node; on a cluster it is
+    # the sharded state.  Capping day 0 to doc_id < DAY0_MAX models
+    # the same claim (standing index over a large history, tiny
+    # arriving batches) at a history whose index fits the node; docs
+    # in [DAY0_MAX, c1) are simply never ingested.  Unset (the
+    # default, and every registered/oracle run): full history.
+    day0_max = os.environ.get("SPARK_GRAFT_SUBSTR_INCR_DAY0_MAX")
+    if day0_max is not None:
+        day0_pred = day0_pred & (F.col("doc_id") < int(day0_max))
     batches = [
-        ("0", F.col("doc_id") < c1),
+        ("0", day0_pred),
         ("1", (F.col("doc_id") >= c1) & (F.col("doc_id") < c2)),
         ("2", F.col("doc_id") >= c2),
     ]

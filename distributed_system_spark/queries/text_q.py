@@ -686,6 +686,20 @@ def contamination_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derivation so measured peak disk reflects the product shape.
     # Kept by default because the provenance tests inspect it.
     drop_grams = os.environ.get("SPARK_GRAFT_CONTAM_DROP_GRAMS") == "1"
+    # Measurement-only TRAIN EXCLUSION ("lo:hi"): drop train docs in
+    # [lo, hi) before batching, so a decade run can pair a large
+    # backfill history with tiny arrival batches without ingesting
+    # the mass in between — the standing (h, n) frequency index over
+    # the FULL sf1000d train split is distinct-gram-scale (tens of
+    # GB of real index mass, cluster-sharded state), same wall the
+    # substring form measured.  Unset (the default, and every
+    # registered/oracle run): all train docs are ingested.
+    excl = os.environ.get("SPARK_GRAFT_CONTAM_EXCLUDE")
+    if excl is not None:
+        lo, hi = (int(x) for x in excl.split(":"))
+        train = train.filter(
+            (F.col("doc_id") < lo) | (F.col("doc_id") >= hi)
+        )
     bounds = [None, *cuts, None]
     for i in range(len(bounds) - 1):
         day = str(i + 1)
@@ -718,6 +732,13 @@ def contamination_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # a cluster deployment would route this through the
                 # Hadoop FileSystem API like streams._index_exists)
                 shutil.rmtree(f"{root}/grams/day={day}")
+            # Release this batch's groupBy/probe-join shuffle files
+            # before the next batch shuffles its own — without the
+            # forced ContextCleaner gc they pile up across the whole
+            # multi-cut backfill (the substring form's per-slice
+            # discipline; dead spill under a growing index is what
+            # aborted the first sf1000d substring runs).
+            spark.sparkContext._jvm.System.gc()
     hits = spark.read.schema(
         "test_doc BIGINT, train_doc BIGINT, h BINARY"
     ).parquet(f"{root}/hits")

@@ -1467,6 +1467,75 @@ def test_substring_incr_day0_slices_invariant(spark, monkeypatch):
     assert b.exceptAll(a).count() == 0
 
 
+def test_substring_incr_day0_history_cap(spark, monkeypatch, tmp_path):
+    """The measurement-only DAY0_MAX knob (decade history cap: the
+    full sf1000d standing index is ~80 GB of index MASS, so decade
+    runs pair a capped history with tiny arrival batches) must equal
+    the one-shot chain report over a corpus with the capped-out docs
+    PHYSICALLY absent — the capped incr run and the filtered rebuild
+    see the same history.  Cap at 200 with default cuts (400, 700):
+    docs [200, 400) are never ingested; every kept quote target's
+    predecessor is itself kept (d % 10 == 1 keeps d - 1 on both
+    sides of the gap), so physical removal == predicate filter."""
+    from distributed_system_spark.queries import load_all
+
+    reg = load_all()
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    filtered_sf = str(tmp_path / "sf")
+    docs.filter("doc_id < 200 OR doc_id >= 400").write.parquet(
+        f"{filtered_sf}/documents.parquet"
+    )
+    a = (
+        reg["dedup_substring_chains"]
+        .fn(spark, filtered_sf)
+        .filter("doc_id >= 400")
+    )
+    monkeypatch.setenv("SPARK_GRAFT_SUBSTR_INCR_DAY0_MAX", "200")
+    b = reg["dedup_substring_chains_incr"].fn(spark, sf)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    # and the staged day-0 frequency piece really excludes the gap:
+    # no (h, mn, mx) row may carry a doc_id from [200, 400)
+    root = _expected_staging_root("dss-substr-incr", sf, 1)
+    day0 = spark.read.parquet(f"{root}/freq/day=0")
+    assert (
+        day0.filter(
+            "(mn >= 200 AND mn < 400) OR (mx >= 200 AND mx < 400)"
+        ).count()
+        == 0
+    )
+
+
+def test_contamination_incr_train_exclusion(spark, monkeypatch, tmp_path):
+    """The measurement-only EXCLUDE knob (decade geometry: a large
+    backfill history plus tiny arrival batches, the mass in between
+    never ingested) must equal the one-shot contamination_check over
+    a corpus with the excluded train docs PHYSICALLY absent — the
+    md5 split is per-doc, so removing docs cannot move any other
+    doc's split, and eval/val docs are kept on both sides."""
+    from distributed_system_spark.queries import load_all
+    from pyspark.sql import functions as F
+
+    reg = load_all()
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    b_hex = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+    )
+    filtered_sf = str(tmp_path / "sf")
+    docs.filter(
+        (F.col("doc_id") < 100)
+        | (F.col("doc_id") >= 300)
+        | (b_hex >= "cd")  # non-train docs stay regardless
+    ).write.parquet(f"{filtered_sf}/documents.parquet")
+    a = reg["contamination_check"].fn(spark, filtered_sf)
+    monkeypatch.setenv("SPARK_GRAFT_CONTAM_EXCLUDE", "100:300")
+    b = reg["contamination_incr"].fn(spark, sf)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
 @pytest.mark.parametrize("bad", ["0", "-2", "257", "abc"])
 def test_slice_count_rejects_out_of_contract_k(bad, monkeypatch):
     """K outside [1, 256] (or non-integer) must raise, not silently
