@@ -69,7 +69,30 @@ def _child(name: str, sf_dir: str) -> int:
     spark = get_spark(f"diskbound-{name}")
     t0 = time.time()
     df = q.fn(spark, sf_dir)
-    n = df.count()
+    # Force the WHOLE plan, not just a row count: under count()
+    # Catalyst eliminates a final LEFT OUTER JOIN whose right side
+    # has a unique join key (e.g. the substring span report's
+    # per-doc aggregate), silently skipping the entire dup-detection
+    # subtree — measured 2026-08-17: the one-shot substring form
+    # "ran" sf100d in 8.1 s under count() vs 188 s for its sliced
+    # twin computing the same answer.  Hashing every column in the
+    # same aggregate pins all joins and all columns into the
+    # executed plan (the count rides along in one pass), matching
+    # bench.py/decade.py's noop-write semantics while still
+    # reporting the row count.
+    from pyspark.sql import functions as F
+
+    try:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(*df.columns)).alias("fp"),
+        ).collect()[0]
+        n = row["n"]
+    except Exception:
+        # xxhash64 rejects MapType columns — fall back to the plain
+        # count for those shapes (none of the currently-measured
+        # queries return maps; the fallback keeps the harness total).
+        n = df.count()
     wall = time.time() - t0
     print(json.dumps({"child_wall_sec": round(wall, 1), "rows": n}))
     return 0
