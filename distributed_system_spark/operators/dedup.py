@@ -210,7 +210,20 @@ def lsh_candidate_pairs(
     Hot buckets are found with a partial-aggregated groupBy (tiny
     output) and removed via a broadcast anti-join — no extra
     full-data shuffle.
+
+    The band table is MATERIALIZED once (localCheckpoint) before any
+    consumer references it: the self-join's two sides — plus, under
+    ``max_bucket``, the occupancy groupBy and the anti-join — are 2-4
+    separate consumers of the same subtree, and Spark re-executes the
+    whole upstream (scan + the 8-md5-per-token band build) for each
+    (no ReusedExchange fires across these differently-aliased
+    branches; measured in plans/r13).  The table is narrow (~4 rows x
+    50 B per doc — orders of magnitude below the corpus it derives
+    from), so caching it beats recomputing the signature pass 2-4x at
+    every scale (guide §2.4 "two operations keyed the same way share
+    one exchange" generalized to sharing the map stage).
     """
+    bands = bands.localCheckpoint()
     if max_bucket is not None:
         hot = (
             bands.groupBy("band", "sig")
@@ -270,6 +283,49 @@ def jaccard_verify(
     expressions cost far more than the 23.5M-row distinct they
     replaced, so the distinct stays.)
     """
+    sets_ = toks.groupBy("id").agg(
+        F.sort_array(F.collect_set("tok")).alias("ts")
+    )
+    return jaccard_verify_sets(pairs, sets_, threshold)
+
+
+def jaccard_verify_docs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`jaccard_verify` straight from (id, text) rows, with the
+    token sets assembled MAP-SIDE (:func:`doc_token_sets`) instead of
+    explode + ``groupBy(collect_set)`` — deleting the one shuffle of
+    the exploded token mass the verify stage still paid (the
+    corpus-scale exchange class: ~100 GB at the 52.5 M-doc fifth
+    decade; the same r11 lesson that motivated ``doc_token_sets``).
+    Bit-identical output: ``doc_token_sets`` ≡ the groupBy form
+    (twin-tested in tests/test_llm_ops.py), and the verify body is
+    shared verbatim.
+
+    The set table is MATERIALIZED once (localCheckpoint): the verify
+    joins it on BOTH pair sides, and without a shuffle there is no
+    exchange for runtime reuse to latch onto, so the map-side build
+    would run twice (measured: contamination_fuzzy regressed before
+    this).  Cached bytes ≈ what the old groupBy's shuffle files held,
+    so peak storage is unchanged while both the shuffle AND the
+    second tokenize pass are gone."""
+    return jaccard_verify_sets(
+        pairs,
+        doc_token_sets(docs, id_col, text_col).localCheckpoint(),
+        threshold,
+    )
+
+
+def jaccard_verify_sets(
+    pairs: DataFrame, sets_: DataFrame, threshold: float
+) -> DataFrame:
+    """Body of :func:`jaccard_verify` over a prebuilt (id, ts)
+    sorted-distinct-token-array table (``doc_token_sets`` output or
+    the groupBy-built twin)."""
     from fractions import Fraction
 
     # Exact at the 6-decimal acceptance grain: (round(t*1e6) - 1)/1e6
@@ -279,9 +335,6 @@ def jaccard_verify(
     # so no pair whose exact Jaccard passes is ever clipped.
     fr = Fraction(round(threshold * 10**6) - 1, 10**6)
     num, den = fr.numerator, fr.denominator
-    sets_ = toks.groupBy("id").agg(
-        F.sort_array(F.collect_set("tok")).alias("ts")
-    )
     sa = sets_.select(F.col("id").alias("id_a"), F.col("ts").alias("ts_a"))
     sb = sets_.select(F.col("id").alias("id_b"), F.col("ts").alias("ts_b"))
     na, nb = F.size("ts_a").cast("long"), F.size("ts_b").cast("long")
@@ -372,6 +425,31 @@ def jaccard_verify_setdedup(
         F.sort_array(F.collect_set("tok")).alias("ts")
     )
     return jaccard_verify_keyed(pairs, token_set_keyed(sets_), threshold)
+
+
+def jaccard_verify_setdedup_docs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`jaccard_verify_setdedup` straight from (id, text) rows:
+    the keyed fingerprint table is assembled MAP-SIDE
+    (``token_set_keyed(doc_token_sets(docs))``) instead of explode +
+    ``groupBy(collect_set)`` — same shuffle deletion as
+    :func:`jaccard_verify_docs`, same bit-identical contract (the
+    sliced bounded-disk forms already stage exactly this table).
+    Materialized once for the same reason as
+    :func:`jaccard_verify_docs` — the keyed body consumes it three
+    times (both narrow pair sides + the distinct-array fetch)."""
+    return jaccard_verify_keyed(
+        pairs,
+        token_set_keyed(
+            doc_token_sets(docs, id_col, text_col)
+        ).localCheckpoint(),
+        threshold,
+    )
 
 
 def jaccard_verify_keyed(

@@ -16,8 +16,9 @@ from distributed_system_spark.operators.dedup import (
     doc_token_sets,
     doc_tokens,
     jaccard_verify,
+    jaccard_verify_docs,
     jaccard_verify_keyed,
-    jaccard_verify_setdedup,
+    jaccard_verify_setdedup_docs,
     lsh_band_signatures,
     minhash_band_signatures_docs,
     lsh_candidate_pairs,
@@ -239,10 +240,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalable fuzzy-dedup shape. Fully oracle-checked: md5-based
     minhashes are bit-identical across engines."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = doc_tokens(docs)
     bands = minhash_band_signatures_docs(docs)
     cand = lsh_candidate_pairs(bands)
-    return jaccard_verify(cand, toks, 0.8)
+    return jaccard_verify_docs(cand, docs, 0.8)
 
 
 # 64-bit SimHash CTE: 4 bits per md5 hex digit (bit j of digit d's
@@ -408,11 +408,10 @@ def dedup_minhash_ctrl(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus produces, instead of the all-pairs-are-dups degeneracy of
     the raw synthetic documents table."""
     corpus = _ctrl_corpus(load_table(spark, sf_dir, "documents"))
-    toks = doc_tokens(corpus)
     cand = lsh_candidate_pairs(
         minhash_band_signatures_docs(corpus)
     )
-    return jaccard_verify(cand, toks, 0.8)
+    return jaccard_verify_docs(cand, corpus, 0.8)
 
 
 @register(
@@ -543,11 +542,10 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standing index and append the survivors.  Same md5 machinery
     as dedup_minhash_lsh, so fully oracle-checked."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = doc_tokens(docs)
     bands = minhash_band_signatures_docs(docs)
     cand = lsh_candidate_pairs(bands).filter(F.col("id_b") >= 400)
     dup_new = (
-        jaccard_verify(cand, toks, 0.8)
+        jaccard_verify_docs(cand, docs, 0.8)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
@@ -654,13 +652,12 @@ def dedup_incremental_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles — the documented trade that halved the sf10/sf100d decades
     (SCALE.md round-10 rows)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = doc_tokens(docs)
     bands = minhash_band_signatures_docs(docs)
     cand = lsh_candidate_pairs(bands, max_bucket=_BUCKET_CAP).filter(
         F.col("id_b") >= 400
     )
     dup_new = (
-        jaccard_verify_setdedup(cand, toks, 0.8)
+        jaccard_verify_setdedup_docs(cand, docs, 0.8)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
@@ -953,13 +950,17 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    s1 = keepq.join(ex, "doc_id")
-    toks = doc_tokens(s1.select("doc_id", "text"))
+    # The exact-dedup survivor set is consumed by 3-4 downstream
+    # branches (band build, verify token sets x2, final join / funnel
+    # stages); without materialization each branch re-executes the
+    # whole corpus-gen + gate + exact-dedup subtree (no ReusedExchange
+    # fires — plans/r13).  One localCheckpoint = one upstream pass.
+    s1 = keepq.join(ex, "doc_id").localCheckpoint()
     cand = lsh_candidate_pairs(
         minhash_band_signatures_docs(s1.select("doc_id", "text"))
     )
     dups = (
-        jaccard_verify(cand, toks, 0.8)
+        jaccard_verify_docs(cand, s1.select("doc_id", "text"), 0.8)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
@@ -1226,13 +1227,17 @@ def curation_pipeline_ctrl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    s1 = keepq.join(ex, "doc_id")
-    toks = doc_tokens(s1.select("doc_id", "text"))
+    # The exact-dedup survivor set is consumed by 3-4 downstream
+    # branches (band build, verify token sets x2, final join / funnel
+    # stages); without materialization each branch re-executes the
+    # whole corpus-gen + gate + exact-dedup subtree (no ReusedExchange
+    # fires — plans/r13).  One localCheckpoint = one upstream pass.
+    s1 = keepq.join(ex, "doc_id").localCheckpoint()
     cand = lsh_candidate_pairs(
         minhash_band_signatures_docs(s1.select("doc_id", "text"))
     )
     dups = (
-        jaccard_verify(cand, toks, 0.8)
+        jaccard_verify_docs(cand, s1.select("doc_id", "text"), 0.8)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
@@ -1746,13 +1751,17 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    s1 = keepq.join(ex, "doc_id")
-    toks = doc_tokens(s1.select("doc_id", "text"))
+    # The exact-dedup survivor set is consumed by 3-4 downstream
+    # branches (band build, verify token sets x2, final join / funnel
+    # stages); without materialization each branch re-executes the
+    # whole corpus-gen + gate + exact-dedup subtree (no ReusedExchange
+    # fires — plans/r13).  One localCheckpoint = one upstream pass.
+    s1 = keepq.join(ex, "doc_id").localCheckpoint()
     cand = lsh_candidate_pairs(
         minhash_band_signatures_docs(s1.select("doc_id", "text"))
     )
     dups = (
-        jaccard_verify(cand, toks, 0.8)
+        jaccard_verify_docs(cand, s1.select("doc_id", "text"), 0.8)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
@@ -1861,11 +1870,10 @@ def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = doc_tokens(docs)
     cand = lsh_candidate_pairs(
         minhash_band_signatures_docs(docs)
     )
-    textp = jaccard_verify(cand, toks, 0.8).select("id_a", "id_b")
+    textp = jaccard_verify_docs(cand, docs, 0.8).select("id_a", "id_b")
 
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select(
@@ -2332,13 +2340,12 @@ def dedup_incremental_ctrl(spark: SparkSession, sf_dir: str) -> DataFrame:
     standing band index and survivors append."""
     docs = load_table(spark, sf_dir, "documents")
     corpus = _ctrl_corpus(docs)
-    toks = doc_tokens(corpus)
     bands = minhash_band_signatures_docs(corpus)
     cand = lsh_candidate_pairs(bands).filter(
         F.col("id_b") >= _CTRL_CLONE_OFFSET
     )
     dup_new = (
-        jaccard_verify(cand, toks, 0.8)
+        jaccard_verify_docs(cand, corpus, 0.8)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
         .withColumn("hit", F.lit(1))
@@ -2958,10 +2965,9 @@ def dataset_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = doc_tokens(docs)
     bands = minhash_band_signatures_docs(docs)
     cand = lsh_candidate_pairs(bands)
-    pairs = jaccard_verify(cand, toks, 0.8)
+    pairs = jaccard_verify_docs(cand, docs, 0.8)
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
@@ -3072,10 +3078,12 @@ def contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     nonval = docs.withColumn("split", split).filter(
         F.col("split") != "val"
     )
-    toks = doc_tokens(nonval)
     bands = minhash_band_signatures_docs(nonval)
     sides = nonval.select(F.col("doc_id").alias("id"), "split")
-    bl = bands.join(sides, "id")
+    # te and tr are two consumers of the split-labeled band table —
+    # materialize it once or the 8-md5-per-token band build runs
+    # twice (no ReusedExchange across the branches; plans/r13).
+    bl = bands.join(sides, "id").localCheckpoint()
     te = bl.filter(F.col("split") == "test").select(
         F.col("id").alias("id_a"), "band", "sig"
     )
@@ -3083,7 +3091,7 @@ def contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("id_b"), "band", "sig"
     )
     cand = te.join(tr, ["band", "sig"]).select("id_a", "id_b").distinct()
-    return jaccard_verify(cand, toks, 0.7).select(
+    return jaccard_verify_docs(cand, nonval, 0.7).select(
         F.col("id_a").alias("test_doc"),
         F.col("id_b").alias("train_doc"),
         "jaccard",
@@ -3167,11 +3175,10 @@ def dataset_group_kfold_ctrl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     corpus = _ctrl_corpus(load_table(spark, sf_dir, "documents"))
-    toks = doc_tokens(corpus)
     cand = lsh_candidate_pairs(
         minhash_band_signatures_docs(corpus)
     )
-    pairs = jaccard_verify(cand, toks, 0.8)
+    pairs = jaccard_verify_docs(cand, corpus, 0.8)
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )

@@ -2955,22 +2955,30 @@ def prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_toks", F.size("toks"))
         .filter(F.col("n_toks") >= 5)
     )
+    # 16-byte BINARY gram keys (unhex) — internal only (h never
+    # reaches an output column), halving the gram joins' bytes; and
+    # ONE materialization of the exploded gram table, which feeds
+    # three consumers (train grams twice + test grams) that would
+    # each re-run the scan + shingle explode (r13).
     grams8 = F.when(
         F.size("toks") >= 8,
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), F.size("toks") - 7),
-                lambda i: F.md5(
-                    F.array_join(F.slice("toks", i, 8), " ").cast(
-                        "binary"
+                lambda i: F.unhex(
+                    F.md5(
+                        F.array_join(F.slice("toks", i, 8), " ").cast(
+                            "binary"
+                        )
                     )
                 ),
             )
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<binary>"))
     grams = (
         q.filter(F.col("split") != "val")
         .select("doc_id", "split", F.explode(grams8).alias("h"))
+        .localCheckpoint()
     )
     train_g = grams.filter(F.col("split") == "train").select(
         F.col("doc_id").alias("train_doc"), "h"
@@ -2993,12 +3001,15 @@ def prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("test_doc").alias("doc_id"))
         .distinct()
     )
+    # kept feeds the packing window AND the final per-split aggregate;
+    # narrow it (toks is not needed downstream) and materialize so the
+    # decontamination subtree runs once.
     kept = q.join(
         contaminated,
         (q["doc_id"] == contaminated["doc_id"])
         & (q["split"] == "test"),
         "left_anti",
-    )
+    ).select("doc_id", "split", "n_toks").localCheckpoint()
     h1 = F.substring(
         F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1
     )
@@ -4006,6 +4017,17 @@ def eval_set_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "toks", "n_toks")
     )
+    # The ranked split assignment feeds FOUR consumers (train grams
+    # twice — suppression + the contamination join — test grams, and
+    # the eval keep set), and each consumer otherwise re-executes the
+    # whole gate -> window-dedup -> bucket-rank subtree: the unmateria-
+    # lized plan scanned `documents` 32 times (plans/r13, before).
+    # Two NARROW materializations bound that: the exploded 8-gram
+    # table (16-byte hashes — feeds all three gram consumers) and the
+    # slim doc roster (no toks column — feeds the eval keep set).
+    # Checkpointing `split` itself was measured 3x WORSE at sf0.1:
+    # it caches the fat toks arrays for every consumer, where the
+    # lazy branches had column-pruned them away.
     split = _lang_bucket_rank(deduped).select(
         "doc_id",
         "lang",
@@ -4016,22 +4038,27 @@ def eval_set_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+    slim = split.select("doc_id", "lang", "n_toks", "split").localCheckpoint()
+    # 16-byte BINARY gram keys — internal only (h never reaches an
+    # output column), the contamination family's r12 lesson.
     grams8 = F.when(
         F.size("toks") >= 8,
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), F.size("toks") - 7),
-                lambda i: F.md5(
-                    F.array_join(F.slice("toks", i, 8), " ").cast(
-                        "binary"
+                lambda i: F.unhex(
+                    F.md5(
+                        F.array_join(F.slice("toks", i, 8), " ").cast(
+                            "binary"
+                        )
                     )
                 ),
             )
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<binary>"))
     grams = split.filter(F.col("split") != "val").select(
         "doc_id", "split", F.explode(grams8).alias("h")
-    )
+    ).localCheckpoint()
     train_g = grams.filter(F.col("split") == "train").select(
         F.col("doc_id").alias("train_doc"), "h"
     )
@@ -4053,8 +4080,13 @@ def eval_set_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("test_doc").alias("doc_id"))
         .distinct()
     )
+    # eval_kept stays LAZY: its two consumers (the pack-id bucket
+    # rank's local window + offset agg) re-run only the contamination
+    # aggregate over the CACHED gram table plus the slim roster scan —
+    # cheap — and the final plan keeps the LeftAnti anti-join visible
+    # for the plan contract (tests/test_plans.py).
     eval_kept = (
-        split.filter(F.col("split") == "test")
+        slim.filter(F.col("split") == "test")
         .join(contaminated, "doc_id", "left_anti")
         .select("doc_id", "lang", "n_toks")
     )

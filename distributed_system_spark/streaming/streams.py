@@ -757,7 +757,7 @@ def signature_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from distributed_system_spark.operators.dedup import (
-        doc_tokens,
+        doc_token_sets,
         minhash_band_signatures_docs,
     )
 
@@ -774,13 +774,13 @@ def signature_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
         docs = batch_df.localCheckpoint(eager=True)
-        toks = doc_tokens(docs)
         # shuffle-free band build (round-10): same md5 composition,
         # so the STANDING index written by earlier batches stays valid
         bands = minhash_band_signatures_docs(docs)
-        tsets = toks.groupBy("id").agg(
-            F.sort_array(F.collect_set("tok")).alias("ts")
-        )
+        # token sets assembled map-side (doc_token_sets ≡ the explode
+        # + groupBy(collect_set) form, twin-tested) — the r13 shuffle
+        # deletion applied to the per-batch index piece as well
+        tsets = doc_token_sets(docs)
         have_index = _index_exists(s, bands_dir)
         if have_index:
             idx_bands = s.read.schema(bands_schema).parquet(bands_dir)

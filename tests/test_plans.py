@@ -24,12 +24,45 @@ from distributed_system_spark.queries import load_all
 REGISTRY = load_all()
 
 
-def plan_of(spark, sf_dir: str, name: str) -> str:
+def plan_of(
+    spark, sf_dir: str, name: str, expand_checkpoints: bool = False
+) -> str:
     """Final physical plan, post-execution: AQE re-plans at runtime, so
     the plan that matters is the `== Final Plan ==` section after an
     action on this exact DataFrame. Whole-stage codegen spans appear
-    as `*(n)` operator prefixes."""
-    df = REGISTRY[name].fn(spark, sf_dir)
+    as `*(n)` operator prefixes.
+
+    ``expand_checkpoints=True`` no-ops ``DataFrame.localCheckpoint``
+    while the query builds, so subtrees a query materializes mid-plan
+    (which execute as their own jobs and appear downstream only as
+    ``Scan ExistingRDD``) stay VISIBLE to the plan assertions — the
+    scale contracts (bucketed windows, equi-joins, no cartesians) are
+    properties of those subtrees too, and checkpointing must not be a
+    way to hide a regression from this file.  Default off: several
+    tests assert the checkpointed execution shape itself (e.g. the
+    markov power loop's bounded exchange count relies on the edges
+    checkpoint)."""
+    # Patch the CONCRETE class: in Spark 4 instances are
+    # pyspark.sql.classic.dataframe.DataFrame, whose localCheckpoint
+    # OVERRIDES the pyspark.sql.DataFrame base — patching only the
+    # base silently leaves checkpoints live (caught in r13: the
+    # "expanded" eval_set_builder plan still showed ExistingRDD).
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pre-4.0 layout
+        from pyspark.sql import DataFrame
+
+    if expand_checkpoints:
+        orig = DataFrame.localCheckpoint
+        DataFrame.localCheckpoint = (  # type: ignore[method-assign]
+            lambda self, eager=True: self
+        )
+        try:
+            df = REGISTRY[name].fn(spark, sf_dir)
+        finally:
+            DataFrame.localCheckpoint = orig  # type: ignore[method-assign]
+    else:
+        df = REGISTRY[name].fn(spark, sf_dir)
     df.collect()
     full = df._jdf.queryExecution().executedPlan().toString()
     if "AdaptiveSparkPlan" in full:  # trivial plans skip AQE entirely
@@ -1055,8 +1088,13 @@ def test_eval_set_builder_plan_shape(spark, sf_dir):
     BroadcastNestedLoopJoin, never a global (SinglePartition)
     window: the dedup window partitions by the md5 hash, and the
     split rank AND pack running-sum windows partition by
-    (lang, md5-prefix bucket) — skew-safe, never lang alone."""
-    plan = plan_of(spark, sf_dir, "eval_set_builder")
+    (lang, md5-prefix bucket) — skew-safe, never lang alone.
+
+    Captured with checkpoints expanded (r13): the query materializes
+    its shared split/gram subtrees mid-plan, so the final executed
+    plan alone would show them as ExistingRDD scans and silently
+    stop auditing the dedup/split-rank windows."""
+    plan = plan_of(spark, sf_dir, "eval_set_builder", expand_checkpoints=True)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "SinglePartition" not in plan, plan
