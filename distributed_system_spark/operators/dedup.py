@@ -133,7 +133,41 @@ def minhash_band_signatures_docs(
         F.col(id_col),
         F.array_distinct(F.split(F.col(text_col), " ", -1)).alias("__toks"),
     )
-    toks_arr = F.col("__toks")
+    return _bands_from_token_array(
+        docs, id_col, "__toks", num_hashes, rows_per_band
+    )
+
+
+def minhash_band_signatures_sets(
+    sets_: DataFrame, num_hashes: int = 8, rows_per_band: int = 2
+) -> DataFrame:
+    """(id, band, sig) LSH band signatures derived from a prebuilt
+    ``doc_token_sets`` (id, ts) table — bit-identical to
+    ``minhash_band_signatures_docs`` over the same docs (twin-tested):
+    each per-seed minhash is ``array_min`` over md5 of the DISTINCT
+    tokens, and min over a set is order-independent, so the sorted
+    ``ts`` array yields the exact signature the original-order token
+    array does.
+
+    Why it exists (r13, guide §1.2 "remove unnecessary passes"): every
+    LSH query needs BOTH the band table and the verify token sets, and
+    building them independently tokenizes the corpus twice — two full
+    scans + split + array_distinct over every document.  Deriving the
+    bands from the (checkpointed) set table makes tokenization a
+    single pass; only the 8-md5-per-token minhash arithmetic remains
+    band-specific.  At 100 TB that deletes one complete corpus read."""
+    return _bands_from_token_array(sets_, "id", "ts", num_hashes, rows_per_band)
+
+
+def _bands_from_token_array(
+    df: DataFrame,
+    id_col: str,
+    toks_col: str,
+    num_hashes: int,
+    rows_per_band: int,
+) -> DataFrame:
+    """Shared band-expression body over a (id, token-array) row."""
+    toks_arr = F.col(toks_col)
 
     # NOTE: the per-element lambda must take exactly ONE parameter —
     # PySpark dispatches a two-parameter lambda as (element, index),
@@ -161,7 +195,7 @@ def minhash_band_signatures_docs(
         )
         for b in range(num_hashes // rows_per_band)
     ]
-    return docs.select(
+    return df.select(
         F.col(id_col).alias("id"), F.explode(F.array(*bands)).alias("bs")
     ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
 
@@ -289,36 +323,6 @@ def jaccard_verify(
     return jaccard_verify_sets(pairs, sets_, threshold)
 
 
-def jaccard_verify_docs(
-    pairs: DataFrame,
-    docs: DataFrame,
-    threshold: float,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """:func:`jaccard_verify` straight from (id, text) rows, with the
-    token sets assembled MAP-SIDE (:func:`doc_token_sets`) instead of
-    explode + ``groupBy(collect_set)`` — deleting the one shuffle of
-    the exploded token mass the verify stage still paid (the
-    corpus-scale exchange class: ~100 GB at the 52.5 M-doc fifth
-    decade; the same r11 lesson that motivated ``doc_token_sets``).
-    Bit-identical output: ``doc_token_sets`` ≡ the groupBy form
-    (twin-tested in tests/test_llm_ops.py), and the verify body is
-    shared verbatim.
-
-    The set table is MATERIALIZED once (localCheckpoint): the verify
-    joins it on BOTH pair sides, and without a shuffle there is no
-    exchange for runtime reuse to latch onto, so the map-side build
-    would run twice (measured: contamination_fuzzy regressed before
-    this).  Cached bytes ≈ what the old groupBy's shuffle files held,
-    so peak storage is unchanged while both the shuffle AND the
-    second tokenize pass are gone."""
-    return jaccard_verify_sets(
-        pairs,
-        doc_token_sets(docs, id_col, text_col).localCheckpoint(),
-        threshold,
-    )
-
 
 def jaccard_verify_sets(
     pairs: DataFrame, sets_: DataFrame, threshold: float
@@ -426,30 +430,6 @@ def jaccard_verify_setdedup(
     )
     return jaccard_verify_keyed(pairs, token_set_keyed(sets_), threshold)
 
-
-def jaccard_verify_setdedup_docs(
-    pairs: DataFrame,
-    docs: DataFrame,
-    threshold: float,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """:func:`jaccard_verify_setdedup` straight from (id, text) rows:
-    the keyed fingerprint table is assembled MAP-SIDE
-    (``token_set_keyed(doc_token_sets(docs))``) instead of explode +
-    ``groupBy(collect_set)`` — same shuffle deletion as
-    :func:`jaccard_verify_docs`, same bit-identical contract (the
-    sliced bounded-disk forms already stage exactly this table).
-    Materialized once for the same reason as
-    :func:`jaccard_verify_docs` — the keyed body consumes it three
-    times (both narrow pair sides + the distinct-array fetch)."""
-    return jaccard_verify_keyed(
-        pairs,
-        token_set_keyed(
-            doc_token_sets(docs, id_col, text_col)
-        ).localCheckpoint(),
-        threshold,
-    )
 
 
 def jaccard_verify_keyed(

@@ -15,14 +15,10 @@ from distributed_system_spark.operators.dedup import (
     containment_pairs,
     doc_token_sets,
     doc_tokens,
-    jaccard_verify,
-    jaccard_verify_docs,
     jaccard_verify_keyed,
-    jaccard_verify_setdedup_docs,
-    lsh_band_signatures,
-    minhash_band_signatures_docs,
+    jaccard_verify_sets,
+    minhash_band_signatures_sets,
     lsh_candidate_pairs,
-    minhash_signatures,
     ngram_jaccard_pairs,
     simhash64_docs,
     simhash128_docs,
@@ -240,9 +236,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalable fuzzy-dedup shape. Fully oracle-checked: md5-based
     minhashes are bit-identical across engines."""
     docs = load_table(spark, sf_dir, "documents")
-    bands = minhash_band_signatures_docs(docs)
-    cand = lsh_candidate_pairs(bands)
-    return jaccard_verify_docs(cand, docs, 0.8)
+    # ONE tokenize pass (r13): the checkpointed set table feeds both
+    # the band build (min over distinct tokens ≡ min over tokens) and
+    # the verify joins — the corpus is scanned and split exactly once.
+    sets_ = doc_token_sets(docs).localCheckpoint()
+    cand = lsh_candidate_pairs(minhash_band_signatures_sets(sets_))
+    return jaccard_verify_sets(cand, sets_, 0.8)
 
 
 # 64-bit SimHash CTE: 4 bits per md5 hex digit (bit j of digit d's
@@ -408,10 +407,12 @@ def dedup_minhash_ctrl(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus produces, instead of the all-pairs-are-dups degeneracy of
     the raw synthetic documents table."""
     corpus = _ctrl_corpus(load_table(spark, sf_dir, "documents"))
-    cand = lsh_candidate_pairs(
-        minhash_band_signatures_docs(corpus)
-    )
-    return jaccard_verify_docs(cand, corpus, 0.8)
+    # ONE tokenize pass over the generated corpus (r13): the ctrl
+    # text-rewrite + split runs once into the checkpointed set table;
+    # bands derive from it map-side.
+    sets_ = doc_token_sets(corpus).localCheckpoint()
+    cand = lsh_candidate_pairs(minhash_band_signatures_sets(sets_))
+    return jaccard_verify_sets(cand, sets_, 0.8)
 
 
 @register(
@@ -542,10 +543,14 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standing index and append the survivors.  Same md5 machinery
     as dedup_minhash_lsh, so fully oracle-checked."""
     docs = load_table(spark, sf_dir, "documents")
-    bands = minhash_band_signatures_docs(docs)
-    cand = lsh_candidate_pairs(bands).filter(F.col("id_b") >= 400)
+    # ONE tokenize pass (r13): bands derive from the checkpointed set
+    # table the verify also joins.
+    sets_ = doc_token_sets(docs).localCheckpoint()
+    cand = lsh_candidate_pairs(minhash_band_signatures_sets(sets_)).filter(
+        F.col("id_b") >= 400
+    )
     dup_new = (
-        jaccard_verify_docs(cand, docs, 0.8)
+        jaccard_verify_sets(cand, sets_, 0.8)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
@@ -652,12 +657,15 @@ def dedup_incremental_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles — the documented trade that halved the sf10/sf100d decades
     (SCALE.md round-10 rows)."""
     docs = load_table(spark, sf_dir, "documents")
-    bands = minhash_band_signatures_docs(docs)
-    cand = lsh_candidate_pairs(bands, max_bucket=_BUCKET_CAP).filter(
-        F.col("id_b") >= 400
-    )
+    # ONE tokenize pass (r13): the content-keyed fingerprint table
+    # (id, ts, tsk, n) is checkpointed once and feeds the band build
+    # (from its ts column) AND all three keyed-verify consumers.
+    keyed = token_set_keyed(doc_token_sets(docs)).localCheckpoint()
+    cand = lsh_candidate_pairs(
+        minhash_band_signatures_sets(keyed), max_bucket=_BUCKET_CAP
+    ).filter(F.col("id_b") >= 400)
     dup_new = (
-        jaccard_verify_setdedup_docs(cand, docs, 0.8)
+        jaccard_verify_keyed(cand, keyed, 0.8)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
@@ -956,11 +964,13 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole corpus-gen + gate + exact-dedup subtree (no ReusedExchange
     # fires — plans/r13).  One localCheckpoint = one upstream pass.
     s1 = keepq.join(ex, "doc_id").localCheckpoint()
-    cand = lsh_candidate_pairs(
-        minhash_band_signatures_docs(s1.select("doc_id", "text"))
-    )
+    # ONE tokenize pass over the survivors (r13): bands derive from
+    # the checkpointed set table the verify also joins — s1's text is
+    # split exactly once.
+    sets_ = doc_token_sets(s1.select("doc_id", "text")).localCheckpoint()
+    cand = lsh_candidate_pairs(minhash_band_signatures_sets(sets_))
     dups = (
-        jaccard_verify_docs(cand, s1.select("doc_id", "text"), 0.8)
+        jaccard_verify_sets(cand, sets_, 0.8)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
@@ -1233,11 +1243,13 @@ def curation_pipeline_ctrl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole corpus-gen + gate + exact-dedup subtree (no ReusedExchange
     # fires — plans/r13).  One localCheckpoint = one upstream pass.
     s1 = keepq.join(ex, "doc_id").localCheckpoint()
-    cand = lsh_candidate_pairs(
-        minhash_band_signatures_docs(s1.select("doc_id", "text"))
-    )
+    # ONE tokenize pass over the survivors (r13): bands derive from
+    # the checkpointed set table the verify also joins — s1's text is
+    # split exactly once.
+    sets_ = doc_token_sets(s1.select("doc_id", "text")).localCheckpoint()
+    cand = lsh_candidate_pairs(minhash_band_signatures_sets(sets_))
     dups = (
-        jaccard_verify_docs(cand, s1.select("doc_id", "text"), 0.8)
+        jaccard_verify_sets(cand, sets_, 0.8)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
@@ -1319,34 +1331,65 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     honestly on the controlled-dup corpus).  Estimate, exact, and
     error are integer-ratio doubles, bit-identical across engines."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = doc_tokens(docs)
-    sigs = minhash_signatures(toks, num_hashes=16)
-    bands = lsh_band_signatures(sigs, rows_per_band=4)
+    # ONE tokenize pass, shuffle-free signatures (r13): the 16
+    # per-seed minhashes are per-row array_min expressions over the
+    # distinct-token array — bit-identical to the explode+groupBy
+    # ``minhash_signatures``/``lsh_band_signatures`` build (min over
+    # a set is order-independent; seed order is preserved in the
+    # array), which shuffled 16×|tokens| rows twice.  The keyed row
+    # (id, ts, 16-sig array) is materialized once and feeds the band
+    # derivation AND both candidate join sides — so the estimate/
+    # exact columns ride ONE join per side instead of two.
+    sets_ = doc_token_sets(docs)
+
+    def _seed_min(seed: int):
+        return F.array_min(
+            F.transform(
+                F.col("ts"),
+                lambda tok: F.md5(
+                    F.concat(F.lit(f"{seed}:"), tok).cast("binary")
+                ),
+            )
+        )
+
+    key = sets_.select(
+        "id", "ts", F.array(*[_seed_min(s) for s in range(16)]).alias("sig")
+    ).localCheckpoint()
+    band_structs = [
+        F.struct(
+            F.lit(b).cast("int").alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at("sig", 4 * b + i + 1)
+                        for i in range(4)
+                    ],
+                ).cast("binary")
+            ).alias("sig"),
+        )
+        for b in range(4)
+    ]
+    bands = key.select(
+        "id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     cand = lsh_candidate_pairs(bands)
 
-    ordered = F.transform(
-        F.sort_array(F.collect_list(F.struct("seed", "mh"))),
-        lambda s: s["mh"],
-    )
-    sigarr = sigs.groupBy("id").agg(ordered.alias("sig"))
-    sets_ = toks.groupBy("id").agg(
-        F.sort_array(F.collect_set("tok")).alias("ts")
-    )
     j = (
         cand.join(
-            sigarr.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
+            key.select(
+                F.col("id").alias("id_a"),
+                F.col("sig").alias("sig_a"),
+                F.col("ts").alias("ts_a"),
+            ),
             "id_a",
         )
         .join(
-            sigarr.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
-            "id_b",
-        )
-        .join(
-            sets_.select(F.col("id").alias("id_a"), F.col("ts").alias("ts_a")),
-            "id_a",
-        )
-        .join(
-            sets_.select(F.col("id").alias("id_b"), F.col("ts").alias("ts_b")),
+            key.select(
+                F.col("id").alias("id_b"),
+                F.col("sig").alias("sig_b"),
+                F.col("ts").alias("ts_b"),
+            ),
             "id_b",
         )
     )
@@ -1458,10 +1501,10 @@ def lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < 200
     )
-    toks = doc_tokens(docs)
-    sets_ = toks.groupBy("id").agg(
-        F.sort_array(F.collect_set("tok")).alias("ts")
-    )
+    # ONE tokenize pass over the 200-doc sample (r13): the map-side
+    # set table (≡ the explode+groupBy form, twin-tested) feeds the
+    # exhaustive truth pairs AND the band build.
+    sets_ = doc_token_sets(docs).localCheckpoint()
     a = sets_.select(F.col("id").alias("id_a"), F.col("ts").alias("ts_a"))
     b = sets_.select(F.col("id").alias("id_b"), F.col("ts").alias("ts_b"))
     inter = F.size(F.array_intersect("ts_a", "ts_b"))
@@ -1476,7 +1519,7 @@ def lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cand = lsh_candidate_pairs(
-        minhash_band_signatures_docs(docs)
+        minhash_band_signatures_sets(sets_)
     ).withColumn("is_c", F.lit(1))
     flagged = pairs.join(cand, ["id_a", "id_b"], "left").select(
         F.least(
@@ -1564,20 +1607,29 @@ def dedup_minhash_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pos-0/negative semantics would still emit junk shingles while
     # the oracle's range() is empty — both engines must emit nothing
     # for sub-shingle documents (the n>=2 frame guard of scene_cuts).
-    shingles = docs.filter(F.length("text") >= 3).select(
-        F.col("doc_id").alias("id"),
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, length(text) - 2),"
-                    " i -> substring(text, i, 3))"
+    # ONE shingle pass (r13): the per-doc distinct-shingle array is
+    # materialized once map-side and feeds the band build (min over a
+    # set is order-independent — bit-identical to the explode+groupBy
+    # minhash_signatures/lsh_band_signatures build) AND both verify
+    # joins; the old form exploded the shingle mass through two
+    # signature shuffles plus a collect_set re-shuffle.
+    sets_ = (
+        docs.filter(F.length("text") >= 3)
+        .select(
+            F.col("doc_id").alias("id"),
+            F.array_sort(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, length(text) - 2),"
+                        " i -> substring(text, i, 3))"
+                    )
                 )
-            )
-        ).alias("tok"),
+            ).alias("ts"),
+        )
+        .localCheckpoint()
     )
-    sigs = minhash_signatures(shingles, num_hashes=8)
-    cand = lsh_candidate_pairs(lsh_band_signatures(sigs, rows_per_band=2))
-    return jaccard_verify(cand, shingles, 0.9)
+    cand = lsh_candidate_pairs(minhash_band_signatures_sets(sets_))
+    return jaccard_verify_sets(cand, sets_, 0.9)
 
 
 @register(
@@ -1757,11 +1809,13 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole corpus-gen + gate + exact-dedup subtree (no ReusedExchange
     # fires — plans/r13).  One localCheckpoint = one upstream pass.
     s1 = keepq.join(ex, "doc_id").localCheckpoint()
-    cand = lsh_candidate_pairs(
-        minhash_band_signatures_docs(s1.select("doc_id", "text"))
-    )
+    # ONE tokenize pass over the survivors (r13): bands derive from
+    # the checkpointed set table the verify also joins — s1's text is
+    # split exactly once.
+    sets_ = doc_token_sets(s1.select("doc_id", "text")).localCheckpoint()
+    cand = lsh_candidate_pairs(minhash_band_signatures_sets(sets_))
     dups = (
-        jaccard_verify_docs(cand, s1.select("doc_id", "text"), 0.8)
+        jaccard_verify_sets(cand, sets_, 0.8)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
@@ -1870,10 +1924,11 @@ def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    cand = lsh_candidate_pairs(
-        minhash_band_signatures_docs(docs)
-    )
-    textp = jaccard_verify_docs(cand, docs, 0.8).select("id_a", "id_b")
+    # ONE tokenize pass (r13): bands derive from the checkpointed set
+    # table the verify also joins.
+    sets_ = doc_token_sets(docs).localCheckpoint()
+    cand = lsh_candidate_pairs(minhash_band_signatures_sets(sets_))
+    textp = jaccard_verify_sets(cand, sets_, 0.8).select("id_a", "id_b")
 
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select(
@@ -2340,12 +2395,14 @@ def dedup_incremental_ctrl(spark: SparkSession, sf_dir: str) -> DataFrame:
     standing band index and survivors append."""
     docs = load_table(spark, sf_dir, "documents")
     corpus = _ctrl_corpus(docs)
-    bands = minhash_band_signatures_docs(corpus)
-    cand = lsh_candidate_pairs(bands).filter(
+    # ONE tokenize pass over the generated corpus (r13): the ctrl
+    # text-rewrite + split runs once into the checkpointed set table.
+    sets_ = doc_token_sets(corpus).localCheckpoint()
+    cand = lsh_candidate_pairs(minhash_band_signatures_sets(sets_)).filter(
         F.col("id_b") >= _CTRL_CLONE_OFFSET
     )
     dup_new = (
-        jaccard_verify_docs(cand, corpus, 0.8)
+        jaccard_verify_sets(cand, sets_, 0.8)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
         .withColumn("hit", F.lit(1))
@@ -2965,9 +3022,11 @@ def dataset_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    bands = minhash_band_signatures_docs(docs)
-    cand = lsh_candidate_pairs(bands)
-    pairs = jaccard_verify_docs(cand, docs, 0.8)
+    # ONE tokenize pass (r13): bands derive from the checkpointed set
+    # table the verify also joins.
+    sets_ = doc_token_sets(docs).localCheckpoint()
+    cand = lsh_candidate_pairs(minhash_band_signatures_sets(sets_))
+    pairs = jaccard_verify_sets(cand, sets_, 0.8)
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
@@ -3078,12 +3137,26 @@ def contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     nonval = docs.withColumn("split", split).filter(
         F.col("split") != "val"
     )
-    bands = minhash_band_signatures_docs(nonval)
-    sides = nonval.select(F.col("doc_id").alias("id"), "split")
-    # te and tr are two consumers of the split-labeled band table —
-    # materialize it once or the 8-md5-per-token band build runs
-    # twice (no ReusedExchange across the branches; plans/r13).
-    bl = bands.join(sides, "id").localCheckpoint()
+    # ONE tokenize pass (r13): the checkpointed set table feeds the
+    # band build and both verify joins.
+    sets_ = doc_token_sets(nonval).localCheckpoint()
+    # te and tr are two consumers of the band table — materialize it
+    # once or the 8-md5-per-token band build runs twice (no
+    # ReusedExchange across the branches; plans/r13).  The split
+    # label is a pure function of doc_id, so it is RE-DERIVED on the
+    # band rows map-side instead of joined back from the docs table —
+    # the r12 form paid a full bands⋈sides shuffle join for a column
+    # an md5 expression computes in place (guide §2.4).
+    b2i = F.substring(
+        F.md5(F.col("id").cast("string").cast("binary")), 1, 2
+    )
+    bl = (
+        minhash_band_signatures_sets(sets_)
+        .withColumn(
+            "split", F.when(b2i < "cd", "train").otherwise("test")
+        )
+        .localCheckpoint()
+    )
     te = bl.filter(F.col("split") == "test").select(
         F.col("id").alias("id_a"), "band", "sig"
     )
@@ -3091,7 +3164,7 @@ def contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("id_b"), "band", "sig"
     )
     cand = te.join(tr, ["band", "sig"]).select("id_a", "id_b").distinct()
-    return jaccard_verify_docs(cand, nonval, 0.7).select(
+    return jaccard_verify_sets(cand, sets_, 0.7).select(
         F.col("id_a").alias("test_doc"),
         F.col("id_b").alias("train_doc"),
         "jaccard",
@@ -3175,10 +3248,10 @@ def dataset_group_kfold_ctrl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     corpus = _ctrl_corpus(load_table(spark, sf_dir, "documents"))
-    cand = lsh_candidate_pairs(
-        minhash_band_signatures_docs(corpus)
-    )
-    pairs = jaccard_verify_docs(cand, corpus, 0.8)
+    # ONE tokenize pass over the generated corpus (r13).
+    sets_ = doc_token_sets(corpus).localCheckpoint()
+    cand = lsh_candidate_pairs(minhash_band_signatures_sets(sets_))
+    pairs = jaccard_verify_sets(cand, sets_, 0.8)
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
@@ -3265,19 +3338,24 @@ def dedup_incremental_capped_sliced(
     docs = load_table(spark, sf_dir, "documents")
     n_slices = _slice_count("SPARK_GRAFT_LSH_SLICES")
     root = _staging_root("dss-cappedsl", sf_dir, n_slices)
-    minhash_band_signatures_docs(docs).write.mode("overwrite").parquet(
-        f"{root}/bands"
-    )
+    # ONE corpus scan for stage 0 (r13): the keyed set table stages
+    # first, then the band table derives from the STAGED ts arrays
+    # (min over distinct tokens ≡ min over tokens, twin-tested) — the
+    # corpus is read and tokenized once instead of twice, and the
+    # band staging reads the narrow parquet it just wrote.
     token_set_keyed(doc_token_sets(docs)).write.mode(
         "overwrite"
     ).parquet(f"{root}/keyed")
+    keyed = spark.read.schema(
+        "id BIGINT, ts ARRAY<STRING>, tsk BINARY, n BIGINT"
+    ).parquet(f"{root}/keyed")
+    minhash_band_signatures_sets(keyed).write.mode(
+        "overwrite"
+    ).parquet(f"{root}/bands")
     spark.sparkContext._jvm.System.gc()
     bands = spark.read.schema("id BIGINT, band INT, sig STRING").parquet(
         f"{root}/bands"
     )
-    keyed = spark.read.schema(
-        "id BIGINT, ts ARRAY<STRING>, tsk BINARY, n BIGINT"
-    ).parquet(f"{root}/keyed")
     bucket = F.conv(F.substring("sig", 1, 2), 16, 10).cast(
         "int"
     ) % n_slices

@@ -758,7 +758,7 @@ def signature_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from distributed_system_spark.operators.dedup import (
         doc_token_sets,
-        minhash_band_signatures_docs,
+        minhash_band_signatures_sets,
     )
 
     src = f"{sf_dir.rstrip('/')}/documents.parquet"
@@ -774,13 +774,15 @@ def signature_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
         docs = batch_df.localCheckpoint(eager=True)
-        # shuffle-free band build (round-10): same md5 composition,
-        # so the STANDING index written by earlier batches stays valid
-        bands = minhash_band_signatures_docs(docs)
         # token sets assembled map-side (doc_token_sets ≡ the explode
         # + groupBy(collect_set) form, twin-tested) — the r13 shuffle
-        # deletion applied to the per-batch index piece as well
-        tsets = doc_token_sets(docs)
+        # deletion applied to the per-batch index piece as well; the
+        # band build derives from the same set table (min over
+        # distinct tokens ≡ min over tokens, same md5 composition, so
+        # the STANDING index written by earlier batches stays valid)
+        # — the batch is tokenized ONCE, not once per table
+        tsets = doc_token_sets(docs).localCheckpoint(eager=True)
+        bands = minhash_band_signatures_sets(tsets)
         have_index = _index_exists(s, bands_dir)
         if have_index:
             idx_bands = s.read.schema(bands_schema).parquet(bands_dir)

@@ -1282,6 +1282,41 @@ def test_minhash_band_docs_twin_bit_identical(spark, sf_dir):
     assert new.exceptAll(old).count() == 0
 
 
+def test_minhash_band_sets_twin_bit_identical(spark, sf_dir):
+    """Bands derived from the doc_token_sets table equal the
+    straight-from-documents build bit-for-bit — min over the sorted
+    DISTINCT token array is the same minhash as min over the
+    original-order tokens, the invariant that lets every LSH query
+    tokenize the corpus ONCE (r13: the set table feeds both the band
+    build and the verify joins).  Also pins the 16-hash/4-row
+    composition minhash_calibration now builds map-side."""
+    from distributed_system_spark.operators.dedup import (
+        doc_token_sets,
+        lsh_band_signatures,
+        minhash_band_signatures_docs,
+        minhash_band_signatures_sets,
+        minhash_signatures,
+    )
+    from distributed_system_spark.sources.tables import load_table as lt
+
+    docs = lt(spark, sf_dir, "documents")
+    sets_ = doc_token_sets(docs)
+    old = minhash_band_signatures_docs(docs)
+    new = minhash_band_signatures_sets(sets_)
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+    # 16-hash / 4-rows-per-band geometry (the calibration query's)
+    old16 = lsh_band_signatures(
+        minhash_signatures(doc_tokens(docs), num_hashes=16),
+        rows_per_band=4,
+    )
+    new16 = minhash_band_signatures_sets(
+        sets_, num_hashes=16, rows_per_band=4
+    )
+    assert old16.exceptAll(new16).count() == 0
+    assert new16.exceptAll(old16).count() == 0
+
+
 def test_minhash_band_docs_drops_null_text(spark):
     """Null-text docs emit NO band rows — matching the explode build
     (explode of a null array emits nothing).  Without the up-front
