@@ -786,13 +786,19 @@ def dedup_crosslingual_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a hot entity (the anti-join matches raw).  The pair join
     # downstream shuffles on md5(entity), where a collision can only
     # ADD a candidate the Jaccard verify then scores, never drop one.
+    # The exploded entity table feeds FIVE consumers (md5-occupancy
+    # pass, exact hot recount, the anti-join probe, and — via sz
+    # below — both size lookups); unmaterialized, each re-executed
+    # the corpus-gen + entity-extraction subtree (32 parquet scans in
+    # plans/r13/dedup_crosslingual_entities_before.txt).  One
+    # checkpoint of the narrow exploded rows bounds that (r13).
     e0 = corpus.select(
         F.col("doc_id").alias("id"),
         "lang",
         F.explode("ents").alias("ent"),
     ).select(
         "id", "lang", "ent", F.md5(F.col("ent").cast("binary")).alias("eh")
-    )
+    ).localCheckpoint()
     hot_eh = (
         e0.groupBy("eh")
         .agg(F.count(F.lit(1)).alias("occ"))
@@ -825,7 +831,15 @@ def dedup_crosslingual_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_shared"),
         )
     )
-    sz = corpus.select("doc_id", F.size("ents").alias("n"))
+    # Entity-set sizes from the CACHED exploded table: ents is
+    # array_distinct, so count-per-id over e0 == size(ents) for every
+    # doc with >= 1 entity — and a doc in any pair has >= 1 shared
+    # entity, so the join below never needs the zero-entity rows the
+    # groupBy drops.  Re-deriving from corpus would re-run the whole
+    # entity build a 4th/5th time (r13).
+    sz = e0.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
     jac = F.round(
         (
             F.col("n_shared").cast("double")
