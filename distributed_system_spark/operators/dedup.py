@@ -911,6 +911,12 @@ def simhash128_neardup_pairs(
             f"4-band banding is only lossless for max_hamming <= 3 "
             f"({max_hamming} > 3)"
         )
+    # The fingerprint table feeds BOTH sides of the band self-join;
+    # left lazy, the upstream mapInPandas SimHash pass (a full corpus
+    # scan + numpy pass) executes twice — no ReusedExchange fires
+    # across the differently-aliased sides.  One checkpoint of the
+    # narrow (id, sh1, sh0) rows bounds it to once (r13).
+    fp = fp.localCheckpoint()
     band = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band")
     bucket = F.expr(
         "CASE band WHEN 0 THEN shiftright(sh1, 32) & 4294967295 "
@@ -972,6 +978,10 @@ def simhash_neardup_pairs(
             f"banding is only lossless for max_hamming <= bands-1 "
             f"({max_hamming} > {bands - 1})"
         )
+    # Same two-sided self-join as the 128-bit form: checkpoint the
+    # narrow (id, simhash) rows once so the upstream fingerprint pass
+    # (mapInPandas over the whole corpus) runs once, not per side (r13).
+    fp = fp.localCheckpoint()
     band = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     mask = (1 << band_bits) - 1
     banded = fp.select("id", "simhash", band).withColumn(

@@ -401,7 +401,11 @@ def dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length("text") >= 24
     )
-    sigs = image_ahash(ppm_payloads(docs), bits=32)
+    # sigs feeds FIVE consumers (usig -> both band-join sides, da, db,
+    # and both sides of the same-sig join); left lazy each re-runs the
+    # PPM decode + average-hash Arrow pass over the whole corpus.  One
+    # checkpoint of the narrow (doc_id, sig) rows bounds it (r13).
+    sigs = image_ahash(ppm_payloads(docs), bits=32).localCheckpoint()
     usig = sigs.select("sig").distinct()
     bands = usig.select(
         "sig",
@@ -731,7 +735,10 @@ def crossmodal_dedup_ctrl(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _xmodal_ctrl(
         load_table(spark, sf_dir, "documents")
     ).filter(F.length("text") >= 24)
-    sigs = image_ahash(ppm_payloads(corpus), bits=60)
+    # Same five-consumer shape as dedup_phash_hamming: checkpoint the
+    # narrow 60-bit (doc_id, sig) rows so the ctrl-corpus generation +
+    # PPM decode + average-hash pass runs once, not 5x (r13).
+    sigs = image_ahash(ppm_payloads(corpus), bits=60).localCheckpoint()
     usig = sigs.select("sig").distinct()
     bands = usig.select(
         "sig",
