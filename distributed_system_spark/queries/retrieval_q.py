@@ -71,41 +71,76 @@ _BM25_SCORED_SQL = f"""d AS (
 
 def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, score) BM25 scores for the fixed query-term set —
-    the shared core of text_bm25_topk and search_hybrid_rrf."""
+    the shared core of text_bm25_topk and search_hybrid_rrf.
+
+    Single-pass shape (r13): the corpus is tokenized ONCE and one
+    groupBy(doc_id) emits (dl, tf_0..tf_4) — map-side partial
+    aggregation collapses the exploded token stream to one narrow row
+    per doc before the exchange, so the shuffle carries ~n_docs rows,
+    not the token stream.  Corpus stats (n_docs, sum_dl) and the five
+    per-term document frequencies ride ONE scalar aggregate over that
+    same base (df_t = docs with tf_t > 0, exactly the old dft
+    count), broadcast back, and the score assembles map-side: per
+    term, contrib = cast((idf * tf * (k1+1)) / denom AS
+    DECIMAL(18,6)) — the identical double expression as the old
+    join form, so each contrib is bit-identical — and the doc score
+    is the exact decimal sum of the five contribs (terms with tf = 0
+    contribute exactly 0.000000, so including them cannot move the
+    exact sum).  Docs with no query term are filtered out, preserving
+    the old inner-join semantics.  The old form scanned the corpus
+    three times (tf branch, dl join, stats) and shuffled a
+    (doc_id, term) join; both are gone."""
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select("doc_id", F.split("text", " ", -1).alias("toks"))
-    dl = d.select("doc_id", F.size("toks").cast("long").alias("dl"))
-    stats = dl.agg(
+    nterms = len(_BM25_TERMS)
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("term")
+    )
+    # base feeds the scalar-stats aggregate AND the scored branch;
+    # checkpointing the narrow per-doc rows guarantees the tokenize
+    # pass runs once (the two identical Exchange subtrees were NOT
+    # deduplicated in the static plan — plans/r13).
+    base = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl"),
+        *[
+            F.sum((F.col("term") == F.lit(t)).cast("long")).alias(
+                f"tf_{i}"
+            )
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    ).localCheckpoint()
+    stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(nterms)
+        ],
     )
-    toks = d.select("doc_id", F.explode("toks").alias("term")).filter(
-        F.col("term").isin(*_BM25_TERMS)
-    )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-
-    joined = (
-        tf.join(F.broadcast(dft), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-    )
+    hit = base.filter(
+        sum(F.col(f"tf_{i}") for i in range(nterms)) > 0
+    ).crossJoin(F.broadcast(stats))
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-    )
-    denom = F.col("tf") + F.lit(_K1) * (
-        F.lit(1 - _B) + F.lit(_B) * (F.col("dl").cast("double") / avgdl)
-    )
-    contrib = (
-        (idf * F.col("tf") * F.lit(_K1 + 1)) / denom
-    ).cast("decimal(18,6)")
-    return (
-        joined.select("doc_id", contrib.alias("contrib"))
-        .groupBy("doc_id")
-        .agg(F.sum("contrib").cast("double").alias("score"))
+
+    def contrib(i: int):
+        tf = F.col(f"tf_{i}")
+        df = F.col(f"df_{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5))
+        )
+        denom = tf + F.lit(_K1) * (
+            F.lit(1 - _B)
+            + F.lit(_B) * (F.col("dl").cast("double") / avgdl)
+        )
+        return ((idf * tf * F.lit(_K1 + 1)) / denom).cast(
+            "decimal(18,6)"
+        )
+
+    score = contrib(0)
+    for i in range(1, nterms):
+        score = score + contrib(i)
+    return hit.select(
+        "doc_id", score.cast("double").alias("score")
     )
 
 
@@ -213,8 +248,23 @@ def text_lm_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = t.select(
         "doc_id", F.explode(F.array(grams)).alias("gs")
     ).select("doc_id", F.explode("gs").alias("bg"))
-    tfb = occ.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("tf_b"))
-    cb = tfb.groupBy("bg").agg(F.sum("tf_b").alias("cb"))
+    # tfb feeds THREE consumers (the corpus bigram table cb, the head
+    # table ch via cb, and the final per-doc join); left lazy each
+    # re-executed the scan + bigram explode + groupBy subtree — the
+    # before plan re-tokenized the corpus 3x (plans/r13).  Checkpoint
+    # the aggregated (doc_id, bg, tf_b) rows once (bounded by distinct
+    # per-doc bigrams, ~ the shuffle its own groupBy already paid) and
+    # the small corpus-level cb table it feeds (r13).
+    tfb = (
+        occ.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("tf_b"))
+        .localCheckpoint()
+    )
+    cb = (
+        tfb.groupBy("bg")
+        .agg(F.sum("tf_b").alias("cb"))
+        .localCheckpoint()
+    )
     ch = cb.groupBy(F.split("bg", " ", -1)[0].alias("w1")).agg(
         F.sum("cb").alias("ch")
     )

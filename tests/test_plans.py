@@ -469,13 +469,22 @@ def test_semdedup_pair_search_is_cluster_equi_join(spark, sf_dir):
 
 
 def test_bm25_broadcasts_stats_and_takes_ordered(spark, sf_dir):
-    """text_bm25_topk: the df/corpus-stats sides are broadcast (|terms|
-    rows and 1 row), the top-20 is TakeOrderedAndProject — never a
-    global sort — and nothing degenerates into a cartesian product."""
+    """text_bm25_topk single-pass shape (r13): per-doc (dl, tf_0..4)
+    rows come from ONE tokenize + groupBy(doc_id) (map-side partial
+    agg — the exchange carries ~n_docs narrow rows, not the token
+    stream), the 1-row stats/df aggregate rides a broadcast
+    nested-loop cross join (1-row build side — bounded), the top-20
+    is TakeOrderedAndProject — never a global sort — and the old
+    (doc_id, term) hash joins are gone entirely."""
     plan = plan_of(spark, sf_dir, "text_bm25_topk")
     assert "TakeOrderedAndProject" in plan, plan
-    assert "BroadcastHashJoin" in plan, plan
+    assert re.search(
+        r"BroadcastNestedLoopJoin (Cross BuildRight|BuildRight, Cross)",
+        plan,
+    ), plan
     assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
 
 
 def test_token_ids_vocab_broadcasts(spark, sf_dir):
