@@ -74,7 +74,16 @@ def _dot_seq_udf():
             acc = acc + ma[:, i] * mb[:, i]
         return pd.Series(acc)
 
-    return _fold
+    # asNondeterministic (it IS deterministic — this only disables
+    # optimizer rewrites): without it, pushing the caller's
+    # `cos >= threshold` filter through the projection that computes
+    # `cos` re-expands the UDF into the Filter, leaving TWO
+    # ArrowEvalPython nodes that each ship both 64-dim vectors per
+    # candidate across the Arrow boundary — the verify paid its
+    # dominant cost twice (plans/r13/lsh_neardup_*_before.txt).  With
+    # the barrier the dot crosses once and the filter reads the
+    # materialized column (r13).
+    return _fold.asNondeterministic()
 
 
 # Lazy singleton: pandas_udf registration needs an active
@@ -611,7 +620,12 @@ def lsh_neardup_pairs(
     candidate volume scales as bands/2^bits of all-pairs, i.e. ~1e-5
     of n^2 at (48 bands, 20 bits) with ~99.8% recall.
     """
-    bb = banded_lsh_buckets(vecs, bits_per_band, bands)
+    # bb feeds BOTH sides of the band self-join; left lazy the
+    # signature pandas_udf (a dense matmul over every vector) executes
+    # twice — no ReusedExchange fires across the differently-aliased
+    # sides.  One checkpoint of the narrow (id, band, bucket) rows
+    # bounds it to once (r13).
+    bb = banded_lsh_buckets(vecs, bits_per_band, bands).localCheckpoint()
     left = bb.select(F.col("id").alias("id_a"), "band", "bucket")
     right = bb.select(F.col("id").alias("id_b"), "band", "bucket")
     cand = (
@@ -627,7 +641,12 @@ def lsh_neardup_pairs(
     # set).  Cross-engine safety is preserved: the per-doc norm is
     # the same sequential fold over the same array, so the reused
     # double is bit-identical to the oracle's per-pair recomputation.
-    withn = vecs.select("id", "vec", norm(F.col("vec")).alias("nrm"))
+    # Same two-consumer shape for the verify inputs: one checkpoint of
+    # (id, vec, nrm) keeps the vecs subtree (scan/union/twin synthesis
+    # at the call sites) and the norm fold to a single execution (r13).
+    withn = vecs.select(
+        "id", "vec", norm(F.col("vec")).alias("nrm")
+    ).localCheckpoint()
     va = withn.select(
         F.col("id").alias("id_a"),
         F.col("vec").alias("va"),

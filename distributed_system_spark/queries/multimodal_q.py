@@ -906,7 +906,10 @@ def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length("text") >= 32
     )
-    fp = audio_fingerprint(wav_payloads(docs))
+    # fp feeds the share-count groupBy AND the join-back left side;
+    # left lazy both re-run the WAV encode->decode->energy Arrow pass.
+    # One checkpoint of the narrow (doc_id, afp) rows bounds it (r13).
+    fp = audio_fingerprint(wav_payloads(docs)).localCheckpoint()
     counts = fp.groupBy("afp").agg(F.count(F.lit(1)).alias("n_same"))
     return fp.join(counts, "afp").select(
         "doc_id", "afp", F.col("n_same").cast("long").alias("n_same")

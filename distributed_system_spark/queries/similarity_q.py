@@ -12,6 +12,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -282,12 +283,18 @@ def _assign_adaptive_cells(e: DataFrame) -> DataFrame:
 def _assign_cells_fixed(e: DataFrame, bits: int) -> DataFrame:
     """The fixed-width core of :func:`_assign_adaptive_cells`:
     hyperplane-signature assignment with a CALLER-pinned ``bits`` —
-    also used directly by ``ann_index_upsert``, where the quantizer
-    width is frozen at index creation (an index whose cell ids shift
-    with corpus size would invalidate its own postings)."""
+    used by ``ann_index_upsert``, where the quantizer width is frozen
+    at index creation (an index whose cell ids shift with corpus size
+    would invalidate its own postings).  Returns (vec_id, nrm,
+    cluster): the vector NORM rides the same numpy pass (sum of
+    squares accumulated per DIMENSION, left to right — the exact fold
+    order of norm()'s aggregate(zip_with) and the oracle's list_sum,
+    so the double is bit-identical), which deletes the old
+    norm-side/assign-side join: the delta was scanned twice and
+    shuffled on vec_id per day just to glue nrm back onto its own
+    assignment (r13, plans/r13/ann_index_upsert_before.txt)."""
     from distributed_system_spark.operators.similarity import (
         _band_weight_arrays,
-        norm,
     )
 
     w = np.array(_band_weight_arrays(bits, 1), dtype=np.float64)
@@ -302,24 +309,24 @@ def _assign_cells_fixed(e: DataFrame, bits: int) -> DataFrame:
                 continue
             mat = np.vstack(pdf["v"].to_numpy())
             acc = mat[:, 0, None] * w[:, 0][None, :]
+            nsq = mat[:, 0] * mat[:, 0]
             for i in range(1, mat.shape[1]):
                 acc = acc + mat[:, i, None] * w[:, i][None, :]
+                nsq = nsq + mat[:, i] * mat[:, i]
             cell = ((acc > 0).astype(np.int64) * shifts[None, :]).sum(
                 axis=1
             )
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),
+                    "nrm": np.sqrt(nsq),
                     "cluster": cell.astype(np.int32),
                 }
             )
 
-    assign = e.select("vec_id", "v").mapInPandas(
-        assign_batches, "vec_id long, cluster int"
+    return e.select("vec_id", "v").mapInPandas(
+        assign_batches, "vec_id long, nrm double, cluster int"
     )
-    return e.withColumn("nrm", norm(F.col("v"))).join(
-        assign, "vec_id"
-    ).select("vec_id", "v", "nrm", "cluster")
 
 
 def _cell_pair_dots(
@@ -1027,26 +1034,46 @@ def _kmeans_assign(
 ) -> DataFrame:
     """Nearest-centroid assignment against k centroid LITERALS
     (rounded squared distance, centroid-id tiebreak) — the
-    embarrassingly-parallel half of a Lloyd iteration."""
+    embarrassingly-parallel half of a Lloyd iteration.
+
+    The k squared distances are computed in ONE vectorized pandas_udf
+    (r13): the old per-centroid zip_with + aggregate lambdas are
+    interpreted expression trees evaluated k x dim times per row —
+    the same non-codegen HOF cost _assign_adaptive_cells' docstring
+    measured at 5x — where numpy does the identical arithmetic as a
+    batched (n x k) accumulation.  Bit-parity: differences square and
+    accumulate per DIMENSION, left to right, exactly the fold order
+    of aggregate(zip_with(...)) (whose 0.0 + t0 seed is exact), so
+    every distance double is bit-identical to the old form's, and the
+    round-to-6 + (d, cid) array_min tiebreak stay JVM-side untouched
+    — cross-engine rounding parity is not in play."""
+    ids = [int(cid) for cid, _ in cents]
+    w = np.array([vec for _, vec in cents], dtype=np.float64)
+
+    @F.pandas_udf("array<double>")
+    def dists(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array(vs.tolist(), dtype=np.float64)
+        d0 = mat[:, 0, None] - w[None, :, 0]
+        acc = d0 * d0
+        for i in range(1, mat.shape[1]):
+            di = mat[:, i, None] - w[None, :, i]
+            acc = acc + di * di
+        return pd.Series(list(acc))
+
     choices = [
         F.struct(
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        "v",
-                        F.array(*[F.lit(float(x)) for x in vec]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            ).alias("d"),
-            F.lit(int(cid)).cast("int").alias("cid"),
+            F.round(F.element_at("_kd", j + 1), 6).alias("d"),
+            F.lit(ids[j]).cast("int").alias("cid"),
         )
-        for cid, vec in cents
+        for j in range(len(cents))
     ]
-    return df.withColumn("cluster", F.array_min(F.array(*choices))["cid"])
+    return (
+        df.withColumn("_kd", dists("v"))
+        .withColumn("cluster", F.array_min(F.array(*choices))["cid"])
+        .drop("_kd")
+    )
 
 
 def _lloyd_round(
@@ -2590,10 +2617,14 @@ def ann_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("id_a").orderBy(
         F.col("cos").desc(), "id_b"
     )
+    # top feeds BOTH sides of the mutuality self-join; left lazy each
+    # side re-ran the whole cell-assign + gram + ranking pipeline.
+    # One checkpoint of the ~n*5 narrow edge rows bounds it (r13).
     top = (
         pairs.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
         .select("id_a", "id_b", "cos")
+        .localCheckpoint()
     )
     rev = top.select(
         F.col("id_a").alias("id_b"), F.col("id_b").alias("id_a")

@@ -3718,15 +3718,21 @@ def domain_quota_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     never leaves 256-way parallelism).  All-integer arithmetic, so
     engine parity is exact."""
     docs = load_table(spark, sf_dir, "documents")
+    # t feeds the level-1 ranking AND the per-source total; dom feeds
+    # the level-2 ranking AND the survivor count — left lazy each
+    # consumer re-ran the tokenize-count scan / the level-1 bucketed
+    # window.  Checkpoint both narrow (doc_id, source, n_toks)
+    # projections once (r13).
     t = docs.select(
         "doc_id",
         "source",
         F.size(F.split("text", " ", -1)).cast("long").alias("n_toks"),
-    )
+    ).localCheckpoint()
     dom = (
         _lang_bucket_rank(t, cum_col="n_toks", key="source")
         .filter(F.col("cum") <= _DOMAIN_CAP)
         .select("doc_id", "source", "n_toks")
+        .localCheckpoint()
     )
     fin = (
         _lang_bucket_rank(

@@ -963,8 +963,12 @@ def test_mutual_knn_graph_cell_bounded(spark, sf_dir):
     """ann_mutual_knn_graph: neighborhoods come from the cell-bounded
     pair set (no cartesian anywhere); the mutuality check is an
     equi-join on the (id, id) edge key, and the per-source top-5 is a
-    rank window, not a global sort."""
-    plan = plan_of(spark, sf_dir, "ann_mutual_knn_graph")
+    rank window, not a global sort.  The top-5 edge set is
+    checkpointed before the mutuality join (r13) — expand it so the
+    assertions keep auditing the full pipeline."""
+    plan = plan_of(
+        spark, sf_dir, "ann_mutual_knn_graph", expand_checkpoints=True
+    )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert re.search(r"FlatMapGroupsInPandas \[cluster", plan), plan
@@ -1231,8 +1235,12 @@ def test_domain_quota_both_levels_bucketed(spark, sf_dir):
     naive form would be one task per domain plus ONE task for the
     whole corpus.  A SinglePartition exchange appears only over the
     tiny 256-row offset tables, never over document rows: both
-    full-data running sums must show the bucketed spec."""
-    plan = plan_of(spark, sf_dir, "domain_quota_curation")
+    full-data running sums must show the bucketed spec.  The t/dom
+    projections are checkpointed (r13) — expand them so both window
+    specs stay visible to the assertions."""
+    plan = plan_of(
+        spark, sf_dir, "domain_quota_curation", expand_checkpoints=True
+    )
     assert re.search(
         r"sum\(n_toks#\d+L?\) windowspecdefinition\(source#\d+, _bkt#\d+",
         plan,
