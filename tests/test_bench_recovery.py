@@ -94,3 +94,25 @@ def test_phase_report_closed_windows_still_get_readout(tmp_path):
     report = db._phase_report(str(log), samples, 250.0)
     assert set(report) == {"day0", "readout"}
     assert report["readout"]["wall_sec"] == 50.0
+
+
+def test_time_query_leaves_no_persistent_rdds(spark):
+    """_time_query must drop every persisted RDD block after the wall
+    is captured (r13 measurement hygiene): the shared-subtree
+    localCheckpoints several queries build are never unpersisted by
+    the query itself, and leftovers accumulating across a 60-query
+    bench JVM compete with execution memory, polluting later
+    queries' timings.  (This one test does use the session fixture,
+    unlike the pure-python salvage tests above.)"""
+    from bench import _time_query
+    from distributed_system_spark.queries import load_all
+
+    registry = load_all()
+    # dedup_minhash_ctrl builds several localCheckpoints (band table,
+    # token-set table) — representative of the leftover class.
+    t = _time_query(
+        spark, registry, "dedup_minhash_ctrl", "/root/testdata/sf0.001"
+    )
+    assert t > 0
+    leftover = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert leftover == 0, f"{leftover} persisted RDDs survived"
