@@ -401,11 +401,7 @@ def dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length("text") >= 24
     )
-    # sigs feeds FIVE consumers (usig -> both band-join sides, da, db,
-    # and both sides of the same-sig join); left lazy each re-runs the
-    # PPM decode + average-hash Arrow pass over the whole corpus.  One
-    # checkpoint of the narrow (doc_id, sig) rows bounds it (r13).
-    sigs = image_ahash(ppm_payloads(docs), bits=32).localCheckpoint()
+    sigs = image_ahash(ppm_payloads(docs), bits=32)
     usig = sigs.select("sig").distinct()
     bands = usig.select(
         "sig",
