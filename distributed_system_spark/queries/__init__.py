@@ -572,16 +572,21 @@ _EXTERNALLY_VERIFIED = _EXTERNALLY_VERIFIED - _CHANGED_SINCE_VERIFIED_R13
 # executed plan changed in the r13 optimization passes — map-side
 # token sets, sets-derived band signatures, shared-subtree
 # localCheckpoints, the single-pass BM25 rebuild, the vectorized
-# k-means assignment, the norm-riding fixed-cell assigner, and the
-# dot_seq single-hop barrier.  All are behavior-identical (oracles
-# unchanged, each re-greened locally at sf0.01 AND sf0.001 this
-# round), but external verification must postdate the last executed-
-# plan change — the r12 discipline applied to plan-only edits too.
+# k-means assignment, the norm-riding fixed-cell assigner, the
+# dot_seq single-hop barrier, and the thread-pooled independent
+# batch jobs (ann_index_upsert day writes and both standing-index
+# incr forms' arrival batches — lazy readout plans identical, but
+# the eager job submission changed).  All are behavior-identical
+# (oracles unchanged, each re-greened locally at sf0.01 AND sf0.001
+# this round), but external verification must postdate the last
+# executed-plan change — the r12 discipline applied to plan-only
+# edits too.
 _CHANGED_SINCE_VERIFIED_R13_OPT = frozenset(
     {
         "ann_index_balance", "ann_index_upsert", "ann_ivf_kmeans",
         "ann_mutual_knn_graph", "cluster_purity_eval",
-        "contamination_fuzzy", "crossmodal_dedup_ctrl",
+        "contamination_fuzzy", "contamination_incr",
+        "crossmodal_dedup_ctrl",
         "crossmodal_dedup_pipeline", "curation_funnel_report",
         "curation_pipeline", "curation_pipeline_ctrl",
         "dataset_group_kfold", "dataset_group_kfold_ctrl",
@@ -590,7 +595,8 @@ _CHANGED_SINCE_VERIFIED_R13_OPT = frozenset(
         "dedup_incremental_ctrl", "dedup_keep_best",
         "dedup_minhash_ctrl", "dedup_minhash_lsh",
         "dedup_minhash_shingles", "dedup_modality_agreement",
-        "dedup_phash_hamming", "domain_quota_curation",
+        "dedup_phash_hamming", "dedup_substring_chains_incr",
+        "domain_quota_curation",
         "embedding_neardup", "eval_set_builder", "kmeans_clusters",
         "lsh_neardup_adaptive", "lsh_neardup_prod", "lsh_s_curve",
         "minhash_calibration", "mm_audio_fingerprint",

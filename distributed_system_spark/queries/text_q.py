@@ -701,7 +701,18 @@ def contamination_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") < lo) | (F.col("doc_id") >= hi)
         )
     bounds = [None, *cuts, None]
-    for i in range(len(bounds) - 1):
+    # Sequential, phase-stamped batches are the MEASUREMENT mode
+    # (tools/diskbound.py sets SPARK_GRAFT_PHASE_LOG; attribution
+    # needs non-overlapping windows, and the per-batch forced gc
+    # releases dead shuffle files under a disk valve).  Otherwise
+    # the batches — mutually independent by construction (each
+    # shingles only its own docs and probes the FROZEN eval index,
+    # never another batch's pieces) — are submitted from a thread
+    # pool so Spark overlaps them (guide §2.6), and the gc pauses
+    # are skipped.
+    measured = bool(os.environ.get("SPARK_GRAFT_PHASE_LOG"))
+
+    def _ingest_batch(i: int) -> None:
         day = str(i + 1)
         lo, hi = bounds[i], bounds[i + 1]
         pred = F.lit(True)
@@ -732,13 +743,32 @@ def contamination_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # a cluster deployment would route this through the
                 # Hadoop FileSystem API like streams._index_exists)
                 shutil.rmtree(f"{root}/grams/day={day}")
-            # Release this batch's groupBy/probe-join shuffle files
-            # before the next batch shuffles its own — without the
-            # forced ContextCleaner gc they pile up across the whole
-            # multi-cut backfill (the substring form's per-slice
-            # discipline; dead spill under a growing index is what
-            # aborted the first sf1000d substring runs).
-            spark.sparkContext._jvm.System.gc()
+            if measured:
+                # Release this batch's groupBy/probe-join shuffle
+                # files before the next batch shuffles its own —
+                # without the forced ContextCleaner gc they pile up
+                # across the whole multi-cut backfill (the substring
+                # form's per-slice discipline; dead spill under a
+                # growing index is what aborted the first sf1000d
+                # substring runs).
+                spark.sparkContext._jvm.System.gc()
+
+    if measured:
+        for i in range(len(bounds) - 1):
+            _ingest_batch(i)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        run = inheritable_thread_target(spark)(_ingest_batch)
+        # 2-4 jobs in flight is plenty (guide §2.6): enough to fill
+        # each other's stage tails, bounded so an env-tuned multi-cut
+        # backfill doesn't flood the scheduler.
+        with ThreadPoolExecutor(
+            max_workers=min(4, len(bounds) - 1)
+        ) as pool:
+            list(pool.map(run, range(len(bounds) - 1)))
     hits = spark.read.schema(
         "test_doc BIGINT, train_doc BIGINT, h BINARY"
     ).parquet(f"{root}/hits")

@@ -1571,6 +1571,48 @@ def test_contamination_incr_train_exclusion(spark, monkeypatch, tmp_path):
     assert b.exceptAll(a).count() == 0
 
 
+def test_incr_measured_mode_sequential_and_equal(
+    spark, monkeypatch, tmp_path
+):
+    """The standing-index incr forms run their independent batch jobs
+    from a thread pool by DEFAULT (guide §2.6 overlap), but fall back
+    to sequential, phase-stamped execution when the diskbound harness
+    sets SPARK_GRAFT_PHASE_LOG (wall/scratch attribution needs
+    non-overlapping windows).  Pin both properties: the measured
+    mode's answer equals the default mode's, and its stamped phase
+    windows are closed and strictly sequential."""
+    import json
+
+    from distributed_system_spark.queries import load_all
+
+    reg = load_all()
+    sf = "/root/testdata/sf0.001"
+    for name, phases in [
+        ("dedup_substring_chains_incr", ["day0", "day1", "day2"]),
+        ("contamination_incr", ["day1", "day2"]),
+    ]:
+        # Both runs share one per-process staging root (pre-cleaned
+        # at each call), so the first frame must be COLLECTED before
+        # the second run invalidates its staged files.
+        rows = sorted(map(tuple, reg[name].fn(spark, sf).collect()))
+        log = tmp_path / f"{name}.jsonl"
+        monkeypatch.setenv("SPARK_GRAFT_PHASE_LOG", str(log))
+        measured = sorted(map(tuple, reg[name].fn(spark, sf).collect()))
+        assert len(rows) > 0, name
+        assert rows == measured, name
+        monkeypatch.delenv("SPARK_GRAFT_PHASE_LOG")
+        closed = [
+            e
+            for e in map(json.loads, log.read_text().splitlines())
+            if e["t1"] is not None
+        ]
+        got = [e["phase"] for e in closed if e["phase"] in phases]
+        assert got == phases, (name, got)
+        days = [e for e in closed if e["phase"] in phases]
+        for prev, cur in zip(days, days[1:]):
+            assert cur["t0"] >= prev["t1"], (name, prev, cur)
+
+
 @pytest.mark.parametrize("bad", ["0", "-2", "257", "abc"])
 def test_slice_count_rejects_out_of_contract_k(bad, monkeypatch):
     """K outside [1, 256] (or non-integer) must raise, not silently
