@@ -624,16 +624,14 @@ def lsh_neardup_pairs(
     # signature pandas_udf (a dense matmul over every vector) executes
     # twice — no ReusedExchange fires across the differently-aliased
     # sides.  One checkpoint of the narrow (id, band, bucket) rows
-    # bounds it to once (r13).
-    bb = banded_lsh_buckets(vecs, bits_per_band, bands).localCheckpoint()
-    left = bb.select(F.col("id").alias("id_a"), "band", "bucket")
-    right = bb.select(F.col("id").alias("id_b"), "band", "bucket")
-    cand = (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    # bounds it to once (r13).  The bucket table and the norm table
+    # below are INDEPENDENT builds over the same vecs, so they
+    # materialize concurrently (guide §2.6; concurrency.eager_all) —
+    # sequentially each build's stage tail left the other's work
+    # waiting.
+    from distributed_system_spark.concurrency import eager_all
+
+    bb_lazy = banded_lsh_buckets(vecs, bits_per_band, bands)
     # Norms are computed ONCE per doc and joined to the pairs — the
     # candidate set is O(sum bucket^2) rows, so evaluating the norm
     # fold per PAIR would redo 2/3 of the verify arithmetic millions
@@ -644,9 +642,20 @@ def lsh_neardup_pairs(
     # Same two-consumer shape for the verify inputs: one checkpoint of
     # (id, vec, nrm) keeps the vecs subtree (scan/union/twin synthesis
     # at the call sites) and the norm fold to a single execution (r13).
-    withn = vecs.select(
-        "id", "vec", norm(F.col("vec")).alias("nrm")
-    ).localCheckpoint()
+    withn_lazy = vecs.select("id", "vec", norm(F.col("vec")).alias("nrm"))
+    bb, withn = eager_all(
+        vecs.sparkSession,
+        bb_lazy.localCheckpoint,
+        withn_lazy.localCheckpoint,
+    )
+    left = bb.select(F.col("id").alias("id_a"), "band", "bucket")
+    right = bb.select(F.col("id").alias("id_b"), "band", "bucket")
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     va = withn.select(
         F.col("id").alias("id_a"),
         F.col("vec").alias("va"),

@@ -733,8 +733,20 @@ def crossmodal_dedup_ctrl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.length("text") >= 24)
     # Same five-consumer shape as dedup_phash_hamming: checkpoint the
     # narrow 60-bit (doc_id, sig) rows so the ctrl-corpus generation +
-    # PPM decode + average-hash pass runs once, not 5x (r13).
-    sigs = image_ahash(ppm_payloads(corpus), bits=60).localCheckpoint()
+    # PPM decode + average-hash pass runs once, not 5x (r13).  The
+    # image-signature build and the text-side SimHash fingerprint
+    # build (checkpointed inside simhash128_neardup_pairs) are
+    # INDEPENDENT passes over the same corpus, so they materialize
+    # concurrently (guide §2.6; concurrency.eager_all).
+    from distributed_system_spark.concurrency import eager_all
+
+    sigs, txt_pairs = eager_all(
+        spark,
+        image_ahash(ppm_payloads(corpus), bits=60).localCheckpoint,
+        lambda: simhash128_neardup_pairs(
+            simhash128_docs(corpus), max_hamming=3
+        ),
+    )
     usig = sigs.select("sig").distinct()
     bands = usig.select(
         "sig",
@@ -780,9 +792,7 @@ def crossmodal_dedup_ctrl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("id_a", "id_b", F.lit(1).alias("in_img"))
     )
-    txt = simhash128_neardup_pairs(
-        simhash128_docs(corpus), max_hamming=3
-    ).select("id_a", "id_b", F.lit(1).alias("in_txt"))
+    txt = txt_pairs.select("id_a", "id_b", F.lit(1).alias("in_txt"))
     j = img.join(txt, ["id_a", "id_b"], "full_outer").select(
         F.col("id_b").alias("doc_id"),
         F.coalesce("in_img", F.lit(0)).alias("in_img"),

@@ -4074,7 +4074,7 @@ def eval_set_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
-    slim = split.select("doc_id", "lang", "n_toks", "split").localCheckpoint()
+    slim_lazy = split.select("doc_id", "lang", "n_toks", "split")
     # 16-byte BINARY gram keys — internal only (h never reaches an
     # output column), the contamination family's r12 lesson.
     grams8 = F.when(
@@ -4092,9 +4092,18 @@ def eval_set_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<binary>"))
-    grams = split.filter(F.col("split") != "val").select(
+    grams_lazy = split.filter(F.col("split") != "val").select(
         "doc_id", "split", F.explode(grams8).alias("h")
-    ).localCheckpoint()
+    )
+    # The two narrow materializations are INDEPENDENT projections of
+    # the (lazy) split subtree, so they build concurrently
+    # (guide §2.6; concurrency.eager_all) instead of paying two
+    # sequential gate→dedup→rank executions back to back.
+    from distributed_system_spark.concurrency import eager_all
+
+    slim, grams = eager_all(
+        spark, slim_lazy.localCheckpoint, grams_lazy.localCheckpoint
+    )
     train_g = grams.filter(F.col("split") == "train").select(
         F.col("doc_id").alias("train_doc"), "h"
     )
