@@ -325,11 +325,37 @@ def jaccard_verify(
 
 
 def jaccard_verify_sets(
-    pairs: DataFrame, sets_: DataFrame, threshold: float
+    pairs: DataFrame,
+    sets_: DataFrame,
+    threshold: float,
+    materialize_scores: bool = False,
 ) -> DataFrame:
     """Body of :func:`jaccard_verify` over a prebuilt (id, ts)
     sorted-distinct-token-array table (``doc_token_sets`` output or
-    the groupBy-built twin)."""
+    the groupBy-built twin).
+
+    ``materialize_scores`` — set it at call sites whose OUTPUT keeps
+    the ``jaccard`` column (dedup_minhash_lsh/_ctrl/_shingles,
+    contamination_fuzzy).  Why it exists (r13, guide §4.4's hazard
+    with a native expression): the ``jaccard >= threshold`` filter is
+    pushed below the projection that computes ``jaccard``, so the
+    per-pair ``array_intersect`` evaluates TWICE — once in the pushed
+    Filter over every candidate and again in the Project over the
+    survivors (codegen subexpression elimination shares work within
+    one operator, never across the two; measured 2x the verify wall
+    at the sf0.1 1.7M-candidate set).  Materializing the narrow
+    (id_a, id_b, na, nb, i) proxy makes everything above it integer
+    arithmetic — the intersect runs exactly once per candidate, and
+    the cached rows are ~20 B each (the "cache the proxy, not the
+    payload" rule; candidate volume is already bounded by the banded
+    generators / occupancy valves upstream).  Call sites whose
+    consumers DROP the score (keep-set anti-joins, CC edge lists)
+    already collapse to a single Filter evaluation and stay on the
+    lazy path — materializing there would only add the cache write.
+
+    The proxy jaccard is bit-identical: i/na/nb are exact integers
+    either way, so the double division, round, and threshold compare
+    see the same operands."""
     from fractions import Fraction
 
     # Exact at the 6-decimal acceptance grain: (round(t*1e6) - 1)/1e6
@@ -343,18 +369,31 @@ def jaccard_verify_sets(
     sb = sets_.select(F.col("id").alias("id_b"), F.col("ts").alias("ts_b"))
     na, nb = F.size("ts_a").cast("long"), F.size("ts_b").cast("long")
     inter = F.size(F.array_intersect("ts_a", "ts_b"))
-    jac = inter / (F.size("ts_a") + F.size("ts_b") - inter)
-    return (
+    base = (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
         .filter((na * den >= nb * num) & (nb * den >= na * num))
-        .select(
+    )
+    if materialize_scores:
+        prox = base.select(
             "id_a",
             "id_b",
-            F.round(jac.cast("double"), 6).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+            F.size("ts_a").alias("na"),
+            F.size("ts_b").alias("nb"),
+            inter.alias("i"),
+        ).localCheckpoint()
+        jac_p = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+        return prox.select(
+            "id_a",
+            "id_b",
+            F.round(jac_p.cast("double"), 6).alias("jaccard"),
+        ).filter(F.col("jaccard") >= threshold)
+    jac = inter / (F.size("ts_a") + F.size("ts_b") - inter)
+    return base.select(
+        "id_a",
+        "id_b",
+        F.round(jac.cast("double"), 6).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def doc_token_sets(

@@ -241,7 +241,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the verify joins — the corpus is scanned and split exactly once.
     sets_ = doc_token_sets(docs).localCheckpoint()
     cand = lsh_candidate_pairs(minhash_band_signatures_sets(sets_))
-    return jaccard_verify_sets(cand, sets_, 0.8)
+    # materialize_scores: this query's output keeps the jaccard
+    # column, the double-evaluation case (operator docstring).
+    return jaccard_verify_sets(cand, sets_, 0.8, materialize_scores=True)
 
 
 # 64-bit SimHash CTE: 4 bits per md5 hex digit (bit j of digit d's
@@ -412,7 +414,9 @@ def dedup_minhash_ctrl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bands derive from it map-side.
     sets_ = doc_token_sets(corpus).localCheckpoint()
     cand = lsh_candidate_pairs(minhash_band_signatures_sets(sets_))
-    return jaccard_verify_sets(cand, sets_, 0.8)
+    # materialize_scores: this query's output keeps the jaccard
+    # column, the double-evaluation case (operator docstring).
+    return jaccard_verify_sets(cand, sets_, 0.8, materialize_scores=True)
 
 
 @register(
@@ -1643,7 +1647,8 @@ def dedup_minhash_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     cand = lsh_candidate_pairs(minhash_band_signatures_sets(sets_))
-    return jaccard_verify_sets(cand, sets_, 0.9)
+    # materialize_scores: output keeps jaccard (operator docstring).
+    return jaccard_verify_sets(cand, sets_, 0.9, materialize_scores=True)
 
 
 @register(
@@ -3204,7 +3209,10 @@ def contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("id_b"), "band", "sig"
     )
     cand = te.join(tr, ["band", "sig"]).select("id_a", "id_b").distinct()
-    return jaccard_verify_sets(cand, sets_, 0.7).select(
+    # materialize_scores: output keeps jaccard (operator docstring).
+    return jaccard_verify_sets(
+        cand, sets_, 0.7, materialize_scores=True
+    ).select(
         F.col("id_a").alias("test_doc"),
         F.col("id_b").alias("train_doc"),
         "jaccard",

@@ -981,6 +981,40 @@ def test_jaccard_verify_setdedup_twin(spark, sf_dir):
     assert got == want and want
 
 
+def test_jaccard_verify_materialize_scores_twin(spark, sf_dir):
+    """jaccard_verify_sets(materialize_scores=True) must emit EXACTLY
+    the lazy form's rows: the checkpointed (id_a, id_b, na, nb, i)
+    proxy carries exact integers, so the double division, round, and
+    threshold compare see identical operands — the flag only stops
+    the pushed-down filter from re-evaluating the per-pair
+    array_intersect (guide §4.4's duplicated-evaluation hazard with
+    a native expression)."""
+    from distributed_system_spark.operators.dedup import (
+        doc_token_sets,
+        jaccard_verify_sets,
+        lsh_candidate_pairs,
+        minhash_band_signatures_sets,
+    )
+    from distributed_system_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sets_ = doc_token_sets(docs).localCheckpoint()
+    cand = lsh_candidate_pairs(minhash_band_signatures_sets(sets_))
+    for t in (0.8, 0.5):
+        want = sorted(
+            map(tuple, jaccard_verify_sets(cand, sets_, t).collect())
+        )
+        got = sorted(
+            map(
+                tuple,
+                jaccard_verify_sets(
+                    cand, sets_, t, materialize_scores=True
+                ).collect(),
+            )
+        )
+        assert got == want and want, t
+
+
 def test_substring_chains_planted_quote_recall(spark, sf_dir):
     """dedup_substring_chains: every planted doc (doc_id % 10 == 1
     appends tokens 4..18 of its predecessor, 15 tokens at an
