@@ -1074,25 +1074,26 @@ def connected_components(
             .groupBy(sym["dst"].alias("id2"))
             .agg(F.min("comp").alias("ncomp"))
         )
+        # The previous label rides the checkpoint as `old`, so the
+        # convergence check is a scan of the just-cached rows — the
+        # earlier form re-JOINED labels with new_labels per
+        # iteration, a second shuffle job on the loop's critical
+        # path whose answer the propagation pass already knew (r13).
         new_labels = (
             labels.join(
                 neighbor_min, labels["id"] == neighbor_min["id2"], "left"
             )
             .select(
                 "id",
+                F.col("comp").alias("old"),
                 F.least(
                     F.col("comp"), F.coalesce("ncomp", F.col("comp"))
                 ).alias("comp"),
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage
-        changed = (
-            labels.withColumnRenamed("comp", "old")
-            .join(new_labels, "id")
-            .filter(F.col("old") != F.col("comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("old") != F.col("comp")).count()
+        labels = new_labels.select("id", "comp")
         if changed == 0:
             break
     return labels

@@ -255,10 +255,22 @@ def text_lm_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the aggregated (doc_id, bg, tf_b) rows once (bounded by distinct
     # per-doc bigrams, ~ the shuffle its own groupBy already paid) and
     # the small corpus-level cb table it feeds (r13).
-    tfb = (
-        occ.groupBy("doc_id", "bg")
-        .agg(F.count(F.lit(1)).alias("tf_b"))
-        .localCheckpoint()
+    tfb_lazy = occ.groupBy("doc_id", "bg").agg(
+        F.count(F.lit(1)).alias("tf_b")
+    )
+    # Corpus vocabulary size: a scalar (tiny), computed driver-side
+    # like n_docs in text_tfidf_top3.  The vocab pass and the per-doc
+    # bigram aggregate are INDEPENDENT corpus passes, so they run
+    # concurrently (guide §2.6; concurrency.eager_all) — sequentially
+    # the vocab count sat idle behind the tfb checkpoint build.
+    from distributed_system_spark.concurrency import eager_all
+
+    tfb, v = eager_all(
+        spark,
+        tfb_lazy.localCheckpoint,
+        docs.select(F.explode(F.split("text", " ", -1)).alias("term"))
+        .distinct()
+        .count,
     )
     cb = (
         tfb.groupBy("bg")
@@ -267,13 +279,6 @@ def text_lm_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ch = cb.groupBy(F.split("bg", " ", -1)[0].alias("w1")).agg(
         F.sum("cb").alias("ch")
-    )
-    # Corpus vocabulary size: a scalar (tiny), computed driver-side
-    # like n_docs in text_tfidf_top3.
-    v = (
-        docs.select(F.explode(F.split("text", " ", -1)).alias("term"))
-        .distinct()
-        .count()
     )
     nll = F.log((F.col("ch") + F.lit(v)).cast("double")) - F.log(
         (F.col("cb") + F.lit(1)).cast("double")
