@@ -981,11 +981,27 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stages); without materialization each branch re-executes the
     # whole corpus-gen + gate + exact-dedup subtree (no ReusedExchange
     # fires — plans/r13).  One localCheckpoint = one upstream pass.
-    s1 = keepq.join(ex, "doc_id").localCheckpoint()
-    # ONE tokenize pass over the survivors (r13): bands derive from
-    # the checkpointed set table the verify also joins — s1's text is
-    # split exactly once.
-    sets_ = doc_token_sets(s1.select("doc_id", "text")).localCheckpoint()
+    # ONE pass, ONE cache (r13 continued): the survivor row carries
+    # its sorted distinct-token set out of the exact-dedup join, so
+    # the old SECOND sequential checkpoint pass (re-splitting the
+    # cached text into a separate set table) is gone, and the cache
+    # holds (doc_id, n_tokens, ts) instead of text PLUS a ts table.
+    # Downstream only ever needs n_tokens (final join / funnel
+    # stages) and ts (band build + verify); the quality gate
+    # guarantees text is non-null, so the ts view matches
+    # doc_token_sets' null-filtered output exactly.
+    s1 = (
+        keepq.join(ex, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.array_sort(
+                F.array_distinct(F.split(F.col("text"), " ", -1))
+            ).alias("ts"),
+        )
+        .localCheckpoint()
+    )
+    sets_ = s1.select(F.col("doc_id").alias("id"), "ts")
     cand = lsh_candidate_pairs(minhash_band_signatures_sets(sets_))
     dups = (
         jaccard_verify_sets(cand, sets_, 0.8)
@@ -1260,11 +1276,27 @@ def curation_pipeline_ctrl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stages); without materialization each branch re-executes the
     # whole corpus-gen + gate + exact-dedup subtree (no ReusedExchange
     # fires — plans/r13).  One localCheckpoint = one upstream pass.
-    s1 = keepq.join(ex, "doc_id").localCheckpoint()
-    # ONE tokenize pass over the survivors (r13): bands derive from
-    # the checkpointed set table the verify also joins — s1's text is
-    # split exactly once.
-    sets_ = doc_token_sets(s1.select("doc_id", "text")).localCheckpoint()
+    # ONE pass, ONE cache (r13 continued): the survivor row carries
+    # its sorted distinct-token set out of the exact-dedup join, so
+    # the old SECOND sequential checkpoint pass (re-splitting the
+    # cached text into a separate set table) is gone, and the cache
+    # holds (doc_id, n_tokens, ts) instead of text PLUS a ts table.
+    # Downstream only ever needs n_tokens (final join / funnel
+    # stages) and ts (band build + verify); the quality gate
+    # guarantees text is non-null, so the ts view matches
+    # doc_token_sets' null-filtered output exactly.
+    s1 = (
+        keepq.join(ex, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.array_sort(
+                F.array_distinct(F.split(F.col("text"), " ", -1))
+            ).alias("ts"),
+        )
+        .localCheckpoint()
+    )
+    sets_ = s1.select(F.col("doc_id").alias("id"), "ts")
     cand = lsh_candidate_pairs(minhash_band_signatures_sets(sets_))
     dups = (
         jaccard_verify_sets(cand, sets_, 0.8)
@@ -1827,11 +1859,27 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stages); without materialization each branch re-executes the
     # whole corpus-gen + gate + exact-dedup subtree (no ReusedExchange
     # fires — plans/r13).  One localCheckpoint = one upstream pass.
-    s1 = keepq.join(ex, "doc_id").localCheckpoint()
-    # ONE tokenize pass over the survivors (r13): bands derive from
-    # the checkpointed set table the verify also joins — s1's text is
-    # split exactly once.
-    sets_ = doc_token_sets(s1.select("doc_id", "text")).localCheckpoint()
+    # ONE pass, ONE cache (r13 continued): the survivor row carries
+    # its sorted distinct-token set out of the exact-dedup join, so
+    # the old SECOND sequential checkpoint pass (re-splitting the
+    # cached text into a separate set table) is gone, and the cache
+    # holds (doc_id, n_tokens, ts) instead of text PLUS a ts table.
+    # Downstream only ever needs n_tokens (final join / funnel
+    # stages) and ts (band build + verify); the quality gate
+    # guarantees text is non-null, so the ts view matches
+    # doc_token_sets' null-filtered output exactly.
+    s1 = (
+        keepq.join(ex, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.array_sort(
+                F.array_distinct(F.split(F.col("text"), " ", -1))
+            ).alias("ts"),
+        )
+        .localCheckpoint()
+    )
+    sets_ = s1.select(F.col("doc_id").alias("id"), "ts")
     cand = lsh_candidate_pairs(minhash_band_signatures_sets(sets_))
     dups = (
         jaccard_verify_sets(cand, sets_, 0.8)
