@@ -609,6 +609,74 @@ _CHANGED_SINCE_VERIFIED_R13_OPT = frozenset(
 
 _EXTERNALLY_VERIFIED = _EXTERNALLY_VERIFIED - _CHANGED_SINCE_VERIFIED_R13_OPT
 
+# Names with a hash-green row in the driver's round-13 window
+# (CORRECTNESS_r13.json: 50/50 green).  Six r13-demoted names did NOT
+# fit that window (contamination_fuzzy, dataset_group_kfold(+_ctrl),
+# dedup_incremental_capped_sliced, dedup_substring_chains_incr,
+# dedup_substring_chains_sliced) — by not appearing here they stay
+# unverified and front-of-registry, so the r14 window re-covers them.
+_R13_VERIFIED = frozenset(
+    {
+        "ann_index_balance", "ann_index_upsert", "ann_ivf_kmeans",
+        "ann_mutual_knn_graph", "approx_distinct", "cluster_purity_eval",
+        "contamination_check", "contamination_incr",
+        "crossmodal_dedup_ctrl", "crossmodal_dedup_pipeline",
+        "curation_funnel_report", "curation_pipeline",
+        "curation_pipeline_ctrl", "dedup_cc_clusters",
+        "dedup_crosslingual_entities", "dedup_incremental",
+        "dedup_incremental_capped", "dedup_incremental_ctrl",
+        "dedup_keep_best", "dedup_minhash_ctrl", "dedup_minhash_lsh",
+        "dedup_minhash_shingles", "dedup_modality_agreement",
+        "dedup_phash_hamming", "dedup_substring_chains",
+        "domain_quota_curation", "embedding_neardup", "eval_set_builder",
+        "hll_mergeable_rollup", "kmeans_clusters", "lsh_neardup_adaptive",
+        "lsh_neardup_prod", "lsh_s_curve", "minhash_calibration",
+        "mm_audio_fingerprint", "prep_pipeline", "search_hybrid_rrf",
+        "simhash_neardup", "split_leakage_simhash",
+        "split_leakage_simhash_ctrl", "stream_contam_index",
+        "stream_dedup_sig_index", "stream_domain_quota",
+        "stream_phash_sig_index", "stream_substr_freq_index",
+        "stream_token_budget", "text_bm25_topk", "text_lm_bigram_nll",
+        "window_ntile_bucketed", "window_ntile_bucketed_orders",
+    }
+)
+
+_EXTERNALLY_VERIFIED = _EXTERNALLY_VERIFIED | _R13_VERIFIED
+
+# Round-14 OPTIMIZATION demotions (the r12/r13 discipline): every
+# query whose EXECUTED PLAN changed in the r14 optimization passes —
+# behavior-identical by oracle re-check at sf0.01 (+sf0.001 for the
+# restructured ones) and twin tests, but external verification must
+# postdate the last executed-plan change.
+_CHANGED_SINCE_VERIFIED_R14_OPT = frozenset(
+    {
+        # dup-position pass rebuilt as a single h-partitioned window
+        # (one exchange + one scan, was two of each); twin-tested
+        # bit-identical dup set.
+        "dedup_substring_chains",
+        # kept-roster checkpoint dropped (lazy anti-join, grams cache
+        # retained) — the r13 driver-flagged regression's fix.
+        "prep_pipeline",
+        # corpus-scale set/gram materializations routed through
+        # operators.dedup.materialize (SPARK_GRAFT_SETS_STAGING
+        # parquet valve).  Default executed plan byte-identical
+        # (materialize defaults to the same localCheckpoint) and the
+        # valve mode is twin-tested + oracle-green, but the r12
+        # discipline re-fronts shared-helper signature changes
+        # anyway.
+        "dedup_minhash_lsh", "dedup_minhash_ctrl", "dedup_incremental",
+        "dedup_incremental_capped", "lsh_s_curve",
+        "dedup_modality_agreement", "dedup_incremental_ctrl",
+        "dataset_group_kfold", "dataset_group_kfold_ctrl",
+        "contamination_fuzzy", "eval_set_builder",
+        # label rides _assign_adaptive_cells' join-back (carry=):
+        # one fewer corpus-scale vec_id join each.
+        "hard_negative_mining", "label_noise_knn",
+    }
+)
+
+_EXTERNALLY_VERIFIED = _EXTERNALLY_VERIFIED - _CHANGED_SINCE_VERIFIED_R14_OPT
+
 _KNOWN_AT_FREEZE = _KNOWN_AT_FREEZE | (
     frozenset(_R4_VERIFIED)
     | frozenset(

@@ -17,6 +17,7 @@ from distributed_system_spark.operators.dedup import (
     doc_tokens,
     jaccard_verify_keyed,
     jaccard_verify_sets,
+    materialize,
     minhash_band_signatures_sets,
     lsh_candidate_pairs,
     ngram_jaccard_pairs,
@@ -27,6 +28,9 @@ from distributed_system_spark.operators.dedup import (
     token_set_keyed,
 )
 from distributed_system_spark.queries import register
+from distributed_system_spark.queries._util import (
+    sequential_batches as _sequential_batches,
+)
 from distributed_system_spark.sources.tables import load_table
 
 # staging roots already scheduled for atexit cleanup (one callback per
@@ -239,7 +243,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE tokenize pass (r13): the checkpointed set table feeds both
     # the band build (min over distinct tokens ≡ min over tokens) and
     # the verify joins — the corpus is scanned and split exactly once.
-    sets_ = doc_token_sets(docs).localCheckpoint()
+    sets_ = materialize(doc_token_sets(docs))
     cand = lsh_candidate_pairs(minhash_band_signatures_sets(sets_))
     # materialize_scores: this query's output keeps the jaccard
     # column, the double-evaluation case (operator docstring).
@@ -412,7 +416,7 @@ def dedup_minhash_ctrl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE tokenize pass over the generated corpus (r13): the ctrl
     # text-rewrite + split runs once into the checkpointed set table;
     # bands derive from it map-side.
-    sets_ = doc_token_sets(corpus).localCheckpoint()
+    sets_ = materialize(doc_token_sets(corpus))
     cand = lsh_candidate_pairs(minhash_band_signatures_sets(sets_))
     # materialize_scores: this query's output keeps the jaccard
     # column, the double-evaluation case (operator docstring).
@@ -549,7 +553,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # ONE tokenize pass (r13): bands derive from the checkpointed set
     # table the verify also joins.
-    sets_ = doc_token_sets(docs).localCheckpoint()
+    sets_ = materialize(doc_token_sets(docs))
     cand = lsh_candidate_pairs(minhash_band_signatures_sets(sets_)).filter(
         F.col("id_b") >= 400
     )
@@ -664,7 +668,7 @@ def dedup_incremental_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE tokenize pass (r13): the content-keyed fingerprint table
     # (id, ts, tsk, n) is checkpointed once and feeds the band build
     # (from its ts column) AND all three keyed-verify consumers.
-    keyed = token_set_keyed(doc_token_sets(docs)).localCheckpoint()
+    keyed = materialize(token_set_keyed(doc_token_sets(docs)))
     cand = lsh_candidate_pairs(
         minhash_band_signatures_sets(keyed), max_bucket=_BUCKET_CAP
     ).filter(F.col("id_b") >= 400)
@@ -1554,7 +1558,7 @@ def lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE tokenize pass over the 200-doc sample (r13): the map-side
     # set table (≡ the explode+groupBy form, twin-tested) feeds the
     # exhaustive truth pairs AND the band build.
-    sets_ = doc_token_sets(docs).localCheckpoint()
+    sets_ = materialize(doc_token_sets(docs))
     a = sets_.select(F.col("id").alias("id_a"), F.col("ts").alias("ts_a"))
     b = sets_.select(F.col("id").alias("id_b"), F.col("ts").alias("ts_b"))
     inter = F.size(F.array_intersect("ts_a", "ts_b"))
@@ -1993,7 +1997,7 @@ def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # ONE tokenize pass (r13): bands derive from the checkpointed set
     # table the verify also joins.
-    sets_ = doc_token_sets(docs).localCheckpoint()
+    sets_ = materialize(doc_token_sets(docs))
     cand = lsh_candidate_pairs(minhash_band_signatures_sets(sets_))
     textp = jaccard_verify_sets(cand, sets_, 0.8).select("id_a", "id_b")
 
@@ -2464,7 +2468,7 @@ def dedup_incremental_ctrl(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _ctrl_corpus(docs)
     # ONE tokenize pass over the generated corpus (r13): the ctrl
     # text-rewrite + split runs once into the checkpointed set table.
-    sets_ = doc_token_sets(corpus).localCheckpoint()
+    sets_ = materialize(doc_token_sets(corpus))
     cand = lsh_candidate_pairs(minhash_band_signatures_sets(sets_)).filter(
         F.col("id_b") >= _CTRL_CLONE_OFFSET
     )
@@ -2660,18 +2664,38 @@ def _substr_dup_positions(
     set is 1/K of an already-output-scale table (measured: the
     shuffle-join form's two coexisting positions-scale shuffle file
     sets were 47 GB for ONE sf1000d slice at K=8; broadcast mode
-    halves the slice's footprint to the aggregate alone).  The
-    one-shot form keeps the shuffle join: an unsliced hot set on a
-    degenerate corpus can exceed any broadcast budget."""
-    hot = (
-        pos.groupBy("h")
-        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
-        .filter(F.col("mn") != F.col("mx"))
-        .select("h")
-    )
+    halves the slice's footprint to the aggregate alone).
+
+    Default (one-shot) mode is a single h-partitioned WINDOW filter
+    (r14, guide §2.4): the groupBy+join-back shape executed the whole
+    scan+shingle+md5 ``pos`` subtree TWICE (the aggregate and join
+    sides project different columns, so no exchange is reusable) and
+    shuffled the position mass twice; ``min(doc_id) over (partition
+    by h) != max(...)`` is the same in->1-doc test over ONE exchange
+    and ONE scan.  A/B (5 interleaved rounds, sf0.1): 2.07 -> 1.42 s
+    mins, lower in all five; dup set bit-identical (exceptAll 0/0
+    both directions).  Skew note: a degenerate hot shingle's group is
+    buffered by WindowExec's spilling row array instead of streamed
+    by the join — bounded by the same per-key position count the SMJ
+    sort already paid, and the disk-valved paths keep the broadcast
+    join form."""
     if broadcast_hot:
-        hot = F.broadcast(hot)
-    return pos.join(hot, "h").select("doc_id", "j")
+        hot = (
+            pos.groupBy("h")
+            .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+            .filter(F.col("mn") != F.col("mx"))
+            .select("h")
+        )
+        return pos.join(F.broadcast(hot), "h").select("doc_id", "j")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("h")
+    return (
+        pos.withColumn("mn", F.min("doc_id").over(w))
+        .withColumn("mx", F.max("doc_id").over(w))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("doc_id", "j")
+    )
 
 
 def _substr_span_report(t: DataFrame, dup: DataFrame) -> DataFrame:
@@ -2902,7 +2926,9 @@ def dedup_substring_chains_incr(
     # overlaps them (guide §2.6), and the gc pauses are skipped (they
     # exist to release dead shuffle files under a disk valve, not to
     # help an unconstrained run).
-    measured = bool(os.environ.get("SPARK_GRAFT_PHASE_LOG"))
+    # (SPARK_GRAFT_SEQUENTIAL_BATCHES forces the sequential+gc disk
+    # discipline without the harness — r13 ADVICE.)
+    measured = _sequential_batches()
     if measured:
         # Release the staging join's shuffle files BEFORE day 0
         # starts — without this the dead spill (measured 45+ GB at
@@ -3117,7 +3143,7 @@ def dataset_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # ONE tokenize pass (r13): bands derive from the checkpointed set
     # table the verify also joins.
-    sets_ = doc_token_sets(docs).localCheckpoint()
+    sets_ = materialize(doc_token_sets(docs))
     cand = lsh_candidate_pairs(minhash_band_signatures_sets(sets_))
     pairs = jaccard_verify_sets(cand, sets_, 0.8)
     edges = pairs.select(
@@ -3232,7 +3258,7 @@ def contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # ONE tokenize pass (r13): the checkpointed set table feeds the
     # band build and both verify joins.
-    sets_ = doc_token_sets(nonval).localCheckpoint()
+    sets_ = materialize(doc_token_sets(nonval))
     # te and tr are two consumers of the band table — materialize it
     # once or the 8-md5-per-token band build runs twice (no
     # ReusedExchange across the branches; plans/r13).  The split
@@ -3345,7 +3371,7 @@ def dataset_group_kfold_ctrl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _ctrl_corpus(load_table(spark, sf_dir, "documents"))
     # ONE tokenize pass over the generated corpus (r13).
-    sets_ = doc_token_sets(corpus).localCheckpoint()
+    sets_ = materialize(doc_token_sets(corpus))
     cand = lsh_candidate_pairs(minhash_band_signatures_sets(sets_))
     pairs = jaccard_verify_sets(cand, sets_, 0.8)
     edges = pairs.select(

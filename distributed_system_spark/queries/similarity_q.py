@@ -146,9 +146,18 @@ a1 AS (
 )"""
 
 
-def _assign_adaptive_cells(e: DataFrame) -> DataFrame:
+def _assign_adaptive_cells(
+    e: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Hyperplane-signature cell assignment with corpus-size-derived
     width bits = _cell_bits(n), returning (vec_id, v, nrm, cluster).
+
+    ``carry``: extra columns of ``e`` to pass through to the output
+    (r14, VERDICT #6): the assignment already ends with an
+    ``e ⋈ assign`` join-back that re-attaches ``v``, so per-row
+    metadata (e.g. a training label) rides that join for free —
+    callers that previously joined the label back themselves paid a
+    second corpus-scale vec_id join for it.
 
     Shape: the bits*d hyperplane weight matrix (md5-derived
     constants — data-independent, identical in the DuckDB oracle) is
@@ -276,7 +285,7 @@ def _assign_adaptive_cells(e: DataFrame) -> DataFrame:
         )
     )
     return e.join(assign, "vec_id").select(
-        "vec_id", "v", "nrm", "cluster"
+        "vec_id", "v", "nrm", "cluster", *carry
     )
 
 
@@ -1484,13 +1493,16 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-identical; the oracle derives the same bit width from
     count(*)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # label is selected into e and rides the assignment's own
+    # join-back (carry=) instead of a second corpus-scale vec_id
+    # join (r14, VERDICT #6)
     e = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        "label",
     )
-    m = (
-        _assign_adaptive_cells(e)
-        .join(emb.select("vec_id", "label"), "vec_id")
-        .select("cluster", "vec_id", "v", "nrm", "label")
+    m = _assign_adaptive_cells(e, carry=("label",)).select(
+        "cluster", "vec_id", "v", "nrm", "label"
     )
     scored = (
         _cell_pair_dots(m, with_labels=True)
@@ -1577,13 +1589,14 @@ def label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     _cell_pair_dots) — the pair shuffle is ~n*5 rows, not
     n*cell."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # label rides the assignment's join-back (carry=), r14 VERDICT #6
     e = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        "label",
     )
-    m = (
-        _assign_adaptive_cells(e)
-        .join(emb.select("vec_id", "label"), "vec_id")
-        .select("cluster", "vec_id", "v", "nrm", "label")
+    m = _assign_adaptive_cells(e, carry=("label",)).select(
+        "cluster", "vec_id", "v", "nrm", "label"
     )
     scored = _cell_pair_dots(m, with_labels=True, prune_topk=5).select(
         F.col("id_a").alias("vec_id"),

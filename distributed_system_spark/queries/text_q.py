@@ -12,7 +12,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from distributed_system_spark.operators.dedup import materialize
 from distributed_system_spark.queries import register
+from distributed_system_spark.queries._util import (
+    sequential_batches as _sequential_batches,
+)
 from distributed_system_spark.sources.tables import (
     WIDEN_SLOT_BYTES_DENSE,
     load_table,
@@ -710,7 +714,9 @@ def contamination_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # never another batch's pieces) — are submitted from a thread
     # pool so Spark overlaps them (guide §2.6), and the gc pauses
     # are skipped.
-    measured = bool(os.environ.get("SPARK_GRAFT_PHASE_LOG"))
+    # (SPARK_GRAFT_SEQUENTIAL_BATCHES forces the sequential+gc disk
+    # discipline without the harness — r13 ADVICE.)
+    measured = _sequential_batches()
 
     def _ingest_batch(i: int) -> None:
         day = str(i + 1)
@@ -3005,10 +3011,13 @@ def prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<binary>"))
-    grams = (
-        q.filter(F.col("split") != "val")
-        .select("doc_id", "split", F.explode(grams8).alias("h"))
-        .localCheckpoint()
+    grams = materialize(
+        # corpus-scale table: honor the SPARK_GRAFT_SETS_STAGING
+        # parquet valve (default localCheckpoint, plan unchanged)
+        q.filter(F.col("split") != "val").select(
+            "doc_id", "split", F.explode(grams8).alias("h")
+        ),
+        "prep-grams",
     )
     train_g = grams.filter(F.col("split") == "train").select(
         F.col("doc_id").alias("train_doc"), "h"
@@ -3032,14 +3041,20 @@ def prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # kept feeds the packing window AND the final per-split aggregate;
-    # narrow it (toks is not needed downstream) and materialize so the
-    # decontamination subtree runs once.
+    # narrow it (toks is not needed downstream) and leave it LAZY
+    # (r14, the r13 crossmodal/phash lesson): its duplicated subtree
+    # re-reads the grams CACHE, AQE runtime stage reuse dedups the
+    # repeated decontamination shuffles, and dropping the checkpoint
+    # removes a blocking job barrier — A/B 0.86x at local[4] (mins
+    # 2.07 -> 1.77, lower in all rounds), neutral-or-better at
+    # local[32]; the driver's r13 bench had flagged the checkpointed
+    # form 0.88x.
     kept = q.join(
         contaminated,
         (q["doc_id"] == contaminated["doc_id"])
         & (q["split"] == "test"),
         "left_anti",
-    ).select("doc_id", "split", "n_toks").localCheckpoint()
+    ).select("doc_id", "split", "n_toks")
     h1 = F.substring(
         F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1
     )
@@ -4102,7 +4117,11 @@ def eval_set_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributed_system_spark.concurrency import eager_all
 
     slim, grams = eager_all(
-        spark, slim_lazy.localCheckpoint, grams_lazy.localCheckpoint
+        spark,
+        slim_lazy.localCheckpoint,
+        # corpus-scale table: honor the SPARK_GRAFT_SETS_STAGING
+        # parquet valve (default localCheckpoint, plan unchanged)
+        lambda: materialize(grams_lazy, "esb-grams"),
     )
     train_g = grams.filter(F.col("split") == "train").select(
         F.col("doc_id").alias("train_doc"), "h"

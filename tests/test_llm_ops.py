@@ -1015,6 +1015,59 @@ def test_jaccard_verify_materialize_scores_twin(spark, sf_dir):
         assert got == want and want, t
 
 
+def test_materialize_parquet_valve_twin(spark, sf_dir, monkeypatch):
+    """operators.dedup.materialize: the SPARK_GRAFT_SETS_STAGING=
+    parquet valve (fault-tolerant staging for the corpus-scale set
+    tables, r13 VERDICT #3) must produce EXACTLY the default
+    localCheckpoint form's rows — staging is an execution choice,
+    never a semantic one.  Checked through a real consumer
+    (dedup_minhash_lsh: band build + verify both read the staged
+    table)."""
+    from distributed_system_spark.queries import load_all
+
+    reg = load_all()
+    want = sorted(
+        map(tuple, reg["dedup_minhash_lsh"].fn(spark, sf_dir).collect())
+    )
+    monkeypatch.setenv("SPARK_GRAFT_SETS_STAGING", "parquet")
+    got = sorted(
+        map(tuple, reg["dedup_minhash_lsh"].fn(spark, sf_dir).collect())
+    )
+    assert got == want and want
+
+
+def test_substr_dup_positions_window_twin(spark, sf_dir):
+    """_substr_dup_positions (default, r14 window form) must emit
+    EXACTLY the groupBy+join-back shape's rows: ``min(doc_id) over
+    (partition by h) != max(...)`` is the same appears-in->1-doc test
+    — the window form just runs it over ONE h-exchange and ONE
+    scan+shingle pass instead of two of each.  The broadcast_hot
+    (disk-valved sliced) path keeps the join and must agree too."""
+    from distributed_system_spark.queries.dedup_q import (
+        _substr_corpus,
+        _substr_dup_positions,
+        _substr_positions_from_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, pos = _substr_positions_from_corpus(_substr_corpus(docs))
+    hot = (
+        pos.groupBy("h")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("h")
+    )
+    want = sorted(
+        map(tuple, pos.join(hot, "h").select("doc_id", "j").collect())
+    )
+    got = sorted(map(tuple, _substr_dup_positions(pos).collect()))
+    got_bc = sorted(
+        map(tuple, _substr_dup_positions(pos, broadcast_hot=True).collect())
+    )
+    assert got == want and want
+    assert got_bc == want
+
+
 def test_substring_chains_planted_quote_recall(spark, sf_dir):
     """dedup_substring_chains: every planted doc (doc_id % 10 == 1
     appends tokens 4..18 of its predecessor, 15 tokens at an

@@ -135,6 +135,10 @@ def main() -> int:
     # MEASURED separately (the marginal-cost claim, r12 verdict #1).
     phase_log = os.path.join(scratch, "phases.jsonl")
     env["SPARK_GRAFT_PHASE_LOG"] = phase_log
+    # Explicit sequential+gc discipline flag (r13 ADVICE): the phase
+    # log implies it for attribution, but the disk discipline is its
+    # own requirement under the valve — state it directly.
+    env["SPARK_GRAFT_SEQUENTIAL_BATCHES"] = "1"
     # Own process GROUP so the abort valve can kill the whole tree:
     # child.kill() alone leaves the Spark JVM grandchild alive and
     # writing scratch into the nearly-full disk the valve exists to
