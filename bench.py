@@ -330,13 +330,96 @@ def main() -> int:
         )
     out["queries"] = times
     out["value"] = round(sum(times.values()), 3)
+    _bench_sf1_subset(spark, registry, out, sf_dir, full_run=not args)
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1900 and "deltas" in out:
         # last-resort trim to stay inside the driver's capture window
         out.pop("deltas", None)
         line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900 and "retimes" in out:
+        # a noisy run can flag dozens of retimes (~45 chars each) and
+        # alone overflow the window; keep the count, drop the pairs
+        out["retimes_n"] = len(out.pop("retimes"))
+        line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900 and out.get("regressions"):
+        # same insurance for a long >1.5x name list
+        out["regressions_n"] = len(out.pop("regressions"))
+        line = json.dumps(out, separators=(",", ":"))
     print(line)
     return 0
+
+
+# Data-dominated subset re-timed at a manufactured sf1 (10x sf0.1,
+# tools/scaleup.py — deterministic key-shifted replication, built
+# FRESH each invocation in ~3 s and deleted at exit, so nothing
+# persists across runs).  Why (r13 VERDICT #5): at sf0.1 every
+# benched wall sits at the ~0.3 s Spark job floor, so the driver's
+# 8-vs-32-core scaling block reads ≈1 everywhere and cannot show
+# parallelism; at sf1 these ten queries measure 1.3-2.6x across the
+# same core span.  ADDITIVE only: the contract line's metric/value/
+# queries keys are untouched — sf1 numbers land under their own
+# sf1_queries/sf1_total keys (~300 chars, within the driver's 2000-
+# char capture window).
+SF1_SUBSET = [
+    "wordcount", "q1_pricing", "join_sortmerge", "q9_product_profit",
+    "dedup_minhash_ctrl", "simhash_neardup", "text_bm25_topk",
+    "kmeans_clusters", "dedup_substring_chains", "eval_set_builder",
+]
+
+
+def _bench_sf1_subset(
+    spark, registry, out: dict, sf_dir: str, full_run: bool
+) -> None:
+    """Time SF1_SUBSET at the manufactured sf1 into out["sf1_*"].
+
+    Runs only on a full HEADLINE pass over the standard sf0.1 dir
+    (--only iteration runs and foreign SF dirs skip it), and can be
+    disabled with SPARK_GRAFT_SF1_SUBSET=0."""
+    if not full_run or out.get("sf") != 0.1:
+        return
+    if os.environ.get("SPARK_GRAFT_SF1_SUBSET", "1") == "0":
+        return
+    import atexit
+    import shutil
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.join(here, "tools"))
+    try:
+        import scaleup
+    except Exception:
+        return
+    root = f"/tmp/dss-bench-sf1-p{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    try:
+        scaleup.build(root, "sf1", src=sf_dir)
+    except Exception:
+        shutil.rmtree(root, ignore_errors=True)
+        return
+    sf1_dir = os.path.join(root, "sf1")
+    sf1_times = {
+        name: _time_query(spark, registry, name, sf1_dir)
+        for name in SF1_SUBSET
+        if name in registry
+    }
+    shutil.rmtree(root, ignore_errors=True)
+    # Its own line, printed BEFORE the contract line: the driver
+    # keeps the last 2000 chars of output, so folding ~290 chars of
+    # sf1 entries into the contract JSON would push IT past the
+    # window (the round-8 unparseable-tail incident); as a separate
+    # preceding line, any overflow truncates sf1 entries from the
+    # front and never touches the contract line.  sf1_total is last
+    # so it survives worst.
+    print(
+        json.dumps(
+            {
+                "sf1_cpus": spark.sparkContext.defaultParallelism,
+                "sf1_queries": sf1_times,
+                "sf1_total": round(sum(sf1_times.values()), 3),
+            },
+            separators=(",", ":"),
+        )
+    )
 
 
 def _recover_times_from_tail(tail: str) -> dict[str, float]:
@@ -355,7 +438,10 @@ def _recover_times_from_tail(tail: str) -> dict[str, float]:
 
     region = tail
     if '"queries"' in region:
-        region = region.split('"queries"', 1)[1]
+        # rsplit: the r14 sf1 line (printed BEFORE the contract line)
+        # contains '"sf1_queries"', whose tail substring would match a
+        # left split — the LAST '"queries"' is the contract line's.
+        region = region.rsplit('"queries"', 1)[1]
     # Cut at every scalar/section key that can follow the queries map
     # in either key order ("value" follows it in the current output,
     # "sf" followed it in the old) — each is a number or a ratio map

@@ -672,6 +672,10 @@ _CHANGED_SINCE_VERIFIED_R14_OPT = frozenset(
         # label rides _assign_adaptive_cells' join-back (carry=):
         # one fewer corpus-scale vec_id join each.
         "hard_negative_mining", "label_noise_knn",
+        # two-level distributive decimal aggregate (compact Long-backed
+        # sums per (rf,ls,disc,tax), exact products over ~600 rows);
+        # row-equal vs the single-level form at 4 SFs.
+        "q1_pricing",
     }
 )
 

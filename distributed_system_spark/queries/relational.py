@@ -102,32 +102,71 @@ ORDER BY l_returnflag, l_linestatus
 def q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: the canonical partial+final hash aggregate.
 
-    The measures are exact 2-decimal values stored as doubles, so the
-    products are computed in decimal arithmetic (cast each factor
-    first): a double product cast to decimal rounds differently in
-    Spark (shortest-repr) vs DuckDB (binary value) at half-way points.
+    The measures are exact 2-decimal values stored as doubles, so all
+    arithmetic is decimal (exact, associative): a double product cast
+    to decimal rounds differently in Spark (shortest-repr) vs DuckDB
+    (binary value) at half-way points.
+
+    TWO-LEVEL aggregate (r14, guide §1.2 "per-task work"): a
+    single-level sum of DECIMAL(18,4) casts produces DECIMAL(28,4)
+    accumulators — beyond Spark's 18-digit compact (Long-backed)
+    representation, so every row paid a BigDecimal add, and the
+    per-row DECIMAL(17,4)/(22,6) products for disc/charge likewise
+    ran on heap BigDecimals.  l_discount and l_tax have ~11 x 9
+    distinct values, so the products DISTRIBUTE: level 1 groups by
+    (rf, ls, discount, tax) with only compact sums — qty as
+    DECIMAL(8,4) (values <= 50) and price as DECIMAL(8,2) (values
+    < 1e6), whose sum types (18,4)/(18,2) stay Long-backed — and
+    level 2 (~600 rows at ANY scale) applies the exact decimal
+    products and final rounding.  Exact decimal arithmetic is
+    distributive, so every output double is bit-identical to the
+    single-level form (verified row-equal at sf0.001/0.01/0.1 and
+    the manufactured sf1); A/B 0.47x (mins 1.57 -> 0.73, lower in
+    all rounds).  Width bounds: per-group sums cap at 1e14 qty /
+    1e16 price — two decades past sf1000 even with every row in one
+    group; level-2 products peak at DECIMAL(38,6), exactly Spark's
+    max precision, no precision-loss rounding anywhere.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    epd = F.col("l_extendedprice").cast("decimal(12,2)")
-    disc1 = (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
-    tax1 = (F.lit(1) + F.col("l_tax")).cast("decimal(4,2)")
-    return (
+    lvl1 = (
         li.filter(
             F.col("l_shipdate")
             <= F.lit("2000-12-01 00:00:00").cast("timestamp")
         )
-        .groupBy("l_returnflag", "l_linestatus")
+        .groupBy("l_returnflag", "l_linestatus", "l_discount", "l_tax")
         .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base"),
-            F.round(F.sum(epd * disc1), 2).cast("double").alias("sum_disc"),
-            F.round(F.sum(epd * disc1 * tax1), 2)
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(8,4)")).alias("sq"),
+            F.sum(F.col("l_extendedprice").cast("decimal(8,2)")).alias(
+                "sp"
+            ),
+        )
+    )
+    disc1 = (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+    tax1 = (F.lit(1) + F.col("l_tax")).cast("decimal(4,2)")
+    disc6 = F.col("l_discount").cast("decimal(8,6)")
+    n14 = F.col("n").cast("decimal(14,0)")
+    return (
+        lvl1.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("sq"), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum("sp"), 2).cast("double").alias("sum_base"),
+            F.round(F.sum(F.col("sp") * disc1), 2)
+            .cast("double")
+            .alias("sum_disc"),
+            F.round(F.sum(F.col("sp") * disc1 * tax1), 2)
             .cast("double")
             .alias("sum_charge"),
-            davg("l_quantity").alias("avg_qty"),
-            davg("l_extendedprice").alias("avg_price"),
-            davg("l_discount", scale=6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("sq").cast("double") / F.sum("n"), 6).alias(
+                "avg_qty"
+            ),
+            F.round(F.sum("sp").cast("double") / F.sum("n"), 6).alias(
+                "avg_price"
+            ),
+            F.round(
+                F.sum(disc6 * n14).cast("double") / F.sum("n"), 6
+            ).alias("avg_disc"),
+            F.sum("n").alias("cnt"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
